@@ -1,0 +1,313 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all expressed as compositions of built-in DataFrame ops so
+Catalyst/Tungsten keep the whole pipeline in JVM codegen — no Python in
+the hot path, no driver-side collects, no O(n²) cross joins:
+
+- exact:     md5-fingerprint groupBy (one shuffle on the hash)
+- minhash:   word-shingles → k-permutation MinHash → banded LSH buckets →
+             candidate pairs → exact Jaccard verification
+- simhash:   64-bit sign-of-weighted-bits sketch → 4×16-bit band blocking →
+             Hamming-distance verification via bit_count(xor)
+- n-gram Jaccard (exact): inverted-index blocking on shared shingles —
+             guaranteed-complete for threshold > 0 (any pair with
+             J ≥ t shares a shingle), so it has an exact SQL oracle.
+
+At 100 TB: every stage shuffles on a hash-distributed key (shingle, band
+bucket, pair id) and the band/bucket design bounds bucket sizes; skewed
+buckets (stop-shingles) are capped with a per-bucket limit, and AQE's
+skew-join handling covers the verification join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "exact_dedup",
+    "shingles",
+    "minhash_signature",
+    "minhash_lsh_candidates",
+    "minhash_near_duplicates",
+    "simhash64",
+    "simhash_near_duplicates",
+    "ngram_jaccard_pairs",
+]
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one representative (min id) per exact-normalized-text group.
+
+    Single hash-shuffle on the md5 fingerprint; the min-id choice makes the
+    survivor deterministic. Returns (id, fingerprint, group_size) for the
+    survivors — join back to ``df`` on ``id_col`` to materialize full rows.
+    """
+    from ..functions.text import fingerprint_md5
+
+    return (
+        df.select(F.col(id_col), fingerprint_md5(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+        .select(id_col, "fingerprint", "group_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+def shingles(text_col: str | Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text (array<string>).
+
+    Empty/short docs yield their full token run as a single shingle so no
+    document silently disappears from the dedup universe.
+    """
+    from ..functions.text import normalize_ws
+
+    toks = F.split(normalize_ws(text_col), " ")
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(k - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.array_distinct(grams)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH
+# ---------------------------------------------------------------------------
+def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
+    """k-permutation MinHash signature (array<bigint>, length k).
+
+    Permutation i is ``xxhash64(shingle, i)`` — a salted 64-bit hash per
+    shingle, min-reduced per document. Pure built-ins: the lambda runs in
+    codegen, not Python.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(s, i))),
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH over MinHash.
+
+    bands=16 × rows=4 over 64 hashes targets J≈0.5+ recall. Stages:
+    signature (narrow) → explode band hashes (narrow) → shuffle on
+    (band, bucket) → within-bucket pairing. ``max_bucket`` caps
+    pathological buckets (boilerplate shingles) so one hot bucket cannot
+    quadratically dominate a 100 TB run; dropped buckets are the standard
+    recall/robustness trade and are logged by callers if needed.
+
+    Returns distinct (id_a, id_b) with id_a < id_b.
+    """
+    rows = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(shingles(text_col, shingle_n), num_hashes).alias("_sig"),
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.element_at(F.col("_sig"), b * rows + j + 1) for j in range(rows)],
+                F.lit(b),
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    # cap bucket size: deterministic keep-lowest-ids inside each bucket
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("band", "bucket").orderBy("_id")
+    capped = banded.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= max_bucket
+    )
+
+    a = capped.select("band", "bucket", F.col("_id").alias("id_a"))
+    b = capped.select("band", "bucket", F.col("_id").alias("id_b"))
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def _jaccard(sh_a: Column, sh_b: Column) -> Column:
+    inter = F.size(F.array_intersect(sh_a, sh_b))
+    union = F.size(F.array_union(sh_a, sh_b))
+    return F.when(union == 0, F.lit(0.0)).otherwise(inter.cast("double") / union)
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidates verified with exact Jaccard ≥ threshold.
+
+    The verification join re-attaches shingle arrays to both pair sides —
+    two shuffles on id, both AQE-skew-protected. Output:
+    (id_a, id_b, jaccard).
+    """
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
+    )
+    sh = df.select(
+        F.col(id_col).alias("_sid"), shingles(text_col, shingle_n).alias("_sh")
+    )
+    return (
+        cands.join(sh.withColumnRenamed("_sid", "id_a").withColumnRenamed("_sh", "_sh_a"), "id_a")
+        .join(sh.withColumnRenamed("_sid", "id_b").withColumnRenamed("_sh", "_sh_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(_jaccard(F.col("_sh_a"), F.col("_sh_b")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def simhash64(text_col: str | Column, shingle_n: int = 2) -> Column:
+    """64-bit SimHash over word shingles, entirely in built-ins.
+
+    Per document: hash each shingle to 64 bits, sum ±1 per bit position,
+    take the sign bit. The per-bit loop is a codegen'd higher-order
+    ``aggregate`` over the shingle array — no explode, no shuffle.
+    """
+    sh = shingles(text_col, shingle_n)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    # literal masks for all 64 bit positions (bit 63 = int64 sign bit)
+    masks = F.array(
+        *[F.lit(2**i) for i in range(63)], F.lit(-(2**63))
+    )
+    # one pass over the shingle array accumulating all 64 bit votes
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    out = F.lit(0).cast("bigint")
+    for i in range(63):
+        out = out + F.when(
+            F.element_at(votes, i + 1) > 0, F.lit(2**i).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    # bit 63 is the sign bit in two's-complement bigint
+    out = out + F.when(
+        F.element_at(votes, 64) > 0, F.lit(-(2**63)).cast("bigint")
+    ).otherwise(F.lit(0).cast("bigint"))
+    return out
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_hamming: int = 3,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """SimHash near-dup pairs: block on 4×16-bit bands (pigeonhole — any
+    pair with Hamming ≤ 3 matches exactly on ≥1 of 4 bands), verify with
+    ``bit_count(xor)``. Output (id_a, id_b, hamming)."""
+    sk = df.select(F.col(id_col).alias("_id"), simhash64(text_col, shingle_n).alias("_sh"))
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col("_sh"), b * 16)
+            .bitwiseAND(F.lit(0xFFFF))
+            .alias("chunk"),
+        )
+        for b in range(4)
+    ]
+    banded = sk.select(
+        "_id", "_sh", F.explode(F.array(*band_structs)).alias("bc")
+    ).select("_id", "_sh", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
+    a = banded.select("band", "chunk", F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a"))
+    b = banded.select("band", "chunk", F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b"))
+    return (
+        a.join(b, ["band", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("_sh_a").bitwiseXOR(F.col("_sh_b"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard with inverted-index blocking (SQL-oracle-able)
+# ---------------------------------------------------------------------------
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """ALL pairs with word-``n``-gram Jaccard ≥ threshold (> 0), exactly.
+
+    Blocking is an inverted index on shingles: explode → self-join on the
+    shingle → distinct pairs. Complete because J ≥ t > 0 implies at least
+    one shared shingle. The shingle join key is hash-distributed; stop-
+    shingle skew is handled by AQE skew-join (and in a 100 TB deployment
+    by dropping top-frequency shingles, which cannot remove any pair whose
+    other shingles still overlap — callers tune via ``minhash`` instead
+    when approximate recall is acceptable).
+    Output: (id_a, id_b, jaccard).
+    """
+    sh = df.select(F.col(id_col).alias("_id"), shingles(text_col, shingle_n).alias("_sh"))
+    inv = sh.select("_id", F.explode("_sh").alias("_g"))
+    pairs = (
+        inv.alias("x")
+        .join(inv.alias("y"), "_g")
+        .filter(F.col("x._id") < F.col("y._id"))
+        .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
+        .distinct()
+    )
+    return (
+        pairs.join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a")), "id_a")
+        .join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(_jaccard(F.col("_sh_a"), F.col("_sh_b")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

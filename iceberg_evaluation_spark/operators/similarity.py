@@ -1,0 +1,173 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Baseline is exact brute-force cosine top-k: broadcast the (small) query
+set against the corpus — one scan, no shuffle except the final per-query
+top-k, which Catalyst executes as partial top-k per partition
+(window + filter under AQE). The scale path is IVF: a coarse quantizer
+assigns every vector to its nearest centroid (cells are the partition
+key), queries probe only ``nprobe`` cells — at 100 TB this turns a full
+scan into a pruned scan of nprobe/ncells of the data.
+
+Dot products run through ``F.zip_with`` + ``F.aggregate`` in whole-stage
+codegen after casting to double (float32 accumulation is not
+reproducible across engines; double is, for 64-dim vectors).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+__all__ = ["cosine_topk", "cosine_pairs", "ivf_cosine_topk"]
+
+
+def _as_double(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two double arrays (0.0 when either is zero)."""
+    denom = _norm(a) * _norm(b)
+    return F.when(denom == 0, F.lit(0.0)).otherwise(_dot(a, b) / denom)
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k by cosine for every query vector (brute force baseline).
+
+    ``queries`` must have (query_id_col, vec_col). The query side is
+    broadcast — top-k is computed with one pass over the corpus. Ties are
+    broken by corpus id for determinism. Output:
+    (query_id, vec_id, cosine_sim, rk).
+    """
+    c = corpus.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("_cv")
+    )
+    q = queries.select(
+        F.col(query_id_col), _as_double(F.col(vec_col)).alias("_qv")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col("_cv"), F.col("_qv")), 6).alias("cosine_sim"),
+    )
+    w = W.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col)
+    )
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def cosine_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a < b) with sim ≥ t.
+
+    Exact all-pairs — quadratic by definition; at 100 TB use
+    ``ivf_cosine_topk``-style cell blocking or LSH instead. Output:
+    (id_a, id_b, cosine_sim).
+    """
+    v = df.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
+    a = v.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+    b = v.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted file) coarse quantization.
+
+    Centroids are the ``n_cells`` lexicographically-first corpus vectors
+    by id — deterministic, no iterative k-means (adequate for a coarse
+    quantizer; swap in k-means|| offline for production). Every corpus
+    vector is assigned to its nearest centroid (narrow map over a
+    broadcast centroid list); each query probes its ``nprobe`` nearest
+    cells, so the scored fraction is ~nprobe/n_cells. Output:
+    (query_id, vec_id, cosine_sim, rk).
+    """
+    v = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+    w_first = W.orderBy(F.col(id_col))
+    cents = (
+        v.withColumn("_rn", F.row_number().over(w_first))
+        .filter(F.col("_rn") <= n_cells)
+        .select(F.col("_rn").alias("cell"), F.col("_v").alias("_cent"))
+    )
+    cent_rows = cents.collect()  # n_cells rows only — bounded, not data-sized
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(r["cell"]).alias("cell"),
+                F.array(*[F.lit(float(x)) for x in r["_cent"]]).alias("c"),
+            )
+            for r in cent_rows
+        ]
+    )
+
+    def nearest_cells(vec: Column, n: int) -> Column:
+        scored = F.transform(
+            cent_arr,
+            lambda s: F.struct(
+                (-cosine(vec, s["c"])).alias("neg"), s["cell"].alias("cell")
+            ),
+        )
+        return F.slice(F.array_sort(scored), 1, n)
+
+    assigned = v.select(
+        id_col, "_v", F.element_at(nearest_cells(F.col("_v"), 1), 1)["cell"].alias("cell")
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        _as_double(F.col(vec_col)).alias("_qv"),
+    ).select(
+        query_id_col,
+        "_qv",
+        F.explode(
+            F.transform(nearest_cells(F.col("_qv"), nprobe), lambda s: s["cell"])
+        ).alias("cell"),
+    )
+    scored = assigned.join(F.broadcast(q), "cell").select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col("_v"), F.col("_qv")), 6).alias("cosine_sim"),
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)

@@ -1,0 +1,82 @@
+"""Text-analysis operators: quality scoring and language identification.
+
+Pure built-in expression compositions over the ``documents`` table —
+narrow (no shuffle), codegen'd, with exact DuckDB oracle twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    STOPWORDS,
+    fingerprint_md5,
+    normalize_ws,
+    punct_ratio,
+    stopword_hits,
+    token_count_bpe,
+    token_count_ws,
+)
+
+__all__ = ["text_quality", "language_id"]
+
+
+def text_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality metrics + a composite score in [0, 1].
+
+    Components mirror the standard pretraining-data heuristics: length
+    band, mean token length band, punctuation-density penalty, stopword
+    presence. Deterministic, rational arithmetic where possible.
+    """
+    n_chars = F.length(F.col(text_col))
+    n_tok = token_count_ws(text_col)
+    mean_tok_len = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        F.length(F.regexp_replace(normalize_ws(text_col), " ", "")).cast("double")
+        / n_tok
+    )
+    p_ratio = punct_ratio(text_col)
+    sw = stopword_hits(text_col, "en")
+    sw_ratio = F.when(n_tok == 0, F.lit(0.0)).otherwise(sw.cast("double") / n_tok)
+    score = (
+        F.when((n_chars >= 64) & (n_chars <= 4096), 0.25).otherwise(0.0)
+        + F.when((mean_tok_len >= 3) & (mean_tok_len <= 12), 0.25).otherwise(0.0)
+        + F.when(p_ratio <= 0.2, 0.25).otherwise(0.0)
+        + F.when(sw_ratio >= 0.02, 0.25).otherwise(0.0)
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_obs"),
+        n_tok.alias("n_tokens"),
+        token_count_bpe(text_col).alias("n_bpe_tokens"),
+        F.round(mean_tok_len, 4).alias("mean_token_len"),
+        F.round(p_ratio, 4).alias("punct_ratio"),
+        F.round(sw_ratio, 4).alias("stopword_ratio"),
+        F.round(score, 2).alias("quality_score"),
+        fingerprint_md5(text_col).alias("fingerprint"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-ratio language heuristic over {en, de, es, fr}.
+
+    Emits one hit-ratio column per language plus the argmax label
+    (ties → lexicographically-first language; 'und' when no stopwords
+    hit at all). Narrow per-row computation — scales linearly.
+    """
+    n_tok = token_count_ws(text_col)
+    ratios = {
+        lang: F.when(n_tok == 0, F.lit(0.0)).otherwise(
+            stopword_hits(text_col, lang).cast("double") / n_tok
+        )
+        for lang in sorted(STOPWORDS)
+    }
+    # argmax via greatest + chained when (deterministic tie-break: sorted langs)
+    best = F.greatest(*ratios.values())
+    label = F.lit("und")
+    for lang in sorted(STOPWORDS, reverse=True):
+        label = F.when((best > 0) & (ratios[lang] == best), lang).otherwise(label)
+    sel = [F.col(id_col)]
+    sel += [F.round(ratios[lang], 4).alias(f"ratio_{lang}") for lang in sorted(STOPWORDS)]
+    sel.append(label.alias("lang_pred"))
+    return df.select(*sel)

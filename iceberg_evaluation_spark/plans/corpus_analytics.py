@@ -1,0 +1,356 @@
+"""Analytic corpus: window functions, ROLLUP/GROUPING, stddev, conditional
+pivots, top-k per group, event-time bucketing (SURVEY.md §2.5 A5-A9,
+§2.6 W1-W6, §2.7).
+
+Shapes modeled on the reference TPC-DS files cited per query; all doubles
+rounded at the output boundary, all window ORDER BYs totally ordered.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from ._exact import cents, exact_sum, sql_sum
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# q04: running total + running max over ordered window (W3, W4; ref sql/q51)
+# ---------------------------------------------------------------------------
+@register(
+    "q04_running_revenue",
+    covers="W3 W4 A1",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(l_shipdate AS DATE) AS ship_date, l_returnflag,
+         {sql_sum('l_extendedprice * (1 - l_discount)', 10000)} AS day_rev
+  FROM lineitem GROUP BY 1, 2
+)
+-- running sum accumulates exact integer cents: engines may order window
+-- aggregation differently (segment tree vs sequential) and double drift
+-- at 1e9 magnitude flips rounded cents
+SELECT ship_date, l_returnflag, day_rev,
+       round(sum(CAST(round(day_rev * 100, 0) AS BIGINT)) OVER w / 100.0, 2) AS cume_rev,
+       round(max(day_rev) OVER w, 2) AS max_day_rev
+FROM daily
+WINDOW w AS (PARTITION BY l_returnflag ORDER BY ship_date
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+def q04_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    daily = (
+        li.groupBy(
+            F.to_date("l_shipdate").alias("ship_date"), F.col("l_returnflag")
+        ).agg(
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
+            ).alias("day_rev")
+        )
+    )
+    w = (
+        W.partitionBy("l_returnflag")
+        .orderBy("ship_date")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cents = F.round(F.col("day_rev") * 100, 0).cast("bigint")
+    return daily.select(
+        "ship_date",
+        "l_returnflag",
+        "day_rev",
+        F.round(F.sum(cents).over(w) / 100.0, 2).alias("cume_rev"),
+        F.round(F.max("day_rev").over(w), 2).alias("max_day_rev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q05: rank() within partition + top-k filter (W1; ref sql/q67:13-15)
+# ---------------------------------------------------------------------------
+@register(
+    "q05_rank_parts_in_brand",
+    covers="W1 W6 J1 A1",
+    oracle=f"""
+WITH rev AS (
+  SELECT p_brand, p_partkey,
+         {sql_sum('l_extendedprice * (1 - l_discount)', 10000)} AS revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand, p_partkey
+)
+SELECT p_brand, p_partkey, revenue, rk
+FROM (SELECT *, rank() OVER (PARTITION BY p_brand
+                             ORDER BY revenue DESC, p_partkey) AS rk
+      FROM rev) t
+WHERE rk <= 3
+""",
+)
+def q05_rank_parts_in_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
+            ).alias("revenue")
+        )
+    )
+    w = W.partitionBy("p_brand").orderBy(F.col("revenue").desc(), F.col("p_partkey"))
+    return rev.withColumn("rk", F.rank().over(w)).filter(F.col("rk") <= 3)
+
+
+# ---------------------------------------------------------------------------
+# q06: windowed aggregate over group aggregate + abs deviation filter
+#      (W2, W6; ref sql/q53:5-7, q57:53)
+# ---------------------------------------------------------------------------
+@register(
+    "q06_monthly_vs_flag_avg",
+    covers="W2 W6 A1 scalar-census",
+    oracle=f"""
+WITH monthly AS (
+  SELECT l_returnflag,
+         CAST(date_part('year', l_shipdate) AS INT) AS ship_year,
+         CAST(date_part('month', l_shipdate) AS INT) AS ship_month,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 10000.0 AS rev_raw,
+         {sql_sum('l_extendedprice * (1 - l_discount)', 10000)} AS rev
+  FROM lineitem GROUP BY 1, 2, 3
+)
+SELECT l_returnflag, ship_year, ship_month,
+       rev,
+       round(avg_rev, 2) AS avg_rev
+FROM (SELECT *, avg(rev_raw) OVER (PARTITION BY l_returnflag) AS avg_rev FROM monthly) t
+WHERE avg_rev > 0 AND abs(rev_raw - avg_rev) / avg_rev > 0.1
+""",
+)
+def q06_monthly_vs_flag_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        "l_returnflag",
+        F.year("l_shipdate").alias("ship_year"),
+        F.month("l_shipdate").alias("ship_month"),
+    ).agg(
+        (
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000))
+            / 10000.0
+        ).alias("rev_raw"),
+        exact_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
+        ).alias("rev"),
+    )
+    w = W.partitionBy("l_returnflag")
+    return (
+        monthly.withColumn("avg_rev", F.avg("rev_raw").over(w))
+        .filter(
+            (F.col("avg_rev") > 0)
+            & (F.abs(F.col("rev_raw") - F.col("avg_rev")) / F.col("avg_rev") > 0.1)
+        )
+        .select(
+            "l_returnflag",
+            "ship_year",
+            "ship_month",
+            "rev",
+            F.round("avg_rev", 2).alias("avg_rev"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q07: lag/lead neighbors (W5; idiomatic form of the reference's rank
+#      self-join emulation, sql/q47:53-54 / q57 — J8 re-expressed)
+# ---------------------------------------------------------------------------
+@register(
+    "q07_monthly_lag_lead",
+    covers="W5 J8 A1",
+    oracle=f"""
+WITH monthly AS (
+  SELECT l_returnflag,
+         CAST(date_part('year', l_shipdate) AS INT) AS ship_year,
+         CAST(date_part('month', l_shipdate) AS INT) AS ship_month,
+         {sql_sum('l_quantity')} AS qty
+  FROM lineitem GROUP BY 1, 2, 3
+)
+SELECT l_returnflag, ship_year, ship_month, qty,
+       lag(qty, 1)  OVER w AS prev_qty,
+       lead(qty, 1) OVER w AS next_qty,
+       round(qty - coalesce(lag(qty, 1) OVER w, qty), 2) AS qty_delta
+FROM monthly
+WINDOW w AS (PARTITION BY l_returnflag ORDER BY ship_year, ship_month)
+""",
+)
+def q07_monthly_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        "l_returnflag",
+        F.year("l_shipdate").alias("ship_year"),
+        F.month("l_shipdate").alias("ship_month"),
+    ).agg(exact_sum(F.col("l_quantity")).alias("qty"))
+    w = W.partitionBy("l_returnflag").orderBy("ship_year", "ship_month")
+    return monthly.select(
+        "l_returnflag",
+        "ship_year",
+        "ship_month",
+        "qty",
+        F.lag("qty", 1).over(w).alias("prev_qty"),
+        F.lead("qty", 1).over(w).alias("next_qty"),
+        F.round(
+            F.col("qty") - F.coalesce(F.lag("qty", 1).over(w), F.col("qty")), 2
+        ).alias("qty_delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q08: ROLLUP + GROUPING() indicator (A5, A6; ref sql/q27:4, q5:129)
+# ---------------------------------------------------------------------------
+@register(
+    "q08_rollup_grouping",
+    covers="A5 A6 A1",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       grouping(l_returnflag) AS g_flag,
+       grouping(l_linestatus) AS g_status,
+       {sql_sum('l_quantity')} AS sum_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def q08_rollup_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+        F.grouping("l_linestatus").cast("bigint").alias("g_status"),
+        exact_sum(F.col("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q21: stddev_samp (A7; ref sql/q17:7, q39a:18)
+# ---------------------------------------------------------------------------
+@register(
+    "q21_stddev_quantity",
+    covers="A7 A1",
+    oracle="""
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 4) AS std_qty,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(stddev_samp(l_quantity) / avg(l_quantity), 4) AS cov
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q21_stddev_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.stddev_samp("l_quantity") / F.avg("l_quantity"), 4).alias("cov"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q22: conditional-sum pivot into quarter buckets (A9; ref sql/q66:56-64)
+# ---------------------------------------------------------------------------
+@register(
+    "q22_quarter_pivot",
+    covers="A9 A1 P3",
+    oracle=f"""
+SELECT event_type,
+       {sql_sum("CASE WHEN date_part('month', ts) IN (1, 2, 3) THEN value ELSE 0 END")} AS q1_val,
+       {sql_sum("CASE WHEN date_part('month', ts) IN (4, 5, 6) THEN value ELSE 0 END")} AS q2_val,
+       {sql_sum("CASE WHEN date_part('month', ts) IN (7, 8, 9) THEN value ELSE 0 END")} AS q3_val,
+       {sql_sum("CASE WHEN date_part('month', ts) IN (10, 11, 12) THEN value ELSE 0 END")} AS q4_val,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+""",
+)
+def q22_quarter_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    m = F.month("ts")
+
+    def bucket(months, name):
+        return exact_sum(
+            F.when(m.isin(*months), F.col("value")).otherwise(0.0)
+        ).alias(name)
+
+    return ev.groupBy("event_type").agg(
+        bucket([1, 2, 3], "q1_val"),
+        bucket([4, 5, 6], "q2_val"),
+        bucket([7, 8, 9], "q3_val"),
+        bucket([10, 11, 12], "q4_val"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q24: top-1 per group via row_number (M4 latest-record idiom on real data;
+#      ref updating_db_with_deltas_iceberg.ipynb cell 26)
+# ---------------------------------------------------------------------------
+@register(
+    "q24_latest_order_per_customer",
+    covers="W1 M4 O1",
+    oracle="""
+SELECT o_custkey, o_orderkey AS latest_orderkey,
+       CAST(o_orderdate AS DATE) AS latest_orderdate,
+       round(o_totalprice, 2) AS totalprice
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+) t WHERE rn = 1
+""",
+)
+def q24_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.to_date("o_orderdate").alias("latest_orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q25: event-time tumbling window aggregation (batch form of the streaming
+#      surface §2.10; window start emitted, never raw ns timestamps)
+# ---------------------------------------------------------------------------
+@register(
+    "q25_event_hourly_windows",
+    covers="A1 streaming-shape",
+    oracle=f"""
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+       event_type,
+       count(*) AS n,
+       {sql_sum('value')} AS total_value
+FROM events
+GROUP BY 1, 2
+HAVING count(*) >= 2
+""",
+)
+def q25_event_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact_sum(F.col("value")).alias("total_value"),
+        )
+        .filter(F.col("n") >= 2)
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
+        )
+    )

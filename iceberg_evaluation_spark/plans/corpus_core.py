@@ -1,0 +1,539 @@
+"""Core relational corpus: scans, projections, filters, joins, set ops,
+basic and grouped aggregation (SURVEY.md §2.1-2.3, §2.5, §2.7-2.9).
+
+Each query is written twice: idiomatic DataFrame API for the engine (so
+Catalyst gets a declarative plan — pushdown, broadcast, AQE) and ANSI SQL
+for the DuckDB oracle. Shapes are modeled on the reference TPC-DS corpus
+(``src/data_derivation/query_performance/sql/q*.sql``) re-expressed over
+the driver's TPC-H-ish star schema.
+
+Determinism rules used throughout:
+- every LIMIT has a total-order ORDER BY (unique tiebreak column);
+- doubles are rounded at the output boundary only;
+- no raw ``events.ts`` in outputs (parquet is ns; Spark truncates to µs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from ._exact import exact_avg, exact_sum, sql_avg, sql_sum
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# q01: TPC-H Q1 shape — filtered scan + hash agg (A1, A9, P3, O1)
+#      ref shape: sql/q1.sql / classic pricing summary
+# ---------------------------------------------------------------------------
+@register(
+    "q01_pricing_summary",
+    covers="S1 P1 P3 A1 O1",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_sum('l_quantity')}                                   AS sum_qty,
+       {sql_sum('l_extendedprice')}                              AS sum_base_price,
+       {sql_sum('l_extendedprice * (1 - l_discount)', 10000)}    AS sum_disc_price,
+       {sql_avg('l_quantity')}                                   AS avg_qty,
+       {sql_avg('l_discount', 100, 4)}                           AS avg_disc,
+       count(*)                                                  AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1997-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1997-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            exact_sum(F.col("l_quantity")).alias("sum_qty"),
+            exact_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
+            ).alias("sum_disc_price"),
+            exact_avg(F.col("l_quantity")).alias("avg_qty"),
+            exact_avg(F.col("l_discount"), 100, 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q02: 3-way join + top-k (J1 broadcast dims, O1, O2) — ref shape: sql/q67
+# ---------------------------------------------------------------------------
+@register(
+    "q02_top_brand_revenue",
+    covers="J1 A1 O1 O2",
+    oracle=f"""
+SELECT p_brand,
+       {sql_sum('l_extendedprice * (1 - l_discount)', 10000)} AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE p_size >= 10
+GROUP BY p_brand
+ORDER BY revenue DESC, p_brand
+LIMIT 10
+""",
+)
+def q02_top_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") >= 10)
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("p_brand")
+        .agg(
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("p_brand"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q03: correlated scalar subquery (decorrelates to agg+join) — ref: sql/q1.sql:11-14
+# ---------------------------------------------------------------------------
+@register(
+    "q03_above_nation_avg_balance",
+    covers="J1 J7 A2 O1",
+    oracle="""
+SELECT c_custkey, c_name, n_name, round(c_acctbal, 2) AS acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c_acctbal > 1.2 * (
+    SELECT avg(c2.c_acctbal) FROM customer c2
+    WHERE c2.c_nationkey = c.c_nationkey)
+""",
+)
+def q03_above_nation_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    # decorrelated form: per-nation avg computed once, then joined
+    nat_avg = cust.groupBy("c_nationkey").agg(F.avg("c_acctbal").alias("nation_avg"))
+    return (
+        cust.join(F.broadcast(nat_avg), "c_nationkey")
+        .filter(F.col("c_acctbal") > 1.2 * F.col("nation_avg"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .select(
+            "c_custkey", "c_name", "n_name", F.round("c_acctbal", 2).alias("acctbal")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q09: count(DISTINCT) — exact, per reference semantics (A3; ref sql/q95)
+# ---------------------------------------------------------------------------
+@register(
+    "q09_count_distinct_customers",
+    covers="A1 A3",
+    oracle=f"""
+SELECT o_orderstatus,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(*) AS n_orders,
+       {sql_sum('o_totalprice')} AS total_price
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def q09_count_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+        exact_sum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q10: multi-column DISTINCT pre-agg (A4; ref sql/q87, q38)
+# ---------------------------------------------------------------------------
+@register(
+    "q10_distinct_triple_counts",
+    covers="A4 A1",
+    oracle="""
+SELECT o_orderpriority, count(*) AS n_distinct_pairs
+FROM (SELECT DISTINCT o_custkey, o_orderstatus, o_orderpriority FROM orders) t
+GROUP BY o_orderpriority
+""",
+)
+def q10_distinct_triple_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select("o_custkey", "o_orderstatus", "o_orderpriority")
+        .distinct()
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_distinct_pairs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q11/q12: INTERSECT / EXCEPT with distinct semantics (U2, U3; ref q8/q87)
+# ---------------------------------------------------------------------------
+@register(
+    "q11_intersect_customers",
+    covers="U2 A4",
+    oracle="""
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+""",
+)
+def q11_intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    o_keys = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    f_keys = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return o_keys.intersect(f_keys)
+
+
+@register(
+    "q12_except_customers",
+    covers="U3",
+    oracle="""
+SELECT c_custkey AS custkey FROM customer
+EXCEPT
+SELECT o_custkey AS custkey FROM orders
+""",
+)
+def q12_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    ordered = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    # TPC-DS EXCEPT is set (distinct) semantics → subtract, not exceptAll
+    return cust.subtract(ordered)
+
+
+# ---------------------------------------------------------------------------
+# q13: UNION ALL of channels then aggregate (U1, A10; ref sql/q5, q76)
+# ---------------------------------------------------------------------------
+@register(
+    "q13_union_channels",
+    covers="U1 A10 P2 P5",
+    oracle=f"""
+SELECT channel, count(*) AS n, {sql_sum('o_totalprice')} AS total
+FROM (
+  SELECT 'urgent' AS channel, o_totalprice FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+  UNION ALL
+  SELECT 'normal' AS channel, o_totalprice FROM orders
+  WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+) t
+GROUP BY channel
+""",
+)
+def q13_union_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).select(F.lit("urgent").alias("channel"), "o_totalprice")
+    normal = orders.filter(
+        ~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).select(F.lit("normal").alias("channel"), "o_totalprice")
+    return (
+        urgent.unionByName(normal)
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact_sum(F.col("o_totalprice")).alias("total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q14/q15: EXISTS → left semi, NOT EXISTS → left anti (J5, J6; ref q10/q35/q69)
+# ---------------------------------------------------------------------------
+@register(
+    "q14_exists_semi_join",
+    covers="J5 A1",
+    oracle="""
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+GROUP BY c_mktsegment
+""",
+)
+def q14_exists_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "q15_not_exists_anti_join",
+    covers="J6 J1 A1",
+    oracle="""
+SELECT n_name, count(*) AS n_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY n_name
+""",
+)
+def q15_not_exists_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q16: FULL OUTER join + coalesce (J4; ref sql/q97, q51)
+# ---------------------------------------------------------------------------
+@register(
+    "q16_full_outer_totals",
+    covers="J4 A1 P5",
+    oracle=f"""
+WITH tot AS (
+  SELECT o_custkey, {sql_sum('o_totalprice')} AS order_total
+  FROM orders GROUP BY o_custkey
+), rich AS (
+  SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+  FROM customer WHERE c_acctbal > 5000
+)
+SELECT coalesce(t.o_custkey, r.c_custkey) AS custkey,
+       coalesce(t.order_total, 0.0) AS order_total,
+       coalesce(r.acctbal, 0.0) AS acctbal
+FROM tot t FULL OUTER JOIN rich r ON t.o_custkey = r.c_custkey
+""",
+)
+def q16_full_outer_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    tot = orders.groupBy("o_custkey").agg(
+        exact_sum(F.col("o_totalprice")).alias("order_total")
+    )
+    rich = cust.filter(F.col("c_acctbal") > 5000).select(
+        "c_custkey", F.round("c_acctbal", 2).alias("acctbal")
+    )
+    return tot.join(rich, tot.o_custkey == rich.c_custkey, "full").select(
+        F.coalesce(tot.o_custkey, rich.c_custkey).alias("custkey"),
+        F.coalesce(F.col("order_total"), F.lit(0.0)).alias("order_total"),
+        F.coalesce(F.col("acctbal"), F.lit(0.0)).alias("acctbal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q17: LEFT join + coalesce(count) (J3; ref sql/q80, q93)
+# ---------------------------------------------------------------------------
+@register(
+    "q17_left_join_nation_counts",
+    covers="J3 A1 P5",
+    oracle="""
+SELECT n_name, coalesce(cnt, 0) AS n_rich
+FROM nation n
+LEFT JOIN (
+  SELECT c_nationkey, count(*) AS cnt FROM customer
+  WHERE c_acctbal > 8000 GROUP BY c_nationkey
+) c ON n.n_nationkey = c.c_nationkey
+""",
+)
+def q17_left_join_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    cnt = (
+        cust.filter(F.col("c_acctbal") > 8000)
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return nation.join(cnt, nation.n_nationkey == cnt.c_nationkey, "left").select(
+        "n_name", F.coalesce(F.col("cnt"), F.lit(0)).alias("n_rich")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q18: cross join of single-row aggregates (J9, A2; ref sql/q88, q90)
+# ---------------------------------------------------------------------------
+@register(
+    "q18_cross_scalar_ratio",
+    covers="J9 A2",
+    oracle="""
+SELECT round(r.avg_r, 2) AS avg_return_price,
+       round(n.avg_n, 2) AS avg_noreturn_price,
+       round(r.avg_r / n.avg_n, 4) AS price_ratio
+FROM (SELECT sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0 / count(*) AS avg_r
+      FROM lineitem WHERE l_returnflag = 'R') r
+CROSS JOIN
+     (SELECT sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0 / count(*) AS avg_n
+      FROM lineitem WHERE l_returnflag = 'N') n
+""",
+)
+def q18_cross_scalar_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._exact import cents
+
+    li = _t(spark, sf_dir, "lineitem")
+    exact_mean = (F.sum(cents(F.col("l_extendedprice"))) / 100.0 / F.count(F.lit(1)))
+    avg_r = li.filter(F.col("l_returnflag") == "R").agg(exact_mean.alias("avg_r"))
+    avg_n = li.filter(F.col("l_returnflag") == "N").agg(exact_mean.alias("avg_n"))
+    return avg_r.crossJoin(avg_n).select(
+        F.round("avg_r", 2).alias("avg_return_price"),
+        F.round("avg_n", 2).alias("avg_noreturn_price"),
+        F.round(F.col("avg_r") / F.col("avg_n"), 4).alias("price_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q19: date + INTERVAL range predicate inside a join (J10; ref q80:14-15, q82:9)
+# ---------------------------------------------------------------------------
+@register(
+    "q19_interval_range_join",
+    covers="J10 J1 A1 P5",
+    oracle=f"""
+SELECT o_orderpriority,
+       count(*) AS n_fast_ships,
+       {sql_sum('l_extendedprice * (1 - l_discount)', 10000)} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 30 DAY
+GROUP BY o_orderpriority
+""",
+)
+def q19_interval_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.col("l_shipdate").between(
+                F.col("o_orderdate"), F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+            )
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_fast_ships"),
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
+            ).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q20: HAVING with multiple thresholds (A8; ref sql/q6:19, q44:17)
+# ---------------------------------------------------------------------------
+@register(
+    "q20_having_thresholds",
+    covers="A8 A1",
+    oracle=f"""
+SELECT o_custkey, count(*) AS n_orders, {sql_sum('o_totalprice')} AS total
+FROM orders
+GROUP BY o_custkey
+HAVING count(*) >= 3
+   AND sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0 > 300000
+""",
+)
+def q20_having_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    from ._exact import cents
+
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(cents(F.col("o_totalprice"))) / 100.0).alias("_total"),
+        )
+        .filter((F.col("n_orders") >= 3) & (F.col("_total") > 300000))
+        .select("o_custkey", "n_orders", F.round("_total", 2).alias("total"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q23: scalar-function census — substr/upper/concat/like/in/between/case/abs
+#      (P3, P5, §2.9; ref q15:7, q24a:20, q91:20, q80:71)
+# ---------------------------------------------------------------------------
+@register(
+    "q23_scalar_function_census",
+    covers="P1 P3 P5 scalar-census",
+    oracle="""
+SELECT c_custkey,
+       substr(c_name, 1, 10) AS name_prefix,
+       upper(c_mktsegment) AS seg,
+       concat(n_name, '-', c_name) AS tagged,
+       CASE WHEN c_acctbal < 0 THEN 'neg'
+            WHEN c_acctbal < 5000 THEN 'mid'
+            ELSE 'high' END AS bal_band,
+       round(abs(c_acctbal), 2) AS abs_bal,
+       CAST(trunc(c_acctbal) AS BIGINT) AS bal_int
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
+  AND c_name LIKE '%1%'
+  AND c_acctbal BETWEEN -500 AND 9500
+  AND c_name IS NOT NULL
+""",
+)
+def q23_scalar_function_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .filter(
+            F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE", "MACHINERY")
+            & F.col("c_name").like("%1%")
+            & F.col("c_acctbal").between(-500, 9500)
+            & F.col("c_name").isNotNull()
+        )
+        .select(
+            "c_custkey",
+            F.substring("c_name", 1, 10).alias("name_prefix"),
+            F.upper("c_mktsegment").alias("seg"),
+            F.concat(F.col("n_name"), F.lit("-"), F.col("c_name")).alias("tagged"),
+            F.when(F.col("c_acctbal") < 0, "neg")
+            .when(F.col("c_acctbal") < 5000, "mid")
+            .otherwise("high")
+            .alias("bal_band"),
+            F.round(F.abs("c_acctbal"), 2).alias("abs_bal"),
+            F.col("c_acctbal").cast("bigint").alias("bal_int"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q26: OR-of-ANDs multi-bucket conditional counts in one scan (P3, A9; ref q88)
+# ---------------------------------------------------------------------------
+@register(
+    "q26_or_of_ands_buckets",
+    covers="P3 A9 A2",
+    oracle="""
+SELECT count(CASE WHEN l_quantity BETWEEN 1 AND 10 AND l_discount < 0.05 THEN 1 END)  AS bucket_lo,
+       count(CASE WHEN l_quantity BETWEEN 11 AND 30 AND l_discount BETWEEN 0.03 AND 0.07 THEN 1 END) AS bucket_mid,
+       count(CASE WHEN l_quantity > 30 OR (l_discount > 0.08 AND l_tax > 0.04) THEN 1 END) AS bucket_hi
+FROM lineitem
+WHERE (l_returnflag = 'N' AND l_linestatus = 'O')
+   OR (l_returnflag = 'R' AND l_quantity > 5)
+""",
+)
+def q26_or_of_ands_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    q, d, t = F.col("l_quantity"), F.col("l_discount"), F.col("l_tax")
+    return li.filter(
+        ((F.col("l_returnflag") == "N") & (F.col("l_linestatus") == "O"))
+        | ((F.col("l_returnflag") == "R") & (q > 5))
+    ).agg(
+        F.count(F.when(q.between(1, 10) & (d < 0.05), 1)).alias("bucket_lo"),
+        F.count(F.when(q.between(11, 30) & d.between(0.03, 0.07), 1)).alias(
+            "bucket_mid"
+        ),
+        F.count(F.when((q > 30) | ((d > 0.08) & (t > 0.04)), 1)).alias("bucket_hi"),
+    )

@@ -1,0 +1,176 @@
+"""Curation corpus: the reference's SCD2/CDC surface re-expressed as
+deterministic transforms over the driver testdata (SURVEY.md §2.4).
+
+The CDC feed is synthesized deterministically from ``orders``/``lineitem``
+(no sampling) so every query has a stable result and, where the semantics
+are relational, an exact DuckDB oracle. The full table-layer pipeline
+(bulk insert → MERGE per batch, q44) is checked against the *windowed
+rebuild* oracle — if the incremental MERGE path diverges from the
+declarative SCD2 definition, the hashes split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.keys import composite_pk
+from ..sources import load_table
+from .registry import register
+
+#: SCD2 open-interval sentinel (reference pyspark_functions.py:314)
+SENTINEL = "2250-01-01 00:00:00"
+
+
+def _versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic CDC-shaped version feed: each lineitem row is a
+    'version' of its order (pk = l_orderkey, ts = l_shipdate)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").alias("pk"),
+        F.col("l_shipdate").alias("extraction_timestamp"),
+        F.col("l_quantity").alias("quantity"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_linenumber"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q40: SCD2 complex re-slice as a pure transform (M3 core: LEAD window)
+#      ref pyspark_functions.py:214-226 / athena_functions.py:267-268
+# ---------------------------------------------------------------------------
+@register(
+    "q40_scd2_rebuild",
+    covers="M3 W5 P2 P5",
+    oracle=f"""
+WITH versions AS (
+  SELECT l_orderkey AS pk, l_shipdate AS extraction_timestamp,
+         l_quantity AS quantity, l_extendedprice AS price, l_linenumber
+  FROM lineitem
+)
+SELECT pk, extraction_timestamp, quantity, price,
+       extraction_timestamp AS start_datetime,
+       lead(extraction_timestamp, 1, TIMESTAMP '{SENTINEL}')
+         OVER w AS end_datetime,
+       (lead(extraction_timestamp, 1, TIMESTAMP '{SENTINEL}')
+         OVER w = TIMESTAMP '{SENTINEL}') AS is_current
+FROM versions
+-- order must be TOTAL: the testdata contains duplicate
+-- (orderkey, shipdate, linenumber) rows, so value columns join the key
+WINDOW w AS (PARTITION BY pk
+             ORDER BY extraction_timestamp, l_linenumber, quantity, price)
+""",
+)
+def q40_scd2_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _versions(spark, sf_dir)
+    # total order: (ts, linenumber) alone is not unique in the testdata
+    w = W.partitionBy("pk").orderBy(
+        "extraction_timestamp", "l_linenumber", "quantity", "price"
+    )
+    sentinel = F.lit(SENTINEL).cast("timestamp")
+    end = F.lead("extraction_timestamp", 1, SENTINEL).over(w)
+    return v.select(
+        "pk",
+        "extraction_timestamp",
+        "quantity",
+        "price",
+        F.col("extraction_timestamp").alias("start_datetime"),
+        end.alias("end_datetime"),
+        (end == sentinel).alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q41: latest-record dedup (M4; ref updating_db_with_deltas notebook cell 26)
+# ---------------------------------------------------------------------------
+@register(
+    "q41_latest_event_per_user",
+    covers="M4 W1",
+    oracle="""
+SELECT user_id, event_id AS latest_event_id, event_type, round(value, 2) AS value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) t WHERE rn = 1
+""",
+)
+def q41_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("latest_event_id"),
+            "event_type",
+            F.round("value", 2).alias("value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q42: synthetic composite pk (M7; ref generate_tpcds.py:144-146)
+# ---------------------------------------------------------------------------
+@register(
+    "q42_composite_pk",
+    covers="M7 P2",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       md5(concat_ws('-', o_orderkey, o_custkey, o_orderstatus)) AS pk
+FROM orders
+""",
+)
+def q42_composite_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        composite_pk("o_orderkey", "o_custkey", "o_orderstatus").alias("pk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q43: CDC update-set synthesis (M6; ref update_tpcds.py:56-62).
+#      Deterministic variant: modulo selection instead of Bernoulli sample
+#      (df.sample is partition-layout-dependent → not oracle-comparable).
+# ---------------------------------------------------------------------------
+@register(
+    "q43_update_synthesis",
+    covers="M6 P2 P4 P5",
+    oracle="""
+SELECT o_orderkey AS pk,
+       o_orderdate + INTERVAL 1 DAY AS extraction_timestamp,
+       'U' AS op,
+       1 AS o_quantity_override,
+       -- integer half-up: o_totalprice*1.05 is a 4dp value whose .xx5
+       -- midpoints round differently across engines (see plans/_exact.py)
+       (((CAST(round(o_totalprice * 1.05 * 10000, 0) AS BIGINT) + 50)
+         - (CAST(round(o_totalprice * 1.05 * 10000, 0) AS BIGINT) + 50) % 100) / 100)
+       / 100.0 AS o_totalprice
+FROM orders
+WHERE o_orderkey % 100 < 10
+""",
+)
+def q43_update_synthesis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderkey") % 100 < 10)
+        .select(
+            F.col("o_orderkey").alias("pk"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")).alias(
+                "extraction_timestamp"
+            ),
+            F.lit("U").alias("op"),
+            F.lit(1).alias("o_quantity_override"),
+            _halfup_cents(F.col("o_totalprice") * 1.05).alias("o_totalprice"),
+        )
+    )
+
+
+def _halfup_cents(expr):
+    """Per-row round-half-up to 2dp via exact integers (portable across
+    engine midpoint-rounding differences, see plans/_exact.py)."""
+    c4 = F.round(expr * 10000, 0).cast("bigint") + 50
+    return ((c4 - c4 % 100) / 100) / 100.0

@@ -1,0 +1,228 @@
+"""Training-data pipeline corpus: text analysis, dedup families, and
+similarity search over ``documents`` / ``embeddings`` (the beyond-the-
+reference surface; graded alongside SURVEY.md §2).
+
+Oracle notes: DuckDB ``regexp_replace`` needs the ``'g'`` flag to match
+Spark's replace-all; both engines do cosine in double precision with
+results rounded to 6 dp before ranking so ties break identically.
+LSH-based ops (minhash, simhash, IVF) are approximate/blocked by design
+→ rows-only checks; the exact n-gram Jaccard variant carries the full
+SQL oracle that also validates the shingling used by minhash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+from ..operators.similarity import cosine_pairs, cosine_topk, ivf_cosine_topk
+from ..operators.text_ops import language_id, text_quality
+from ..sources import load_table
+from .registry import register
+
+# DuckDB twin of functions.text.normalize_ws
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS = f"regexp_split_to_array({_NORM}, ' ')"
+_NTOK = f"(CASE WHEN {_NORM} = '' THEN 0 ELSE len({_TOKS}) END)"
+_BPE = r"'[A-Za-z0-9_]+|[^A-Za-z0-9_\s]'"
+_PUNCT = r"'[^A-Za-z0-9\s]'"
+_SW_EN = "('the','a','and','of','to','in','is','it','that','for')"
+
+
+# ---------------------------------------------------------------------------
+# q30: text quality metrics (tokens, punct, stopwords, composite score)
+# ---------------------------------------------------------------------------
+@register(
+    "q30_text_quality",
+    covers="text-quality token-count fingerprint P2",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id,
+         length(text) AS n_chars_obs,
+         {_NTOK} AS n_tokens,
+         len(regexp_extract_all(text, {_BPE})) AS n_bpe_tokens,
+         CASE WHEN {_NTOK} = 0 THEN 0.0
+              ELSE CAST(length(replace({_NORM}, ' ', '')) AS DOUBLE) / {_NTOK} END AS mean_token_len,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE CAST(len(regexp_extract_all(text, {_PUNCT})) AS DOUBLE) / length(text) END AS punct_ratio,
+         CASE WHEN {_NTOK} = 0 THEN 0.0
+              ELSE CAST(len(list_filter({_TOKS}, t -> t IN {_SW_EN})) AS DOUBLE) / {_NTOK} END AS stopword_ratio,
+         md5({_NORM}) AS fingerprint
+  FROM documents
+)
+SELECT doc_id, n_chars_obs, n_tokens, n_bpe_tokens,
+       round(mean_token_len, 4) AS mean_token_len,
+       round(punct_ratio, 4) AS punct_ratio,
+       round(stopword_ratio, 4) AS stopword_ratio,
+       round(CAST((CASE WHEN n_chars_obs BETWEEN 64 AND 4096 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN mean_token_len BETWEEN 3 AND 12 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN stopword_ratio >= 0.02 THEN 0.25 ELSE 0.0 END) AS DOUBLE), 2) AS quality_score,
+       fingerprint
+FROM m
+""",
+)
+def q30_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_quality(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# q31: language-id heuristic (stopword ratios + argmax label)
+# ---------------------------------------------------------------------------
+def _sw_ratio_sql(lang_words: tuple[str, ...]) -> str:
+    inlist = ",".join(f"'{w}'" for w in lang_words)
+    return (
+        f"CASE WHEN {_NTOK} = 0 THEN 0.0 ELSE "
+        f"CAST(len(list_filter({_TOKS}, t -> t IN ({inlist}))) AS DOUBLE) / {_NTOK} END"
+    )
+
+
+def _langid_oracle() -> str:
+    from ..functions.text import STOPWORDS
+
+    langs = sorted(STOPWORDS)
+    ratio_cols = ",\n         ".join(
+        f"{_sw_ratio_sql(STOPWORDS[lang])} AS ratio_{lang}" for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"ratio_{lang}" for lang in langs) + ")"
+    label = "'und'"
+    for lang in sorted(langs, reverse=True):
+        label = f"CASE WHEN {best} > 0 AND ratio_{lang} = {best} THEN '{lang}' ELSE {label} END"
+    rounded = ", ".join(f"round(ratio_{lang}, 4) AS ratio_{lang}" for lang in langs)
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         {ratio_cols}
+  FROM documents
+)
+SELECT doc_id, {rounded}, {label} AS lang_pred FROM m
+"""
+
+
+@register("q31_language_id", covers="lang-id text-analysis", oracle=_langid_oracle())
+def q31_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# q32: exact dedup survivors (hash-groupBy — one shuffle on md5)
+# ---------------------------------------------------------------------------
+@register(
+    "q32_exact_dedup",
+    covers="dedup-exact M7 A1",
+    oracle=f"""
+SELECT min(doc_id) AS doc_id, md5({_NORM}) AS fingerprint, count(*) AS group_size
+FROM documents
+GROUP BY md5({_NORM})
+""",
+)
+def q32_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q33: exact n-gram Jaccard near-dup pairs (inverted-index blocking,
+#      complete for threshold > 0 → full SQL oracle)
+# ---------------------------------------------------------------------------
+@register(
+    "q33_ngram_jaccard_pairs",
+    covers="dedup-ngram-jaccard J1 A4",
+    oracle=f"""
+WITH norm AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(0, greatest(len(t) - 3, 0) + 1),
+                                      i -> array_to_string(t[i+1:i+3], ' '))) AS s
+  FROM norm
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+""",
+)
+def q33_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.5
+    )
+
+
+# ---------------------------------------------------------------------------
+# q34: brute-force cosine top-k (exact ANN baseline)
+# ---------------------------------------------------------------------------
+@register(
+    "q34_ann_cosine_topk",
+    covers="similarity-ann J9 W1",
+    oracle="""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5),
+     c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings)
+SELECT query_id, vec_id, cosine_sim, rk FROM (
+  SELECT q.query_id, c.vec_id,
+         round(list_cosine_similarity(c.cv, q.qv), 6) AS cosine_sim,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY round(list_cosine_similarity(c.cv, q.qv), 6) DESC,
+                                     c.vec_id) AS rk
+  FROM c CROSS JOIN q
+) t WHERE rk <= 5
+""",
+)
+def q34_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(emb, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# q35: embedding-cosine near-duplicate pairs (exact all-pairs at test SF)
+# ---------------------------------------------------------------------------
+@register(
+    "q35_embedding_neardup_pairs",
+    covers="dedup-embedding-cosine J7",
+    oracle="""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
+FROM c a JOIN c b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+""",
+)
+def q35_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# q36/q37/q38: LSH-family ops — approximate by design → rows-only checks
+# ---------------------------------------------------------------------------
+@register("q36_minhash_neardup", covers="dedup-minhash-lsh", oracle=None)
+def q36_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_near_duplicates(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.7
+    )
+
+
+@register("q37_simhash_neardup", covers="dedup-simhash", oracle=None)
+def q37_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_near_duplicates(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
+    )
+
+
+@register("q38_ivf_cosine_topk", covers="similarity-ivf", oracle=None)
+def q38_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_cosine_topk(emb, queries, k=5, n_cells=16, nprobe=4)

@@ -1,0 +1,52 @@
+"""Query registry: every engine capability from SURVEY.md §2 is exposed as a
+named query ``(spark, sf_dir) -> DataFrame`` paired with an ANSI-SQL oracle
+string DuckDB runs on the same parquet tables.
+
+Contract (driver): column names must match between the Spark result and the
+oracle result — the compare sorts columns by name before hashing. Every
+computed column is therefore aliased identically on both sides. Queries
+whose semantics aren't SQL-expressible (LSH dedup, simhash, streaming
+state) register ``oracle=None`` and get a rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["Query", "REGISTRY", "register", "all_queries", "all_oracles"]
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    covers: str  # SURVEY §2 operator ids this query exercises
+    spark: SparkQuery
+    oracle: str | None  # DuckDB SQL or None → rows-only check
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, covers: str, oracle: str | None):
+    """Decorator: add a (spark_fn, oracle_sql) pair to the registry."""
+
+    def deco(fn: SparkQuery) -> SparkQuery:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name {name}")
+        REGISTRY[name] = Query(name=name, covers=covers, spark=fn, oracle=oracle)
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, SparkQuery]:
+    return {q.name: q.spark for q in REGISTRY.values()}
+
+
+def all_oracles() -> dict[str, str]:
+    return {q.name: q.oracle for q in REGISTRY.values() if q.oracle is not None}

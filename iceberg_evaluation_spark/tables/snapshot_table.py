@@ -1,0 +1,376 @@
+"""Snapshot-versioned parquet table layer.
+
+PySpark-native re-expression of the reference's Iceberg table usage
+(``src/data_curation/glue_jobs/pyspark_functions.py:30,325-329``;
+``generate_tpcds.py:203-210``; time travel + OPTIMIZE in
+``updating_db_with_deltas_iceberg.ipynb`` cells 41-45): the Iceberg
+runtime jar is not in this environment, so the same semantics —
+create/CTAS, append, MERGE INTO with conditional clauses, snapshot
+history, timestamp time travel, bin-pack compaction, snapshot expiry —
+are implemented over immutable parquet files plus JSON manifest
+snapshots, exactly the manifest/snapshot design Iceberg uses.
+
+Layout::
+
+    <root>/
+      data/commit-<n>-<uuid>/part-*.parquet   immutable data files
+      snapshots/v<0000000n>.json              manifest: file list + metadata
+      VERSION                                 current-version pointer (atomic rename)
+
+Scale design:
+- Reads are plain ``spark.read.parquet(files)`` → vectorized scan,
+  predicate pushdown, column pruning all intact.
+- MERGE is **copy-on-write with file-level pruning**: a semi-join of the
+  target against the source keys (tagged with ``input_file_name``)
+  computes the touched-file set; untouched files carry over into the new
+  snapshot by reference, only touched files are rewritten. At 100 TB with
+  0.1 % daily updates this rewrites ~the files containing matches, not
+  the table (same win Iceberg's merge gets from manifest pruning).
+- Commits are single-writer; the VERSION pointer flips via
+  ``os.replace`` (atomic on POSIX), so readers never see a torn snapshot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["SnapshotTable", "MergeClause"]
+
+
+@dataclass
+class MergeClause:
+    """WHEN MATCHED / NOT MATCHED actions for :meth:`SnapshotTable.merge`.
+
+    ``update_set`` maps target column name → SQL expression string over
+    aliases ``t`` (target) and ``s`` (source). ``insert_values`` likewise;
+    ``None`` inserts source columns by name. Conditions are SQL boolean
+    expressions over ``t``/``s`` (``None`` = always).
+    """
+
+    matched_update: dict[str, str] | None = None
+    matched_update_condition: str | None = None
+    matched_delete_condition: str | None = None
+    insert_when_not_matched: bool = True
+    insert_values: dict[str, str] | None = None
+    insert_condition: str | None = None
+
+
+class SnapshotTable:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = os.path.abspath(root)
+
+    # ------------------------------------------------------------------ paths
+    @property
+    def _snap_dir(self) -> str:
+        return os.path.join(self.root, "snapshots")
+
+    @property
+    def _data_dir(self) -> str:
+        return os.path.join(self.root, "data")
+
+    def _version_file(self) -> str:
+        return os.path.join(self.root, "VERSION")
+
+    # ------------------------------------------------------------- snapshots
+    def exists(self) -> bool:
+        return os.path.exists(self._version_file())
+
+    def current_version(self) -> int:
+        with open(self._version_file()) as f:
+            return int(f.read().strip())
+
+    def _snapshot_path(self, version: int) -> str:
+        return os.path.join(self._snap_dir, f"v{version:08d}.json")
+
+    def _read_snapshot(self, version: int) -> dict[str, Any]:
+        with open(self._snapshot_path(version)) as f:
+            return json.load(f)
+
+    def _snapshots(self) -> list[dict[str, Any]]:
+        if not os.path.isdir(self._snap_dir):
+            return []
+        out = []
+        for name in sorted(os.listdir(self._snap_dir)):
+            if name.startswith("v") and name.endswith(".json"):
+                with open(os.path.join(self._snap_dir, name)) as f:
+                    out.append(json.load(f))
+        return out
+
+    def _commit(self, files: list[str], operation: str, summary: dict[str, Any],
+                schema_json: str) -> int:
+        os.makedirs(self._snap_dir, exist_ok=True)
+        version = (self.current_version() + 1) if self.exists() else 1
+        snap = {
+            "version": version,
+            "timestamp_ms": int(time.time() * 1000),
+            "operation": operation,
+            "files": files,  # paths relative to root
+            "summary": summary,
+            "schema": schema_json,
+        }
+        tmp = self._snapshot_path(version) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(snap, f)
+        os.replace(tmp, self._snapshot_path(version))
+        vtmp = self._version_file() + ".tmp"
+        with open(vtmp, "w") as f:
+            f.write(str(version))
+        os.replace(vtmp, self._version_file())  # atomic pointer flip
+        return version
+
+    # ------------------------------------------------------------ data files
+    def _write_files(self, df: DataFrame, target_partitions: int | None = None) -> list[str]:
+        commit_dir = f"commit-{uuid.uuid4().hex[:12]}"
+        out_path = os.path.join(self._data_dir, commit_dir)
+        writer = df if target_partitions is None else df.repartition(target_partitions)
+        writer.write.mode("overwrite").parquet(out_path)
+        rels = []
+        for name in sorted(os.listdir(out_path)):
+            if name.endswith(".parquet"):
+                rels.append(os.path.join("data", commit_dir, name))
+        return rels
+
+    def _abs_files(self, snap: dict[str, Any]) -> list[str]:
+        return [os.path.join(self.root, rel) for rel in snap["files"]]
+
+    # ----------------------------------------------------------------- writes
+    def create_or_replace(self, df: DataFrame, partitions: int | None = None) -> int:
+        """CTAS / bulk-load (reference ``writeTo(...).createOrReplace()``,
+        pyspark_functions.py:30)."""
+        files = self._write_files(df, partitions)
+        return self._commit(
+            files, "create_or_replace", {"added_files": len(files)}, df.schema.json()
+        )
+
+    def append(self, df: DataFrame) -> int:
+        """Append snapshot (reference ``writeTo(t).append()``, notebook cell 30)."""
+        if not self.exists():
+            return self.create_or_replace(df)
+        prev = self._read_snapshot(self.current_version())
+        files = self._write_files(df)
+        return self._commit(
+            prev["files"] + files, "append", {"added_files": len(files)}, prev["schema"]
+        )
+
+    # ------------------------------------------------------------------ reads
+    def read(self, version: int | None = None, as_of_timestamp_ms: int | None = None) -> DataFrame:
+        """Scan the table; ``version``/``as_of_timestamp_ms`` time-travel
+        (reference ``FOR TIMESTAMP AS OF``, notebook cell 43)."""
+        if version is None and as_of_timestamp_ms is not None:
+            candidates = [
+                s["version"] for s in self._snapshots()
+                if s["timestamp_ms"] <= as_of_timestamp_ms
+            ]
+            if not candidates:
+                raise ValueError(f"no snapshot at or before {as_of_timestamp_ms}")
+            version = max(candidates)
+        if version is None:
+            version = self.current_version()
+        snap = self._read_snapshot(version)
+        files = self._abs_files(snap)
+        if not files:
+            from pyspark.sql.types import StructType
+
+            return self.spark.createDataFrame(
+                [], StructType.fromJson(json.loads(snap["schema"]))
+            )
+        return self.spark.read.parquet(*files)
+
+    def history(self) -> DataFrame:
+        """Snapshot history (reference ``SELECT * FROM t.$history``,
+        notebook cell 41)."""
+        rows = [
+            (
+                s["version"],
+                s["timestamp_ms"],
+                s["operation"],
+                len(s["files"]),
+                json.dumps(s["summary"]),
+            )
+            for s in self._snapshots()
+        ]
+        return self.spark.createDataFrame(
+            rows, "version INT, timestamp_ms LONG, operation STRING, n_files INT, summary STRING"
+        )
+
+    # ------------------------------------------------------------------ merge
+    def merge(
+        self,
+        source: DataFrame,
+        on: list[str],
+        clause: MergeClause,
+        validate_source_unique: bool = True,
+    ) -> int:
+        """MERGE INTO with copy-on-write file pruning.
+
+        Semantics mirror Iceberg/Spark ``MERGE INTO`` (reference
+        pyspark_functions.py:119-135, athena_functions.py:230-303; the
+        delete-aware conditional form of notebook cell 26):
+
+        - MATCHED + delete condition → row removed
+        - MATCHED + update condition → ``update_set`` expressions applied
+        - NOT MATCHED (+ condition) → insert
+        - duplicate source keys raise (Spark/Iceberg merge cardinality
+          rule; SURVEY §7 "genuinely hard" #1)
+        """
+        target_all = self.read().withColumn("__file", F.input_file_name())
+        src = source
+
+        if validate_source_unique:
+            dup = (
+                src.groupBy(*on).count().filter(F.col("count") > 1).limit(1).collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"MERGE source has duplicate keys on {on}: {dup[0]} — "
+                    "cardinality violation (each target row may match at most one source row)"
+                )
+
+        src_keys = src.select(*on).distinct()
+        # file-level pruning: only files containing key matches are rewritten
+        touched_rows = (
+            target_all.join(src_keys, on, "left_semi")
+            .select("__file")
+            .distinct()
+            .collect()
+        )
+        touched_uris = {r["__file"] for r in touched_rows}
+        prev = self._read_snapshot(self.current_version())
+        untouched_rel = [
+            rel
+            for rel in prev["files"]
+            if not any(uri.endswith(rel) for uri in touched_uris)
+        ]
+        touched_rel = [rel for rel in prev["files"] if rel not in set(untouched_rel)]
+
+        if touched_rel:
+            touched_abs = [os.path.join(self.root, rel) for rel in touched_rel]
+            target_touched = self.spark.read.parquet(*touched_abs)
+        else:
+            target_touched = self.read().limit(0)
+
+        merged = self._apply_merge(target_touched, src, on, clause)
+
+        new_files = self._write_files(merged) if merged is not None else []
+        version = self._commit(
+            untouched_rel + new_files,
+            "merge",
+            {
+                "rewritten_files": len(touched_rel),
+                "carried_files": len(untouched_rel),
+                "added_files": len(new_files),
+            },
+            prev["schema"],
+        )
+        return version
+
+    def _apply_merge(
+        self, target: DataFrame, source: DataFrame, on: list[str], clause: MergeClause
+    ) -> DataFrame:
+        """Row-level merge semantics via one full-outer join + projection.
+
+        Presence markers (not key-null tests) make the clause logic robust
+        to null key values and all-null rows.
+        """
+        t_cols = target.columns
+        t = target.withColumn("__t_present", F.lit(True)).alias("t")
+        s = source.withColumn("__s_present", F.lit(True)).alias("s")
+        cond = None
+        for k in on:
+            c = F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+            cond = c if cond is None else (cond & c)
+        joined = t.join(s, cond, "full_outer")
+        has_t = F.col("t.__t_present").isNotNull()
+        has_s = F.col("s.__s_present").isNotNull()
+
+        matched = has_t & has_s
+        delete_cond = (
+            matched & F.expr(clause.matched_delete_condition)
+            if clause.matched_delete_condition
+            else F.lit(False)
+        )
+        if clause.matched_update is None:
+            update_cond = F.lit(False)
+        else:
+            update_cond = matched & ~delete_cond
+            if clause.matched_update_condition:
+                update_cond = update_cond & F.expr(clause.matched_update_condition)
+
+        insert_cond = (~has_t) & has_s
+        if clause.insert_condition:
+            insert_cond = insert_cond & F.expr(clause.insert_condition)
+        if not clause.insert_when_not_matched:
+            insert_cond = F.lit(False)
+
+        out_cols = []
+        for c in t_cols:
+            upd = (
+                F.expr(clause.matched_update[c])
+                if clause.matched_update and c in clause.matched_update
+                else F.col(f"t.{c}")
+            )
+            ins_src = (
+                F.expr(clause.insert_values[c])
+                if clause.insert_values and c in clause.insert_values
+                else (F.col(f"s.{c}") if c in source.columns else F.lit(None))
+            )
+            out_cols.append(
+                F.when(update_cond, upd)
+                .when(insert_cond, ins_src)
+                .otherwise(F.col(f"t.{c}"))
+                .alias(c)
+            )
+        keep = ~delete_cond & (has_t | insert_cond)
+        return joined.filter(keep).select(*out_cols)
+
+    # ------------------------------------------------------------ maintenance
+    def compact(self, target_file_mb: int = 128) -> int:
+        """Bin-pack compaction (reference ``OPTIMIZE … REWRITE DATA USING
+        BIN_PACK``, notebook cell 45 / SURVEY M8)."""
+        snap = self._read_snapshot(self.current_version())
+        total_bytes = sum(
+            os.path.getsize(os.path.join(self.root, rel)) for rel in snap["files"]
+        )
+        n = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+        df = self.read()
+        files = self._write_files(df, target_partitions=n)
+        return self._commit(
+            files,
+            "rewrite_data_files",
+            {"strategy": "binpack", "rewritten": len(snap["files"]), "added": len(files)},
+            snap["schema"],
+        )
+
+    def expire_snapshots(self, keep_last: int = 1) -> int:
+        """Drop old snapshots and delete data files no longer referenced."""
+        snaps = self._snapshots()
+        if len(snaps) <= keep_last:
+            return 0
+        keep = snaps[-keep_last:]
+        drop = snaps[:-keep_last]
+        referenced = {rel for s in keep for rel in s["files"]}
+        removed = 0
+        for s in drop:
+            for rel in s["files"]:
+                if rel not in referenced:
+                    path = os.path.join(self.root, rel)
+                    if os.path.exists(path):
+                        os.remove(path)
+                        removed += 1
+            os.remove(self._snapshot_path(s["version"]))
+        return removed
+
+    def drop(self, purge: bool = True) -> None:
+        """DROP TABLE [PURGE] (reference M9, pyspark_functions.py:348-355)."""
+        if purge and os.path.isdir(self.root):
+            shutil.rmtree(self.root)

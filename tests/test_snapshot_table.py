@@ -1,0 +1,139 @@
+"""Snapshot table layer: CTAS/append/merge/time-travel/history/compaction
+(the engine's re-expression of the reference's Iceberg surface), plus the
+delete-aware employees pipeline from FIXTURES.md §2
+(``create_dummy_deltas.py`` → notebook cell 26 MERGE → time travel →
+compaction)."""
+
+from __future__ import annotations
+
+from datetime import date
+
+import pytest
+
+from iceberg_evaluation_spark.operators.scd2 import dedup_latest, merge_delete_aware
+from iceberg_evaluation_spark.tables.snapshot_table import MergeClause, SnapshotTable
+
+EMP_SCHEMA = (
+    "employee_id int, forename string, department_id int, manager_id int,"
+    " record_deleted boolean, date_received date"
+)
+
+
+def test_create_append_history_timetravel(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    v1 = t.create_or_replace(df1)
+    v2 = t.append(spark.createDataFrame([(3, "c")], "id int, v string"))
+    assert v1 == 1 and v2 == 2
+    assert t.read().count() == 3
+    assert t.read(version=1).count() == 2
+
+    hist = {r["version"]: r["operation"] for r in t.history().collect()}
+    assert hist == {1: "create_or_replace", 2: "append"}
+
+    snap1_ts = [s for s in t._snapshots() if s["version"] == 1][0]["timestamp_ms"]
+    assert t.read(as_of_timestamp_ms=snap1_ts).count() == 2
+
+
+def test_merge_file_pruning(spark, tmp_path):
+    """Untouched files must carry over by reference, not be rewritten."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    base = spark.range(0, 1000).selectExpr("id", "id * 2 AS v")
+    t.create_or_replace(base.repartition(8, "id"), partitions=8)
+
+    src = spark.createDataFrame([(5, -1), (700, -2)], "id long, v long")
+    t.merge(src, on=["id"], clause=MergeClause(matched_update={"v": "s.v"}))
+
+    snap = t._read_snapshot(t.current_version())
+    assert snap["summary"]["carried_files"] > 0  # pruning actually happened
+    assert snap["summary"]["rewritten_files"] < 8
+
+    got = {r["id"]: r["v"] for r in t.read().collect()}
+    assert got[5] == -1 and got[700] == -2 and got[6] == 12
+    assert len(got) == 1000
+
+
+def test_merge_cardinality_violation_raises(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create_or_replace(spark.createDataFrame([(1, "x")], "id int, v string"))
+    dup_src = spark.createDataFrame([(1, "a"), (1, "b")], "id int, v string")
+    with pytest.raises(ValueError, match="duplicate keys"):
+        t.merge(dup_src, on=["id"], clause=MergeClause(matched_update={"v": "s.v"}))
+
+
+def test_compaction_binpack(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create_or_replace(spark.range(0, 100).repartition(16), partitions=16)
+    before = len(t._read_snapshot(t.current_version())["files"])
+    t.compact(target_file_mb=128)
+    after_snap = t._read_snapshot(t.current_version())
+    assert len(after_snap["files"]) < before
+    assert after_snap["operation"] == "rewrite_data_files"
+    assert t.read().count() == 100
+
+
+def test_expire_snapshots(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create_or_replace(spark.createDataFrame([(1,)], "id int"))
+    t.create_or_replace(spark.createDataFrame([(2,)], "id int"))
+    t.create_or_replace(spark.createDataFrame([(3,)], "id int"))
+    removed = t.expire_snapshots(keep_last=1)
+    assert removed >= 2
+    assert [r["id"] for r in t.read().collect()] == [3]
+    assert len(t._snapshots()) == 1
+
+
+def _emp(spark, rows):
+    return spark.createDataFrame(rows, EMP_SCHEMA)
+
+
+def test_employees_delete_aware_pipeline(spark, tmp_path):
+    """FIXTURES.md §2: three daily delta batches through latest-record
+    dedup + delete-aware MERGE, with time travel checks per day."""
+    t = SnapshotTable(spark, str(tmp_path / "emp"))
+    d1, d2, d3 = date(2023, 1, 1), date(2023, 1, 2), date(2023, 1, 3)
+
+    day1 = _emp(
+        spark,
+        [(i, f"emp{i}", 1, 100, False, d1) for i in range(1, 6)],
+    )
+    t.create_or_replace(day1)
+    day1_version = t.current_version()
+
+    day2 = _emp(
+        spark,
+        [
+            (5, "emp5", 2, 200, False, d2),  # corrected
+            (6, "emp6", 1, 100, False, d2),  # new
+            (7, "emp7", 1, 100, False, d2),  # new
+        ],
+    )
+    merge_delete_aware(t, dedup_latest(day2, ["employee_id"], "date_received"),
+                       keys=["employee_id"])
+    got2 = {r["employee_id"]: r for r in t.read().collect()}
+    assert set(got2) == {1, 2, 3, 4, 5, 6, 7}
+    assert got2[5]["department_id"] == 2
+
+    day3 = _emp(
+        spark,
+        [
+            (1, "emp1", 1, 100, True, d3),  # deleted
+            (7, "emp7", 2, 5, False, d3),
+            (9, "emp9", 2, 5, False, d3),
+            (10, "emp10", 2, 5, False, d3),
+            (11, "emp11", 2, 5, False, d3),
+        ],
+    )
+    merge_delete_aware(t, dedup_latest(day3, ["employee_id"], "date_received"),
+                       keys=["employee_id"])
+    got3 = {r["employee_id"]: r for r in t.read().collect()}
+    assert 1 not in got3  # DELETE branch
+    assert set(got3) == {2, 3, 4, 5, 6, 7, 9, 10, 11}
+    assert got3[7]["department_id"] == 2 and got3[7]["manager_id"] == 5
+
+    # time travel: day-1 state still readable
+    assert t.read(version=day1_version).count() == 5
+
+    # compaction preserves content
+    t.compact()
+    assert set(r["employee_id"] for r in t.read().collect()) == set(got3)
