@@ -1,0 +1,52 @@
+#!/usr/bin/env python
+"""Benchmark entry point (driver contract).
+
+Runs the headline query inventory at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from iceberg_evaluation_spark.plans import REGISTRY
+    from iceberg_evaluation_spark.plans.runner import run_benchmark
+    from iceberg_evaluation_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    names = sorted(REGISTRY)
+    stats = run_benchmark(spark, sf_dir, names=names, iterations=1, warmup=False)
+
+    queries = {}
+    failed = {}
+    for name, s in stats.items():
+        if s.error:
+            failed[name] = s.error
+        else:
+            queries[name] = round(s.best_s, 3)
+    total = round(sum(queries.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "corpus_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+    }
+    if failed:
+        out["failed"] = failed
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

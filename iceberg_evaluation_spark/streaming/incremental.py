@@ -1,0 +1,82 @@
+"""Structured Streaming surface (SURVEY.md §2.10).
+
+The reference is batch-only — CDC deltas arrive as daily file drops and
+are applied by the M2/M3/M5 merges. This module adds the natural Spark
+extension: a ``foreachBatch`` wrapper that feeds micro-batches into the
+same SCD2-complex operator (exactly-once per epoch via the snapshot
+table's atomic commit), plus watermarked event-time aggregation over the
+``events``-shaped stream.
+
+Scale notes: ``foreachBatch`` + scd2_complex keeps the merge incremental
+(only keys present in the micro-batch are re-windowed and only touched
+files rewritten); the windowed aggregation uses a watermark so state is
+bounded by (watermark horizon × key cardinality).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.scd2 import scd2_complex
+from ..tables.snapshot_table import SnapshotTable
+
+__all__ = ["scd2_stream", "windowed_event_counts"]
+
+
+def scd2_stream(
+    source: DataFrame,
+    table: SnapshotTable,
+    keys: list[str] | None = None,
+    ts_col: str = "extraction_timestamp",
+    checkpoint_dir: str | None = None,
+    trigger_seconds: int | None = None,
+) -> StreamingQuery:
+    """Apply SCD2-complex maintenance continuously from a streaming source.
+
+    ``source`` must be a streaming DataFrame (``spark.readStream...``)
+    with the target's business columns + ``ts_col``. Late/out-of-order
+    updates are handled by the re-windowing inside scd2_complex, so no
+    watermark is needed for correctness — the stream is just a transport
+    for CDC batches (same model as the reference's daily file drops).
+    """
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        scd2_complex(table, batch_df, keys=keys, ts_col=ts_col)
+
+    writer = source.writeStream.foreachBatch(apply_batch).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation (append-mode safe).
+
+    Works on both streaming and batch DataFrames — the batch form is the
+    oracle-checked q25; the streaming form is exercised by the memory-sink
+    test. State per key is dropped once the watermark passes the window
+    end, bounding memory at any scale.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), key_col, "n", "total_value")
+    )
