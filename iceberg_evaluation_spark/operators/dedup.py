@@ -39,6 +39,32 @@ __all__ = [
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
+def _spread(df: DataFrame, parallelism: int | None = None) -> DataFrame:
+    """Fan a (possibly single-partition) input across the cluster before
+    CPU-heavy per-row expressions. A small parquet file arrives as ONE
+    partition; without this every shingle/signature computation would run
+    on a single core regardless of cluster size."""
+    p = parallelism or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(p)
+
+
+def _shingle_frame(
+    df: DataFrame, id_col: str, text_col: str, n: int, parallelism: int | None = None
+) -> DataFrame:
+    """(_id, _sh) with shingling computed on the map side of an exchange.
+
+    The trailing hash-repartition on _id is deliberate: every downstream
+    branch (signature, both sides of the verification join) consumes the
+    SAME exchange, so Spark's ReusedExchange computes shingles once
+    instead of once per branch."""
+    p = parallelism or df.sparkSession.sparkContext.defaultParallelism
+    return (
+        _spread(df, p)
+        .select(F.col(id_col).alias("_id"), shingles(text_col, n).alias("_sh"))
+        .repartition(p, "_id")
+    )
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep one representative (min id) per exact-normalized-text group.
 
@@ -117,9 +143,18 @@ def minhash_lsh_candidates(
     Returns distinct (id_a, id_b) with id_a < id_b.
     """
     rows = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        minhash_signature(shingles(text_col, shingle_n), num_hashes).alias("_sig"),
+    sh = _shingle_frame(df, id_col, text_col, shingle_n)
+    return _lsh_candidates_from_shingles(
+        sh, num_hashes=num_hashes, bands=bands, max_bucket=max_bucket
+    )
+
+
+def _lsh_candidates_from_shingles(
+    sh: DataFrame, *, num_hashes: int, bands: int, max_bucket: int
+) -> DataFrame:
+    rows = num_hashes // bands
+    sig = sh.select(
+        "_id", minhash_signature(F.col("_sh"), num_hashes).alias("_sig")
     )
     band_structs = [
         F.struct(
@@ -175,15 +210,17 @@ def minhash_near_duplicates(
     two shuffles on id, both AQE-skew-protected. Output:
     (id_a, id_b, jaccard).
     """
-    cands = minhash_lsh_candidates(
-        df, id_col, text_col, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
-    )
-    sh = df.select(
-        F.col(id_col).alias("_sid"), shingles(text_col, shingle_n).alias("_sh")
+    sh = _shingle_frame(df, id_col, text_col, shingle_n)
+    cands = _lsh_candidates_from_shingles(
+        sh, num_hashes=num_hashes, bands=bands, max_bucket=200
     )
     return (
-        cands.join(sh.withColumnRenamed("_sid", "id_a").withColumnRenamed("_sh", "_sh_a"), "id_a")
-        .join(sh.withColumnRenamed("_sid", "id_b").withColumnRenamed("_sh", "_sh_b"), "id_b")
+        cands.join(
+            sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a")), "id_a"
+        )
+        .join(
+            sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b")), "id_b"
+        )
         .select(
             "id_a",
             "id_b",
@@ -242,7 +279,9 @@ def simhash_near_duplicates(
     """SimHash near-dup pairs: block on 4×16-bit bands (pigeonhole — any
     pair with Hamming ≤ 3 matches exactly on ≥1 of 4 bands), verify with
     ``bit_count(xor)``. Output (id_a, id_b, hamming)."""
-    sk = df.select(F.col(id_col).alias("_id"), simhash64(text_col, shingle_n).alias("_sh"))
+    sk = _spread(df).select(
+        F.col(id_col).alias("_id"), simhash64(text_col, shingle_n).alias("_sh")
+    )
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -292,22 +331,30 @@ def ngram_jaccard_pairs(
     when approximate recall is acceptable).
     Output: (id_a, id_b, jaccard).
     """
-    sh = df.select(F.col(id_col).alias("_id"), shingles(text_col, shingle_n).alias("_sh"))
+    sh = _shingle_frame(df, id_col, text_col, shingle_n)
+    # |∩| falls straight out of the inverted index: shingles are distinct
+    # per doc, so the per-pair match count IS the intersection size — no
+    # per-pair array ops, just one shuffle on the pair key.
+    sizes = sh.select("_id", F.size("_sh").alias("_n"))
     inv = sh.select("_id", F.explode("_sh").alias("_g"))
-    pairs = (
+    inter = (
         inv.alias("x")
         .join(inv.alias("y"), "_g")
         .filter(F.col("x._id") < F.col("y._id"))
-        .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
-        .distinct()
+        .groupBy(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("_inter"))
     )
     return (
-        pairs.join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a")), "id_a")
-        .join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b")), "id_b")
+        inter.join(sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")), "id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")), "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(_jaccard(F.col("_sh_a"), F.col("_sh_b")), 6).alias("jaccard"),
+            F.round(
+                F.col("_inter").cast("double")
+                / (F.col("_na") + F.col("_nb") - F.col("_inter")),
+                6,
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )

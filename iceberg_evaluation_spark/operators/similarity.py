@@ -21,6 +21,12 @@ from pyspark.sql import functions as F
 __all__ = ["cosine_topk", "cosine_pairs", "ivf_cosine_topk"]
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Small parquet inputs arrive as one partition; fan out before the
+    CPU-heavy vector math so it uses every core."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _as_double(v: Column) -> Column:
     return F.transform(v, lambda x: x.cast("double"))
 
@@ -59,16 +65,20 @@ def cosine_topk(
     broken by corpus id for determinism. Output:
     (query_id, vec_id, cosine_sim, rk).
     """
-    c = corpus.select(
+    c = _spread(corpus).select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("_cv")
-    )
+    ).withColumn("_cn", _norm(F.col("_cv")))
     q = queries.select(
         F.col(query_id_col), _as_double(F.col(vec_col)).alias("_qv")
+    ).withColumn("_qn", _norm(F.col("_qv")))
+    denom = F.col("_cn") * F.col("_qn")
+    sim = F.when(denom == 0, F.lit(0.0)).otherwise(
+        _dot(F.col("_cv"), F.col("_qv")) / denom
     )
     scored = c.crossJoin(F.broadcast(q)).select(
         query_id_col,
         id_col,
-        F.round(cosine(F.col("_cv"), F.col("_qv")), 6).alias("cosine_sim"),
+        F.round(sim, 6).alias("cosine_sim"),
     )
     w = W.partitionBy(query_id_col).orderBy(
         F.col("cosine_sim").desc(), F.col(id_col)
@@ -89,16 +99,23 @@ def cosine_pairs(
     ``ivf_cosine_topk``-style cell blocking or LSH instead. Output:
     (id_a, id_b, cosine_sim).
     """
-    v = df.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
-    a = v.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
-    b = v.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    # norms are precomputed per vector, not per pair: the per-pair work
+    # drops to one dot product, and the arithmetic (dot / (na*nb)) is
+    # bit-identical to computing norms inline
+    v = _spread(df).select(
+        F.col(id_col).alias("_id"),
+        _as_double(F.col(vec_col)).alias("_v"),
+    )
+    v = v.withColumn("_nm", _norm(F.col("_v")))
+    a = v.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_nm").alias("_na"))
+    b = v.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_nm").alias("_nb"))
+    denom = F.col("_na") * F.col("_nb")
+    sim = F.when(denom == 0, F.lit(0.0)).otherwise(
+        _dot(F.col("_va"), F.col("_vb")) / denom
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine_sim"),
-        )
+        .select("id_a", "id_b", F.round(sim, 6).alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
 
@@ -124,7 +141,7 @@ def ivf_cosine_topk(
     cells, so the scored fraction is ~nprobe/n_cells. Output:
     (query_id, vec_id, cosine_sim, rk).
     """
-    v = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+    v = _spread(corpus).select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
     w_first = W.orderBy(F.col(id_col))
     cents = (
         v.withColumn("_rn", F.row_number().over(w_first))
