@@ -174,3 +174,96 @@ def _halfup_cents(expr):
     engine midpoint-rounding differences, see plans/_exact.py)."""
     c4 = F.round(expr * 10000, 0).cast("bigint") + 50
     return ((c4 - c4 % 100) / 100) / 100.0
+
+
+# ---------------------------------------------------------------------------
+# q44: the FULL curation pipeline through the snapshot table layer —
+#      bulk insert (M1) → in-order MERGE batch (M2/M3) → late-arriving
+#      MERGE batch (M3) — hash-checked against the declarative windowed
+#      rebuild. If the incremental merge machinery (file pruning, COW,
+#      clause logic) diverges from SCD2 semantics, this query's oracle
+#      comparison fails. ref: pyspark_functions.py:21-251 end-to-end.
+# ---------------------------------------------------------------------------
+def _cdc_feed(spark: SparkSession, sf_dir: str):
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("pk"),
+        F.col("o_orderdate").alias("extraction_timestamp"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+        F.lit(None).cast("string").alias("op"),
+    )
+    batch1 = (
+        orders.filter(F.col("o_orderkey") % 100 < 10)
+        .select(
+            F.col("o_orderkey").alias("pk"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias(
+                "extraction_timestamp"
+            ),
+            (F.col("o_totalprice") * 1.1).alias("price"),
+            F.lit("X").alias("status"),
+            F.lit("U").alias("op"),
+        )
+    )
+    # late arrival: lands BETWEEN the full load and batch1
+    batch2 = (
+        orders.filter(F.col("o_orderkey") % 100 < 5)
+        .select(
+            F.col("o_orderkey").alias("pk"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias(
+                "extraction_timestamp"
+            ),
+            (F.col("o_totalprice") * 0.9).alias("price"),
+            F.lit("L").alias("status"),
+            F.lit("U").alias("op"),
+        )
+    )
+    return base, batch1, batch2
+
+
+@register(
+    "q44_scd2_table_pipeline",
+    covers="M1 M2 M3 M5-shape S5 S7 W5 table-layer",
+    oracle=f"""
+WITH feed AS (
+  SELECT o_orderkey AS pk, o_orderdate AS extraction_timestamp,
+         o_totalprice AS price, o_orderstatus AS status,
+         CAST(NULL AS VARCHAR) AS op
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_orderdate + INTERVAL 90 DAY, o_totalprice * 1.1, 'X', 'U'
+  FROM orders WHERE o_orderkey % 100 < 10
+  UNION ALL
+  SELECT o_orderkey, o_orderdate + INTERVAL 30 DAY, o_totalprice * 0.9, 'L', 'U'
+  FROM orders WHERE o_orderkey % 100 < 5
+)
+SELECT pk, extraction_timestamp, price, status, op,
+       extraction_timestamp AS start_datetime,
+       lead(extraction_timestamp, 1, TIMESTAMP '{SENTINEL}') OVER w AS end_datetime,
+       (lead(extraction_timestamp, 1, TIMESTAMP '{SENTINEL}') OVER w
+        = TIMESTAMP '{SENTINEL}') AS is_current
+FROM feed
+WINDOW w AS (PARTITION BY pk ORDER BY extraction_timestamp)
+""",
+)
+def q44_scd2_table_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.scd2 import bulk_insert, scd2_complex
+    from ..tables.snapshot_table import SnapshotTable
+
+    base, batch1, batch2 = _cdc_feed(spark, sf_dir)
+    table = SnapshotTable(spark, tempfile.mkdtemp(prefix="scd2_pipeline_"))
+    bulk_insert(table, base)
+    scd2_complex(table, batch1)
+    scd2_complex(table, batch2)
+    return table.read().select(
+        "pk",
+        "extraction_timestamp",
+        "price",
+        "status",
+        "op",
+        "start_datetime",
+        "end_datetime",
+        "is_current",
+    )
