@@ -45,11 +45,16 @@ def add_scd2_columns(df: DataFrame, ts_col: str = "extraction_timestamp") -> Dat
 
 
 def bulk_insert(
-    table: SnapshotTable, full_load: DataFrame, ts_col: str = "extraction_timestamp"
+    table: SnapshotTable,
+    full_load: DataFrame,
+    ts_col: str = "extraction_timestamp",
+    partitions: int | None = None,
 ) -> int:
     """M1: full load + SCD2 columns → create/replace
-    (reference pyspark_functions.py:21-31)."""
-    return table.create_or_replace(add_scd2_columns(full_load, ts_col))
+    (reference pyspark_functions.py:21-31). ``partitions`` sets the file
+    count — size it so per-file rewrite cost and MERGE file-pruning both
+    stay useful at the target scale."""
+    return table.create_or_replace(add_scd2_columns(full_load, ts_col), partitions)
 
 
 def _value_cols(df: DataFrame, keys: list[str], ts_col: str) -> list[str]:
@@ -89,15 +94,14 @@ def scd2_simple(
         .select(*new_rows.columns)
     )
     source = new_rows.unionByName(closeouts)
+    # matched rows take ALL source columns, not just end/is_current: for
+    # the reference's cases (closeout re-dating) this is identical — the
+    # closeout row carries the target's own values — and it additionally
+    # gives re-delivered versions (same pk+ts, corrected values)
+    # last-write-wins semantics instead of silently keeping stale data
+    update_all = {c: f"s.{c}" for c in new_rows.columns if c not in keys + [ts_col]}
     return table.merge(
-        source,
-        on=keys + [ts_col],
-        clause=MergeClause(
-            matched_update={
-                "end_datetime": "s.end_datetime",
-                "is_current": "s.is_current",
-            }
-        ),
+        source, on=keys + [ts_col], clause=MergeClause(matched_update=update_all)
     )
 
 
@@ -142,15 +146,11 @@ def scd2_complex(
         .withColumn("is_current", F.col("end_datetime") == sentinel)
         .withColumn("start_datetime", F.col(ts_col))
     )
+    # see scd2_simple: full-column update on match = reference behavior
+    # for interval re-slicing plus last-write-wins on re-delivered versions
+    update_all = {c: f"s.{c}" for c in t2.columns if c not in keys + [ts_col]}
     return table.merge(
-        t2,
-        on=keys + [ts_col],
-        clause=MergeClause(
-            matched_update={
-                "end_datetime": "s.end_datetime",
-                "is_current": "s.is_current",
-            }
-        ),
+        t2, on=keys + [ts_col], clause=MergeClause(matched_update=update_all)
     )
 
 

@@ -254,7 +254,7 @@ def q44_scd2_table_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base, batch1, batch2 = _cdc_feed(spark, sf_dir)
     table = SnapshotTable(spark, tempfile.mkdtemp(prefix="scd2_pipeline_"))
-    bulk_insert(table, base)
+    bulk_insert(table, base, partitions=spark.sparkContext.defaultParallelism)
     scd2_complex(table, batch1)
     scd2_complex(table, batch2)
     return table.read().select(

@@ -1,0 +1,97 @@
+"""Property-based SCD2 check (exceeds the reference's test strategy,
+SURVEY §5): for ANY sequence of CDC batches — arbitrary keys, duplicate
+timestamps across batches, late arrivals, updates in any order — applying
+``scd2_complex`` batch-by-batch must land the table in exactly the state
+of the declarative LEAD-window rebuild over the union of all rows
+(last-applied batch wins per (pk, ts))."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from iceberg_evaluation_spark.operators.scd2 import (
+    SENTINEL_TS,
+    bulk_insert,
+    scd2_complex,
+)
+from iceberg_evaluation_spark.tables.snapshot_table import SnapshotTable
+
+BASE = datetime(2022, 1, 1)
+SENT = datetime.fromisoformat(SENTINEL_TS)
+
+row_st = st.tuples(
+    st.sampled_from(["A", "B", "C"]),  # pk
+    st.integers(min_value=0, max_value=9),  # day offset → ts
+    st.integers(min_value=0, max_value=99),  # value
+)
+# update batches must be unique on (pk, ts) — the merge-cardinality
+# precondition the reference also imposes; the FULL LOAD must be unique
+# per pk (bulk insert is a straight insert, one open row per key —
+# reference pyspark_functions.py:21-31 makes the same assumption)
+full_load_st = st.lists(row_st, min_size=1, max_size=3, unique_by=lambda r: r[0])
+batch_st = st.lists(row_st, min_size=1, max_size=4, unique_by=lambda r: (r[0], r[1]))
+batches_st = st.tuples(full_load_st, st.lists(batch_st, min_size=0, max_size=3)).map(
+    lambda t: [t[0], *t[1]]
+)
+
+
+def _expected(batch_rows: list[list[tuple]]) -> set[tuple]:
+    """Declarative rebuild: last batch wins per (pk, ts), then LEAD."""
+    latest: dict[tuple, int] = {}
+    for batch in batch_rows:
+        for pk, day, val in batch:
+            latest[(pk, day)] = val
+    out = set()
+    by_pk: dict[str, list[tuple]] = {}
+    for (pk, day), val in latest.items():
+        by_pk.setdefault(pk, []).append((day, val))
+    for pk, versions in by_pk.items():
+        versions.sort()
+        for i, (day, val) in enumerate(versions):
+            start = BASE + timedelta(days=day)
+            end = (
+                BASE + timedelta(days=versions[i + 1][0])
+                if i + 1 < len(versions)
+                else SENT
+            )
+            out.add((pk, val, start, end, end == SENT))
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(batches=batches_st)
+def test_scd2_complex_equals_declarative_rebuild(spark, tmp_path_factory, batches):
+    tmp = tmp_path_factory.mktemp("scd2prop")
+    table = SnapshotTable(spark, str(tmp / "t"))
+
+    def df(rows):
+        return spark.createDataFrame(
+            [
+                (pk, val, BASE + timedelta(days=day), "U")
+                for pk, day, val in rows
+            ],
+            "pk string, quantity int, extraction_timestamp timestamp, op string",
+        )
+
+    bulk_insert(table, df(batches[0]))
+    for batch in batches[1:]:
+        scd2_complex(table, df(batch))
+
+    actual = {
+        (
+            r["pk"],
+            r["quantity"],
+            r["extraction_timestamp"],
+            r["end_datetime"],
+            r["is_current"],
+        )
+        for r in table.read().collect()
+    }
+    assert actual == _expected(batches)
