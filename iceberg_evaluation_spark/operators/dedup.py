@@ -111,13 +111,17 @@ def shingles(text_col: str | Column, n: int = 3) -> Column:
 def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
     """k-permutation MinHash signature (array<bigint>, length k).
 
-    Permutation i is ``xxhash64(shingle, i)`` — a salted 64-bit hash per
-    shingle, min-reduced per document. Pure built-ins: the lambda runs in
-    codegen, not Python.
+    Each shingle STRING is hashed exactly once (``xxhash64(shingle)``);
+    permutation i then re-hashes the resulting int64 with salt i
+    (``xxhash64(h, i)``). Hashing a long is far cheaper than hashing the
+    string k times, so the per-doc cost drops from k string hashes × |sh|
+    to |sh| string hashes + k×|sh| int hashes. Pure built-ins: the
+    lambdas run in codegen, not Python.
     """
+    hs = F.transform(shingle_col, lambda s: F.xxhash64(s))
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(s, i))),
+        lambda i: F.array_min(F.transform(hs, lambda h: F.xxhash64(h, i))),
     )
 
 

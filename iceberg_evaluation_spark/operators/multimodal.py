@@ -79,9 +79,22 @@ def extract_image_features(
     """Decode + feature-extract as an Arrow-batched mapInPandas stage.
 
     Projects to (media_id, payload) first so only the bytes needed cross
-    into Python; output is IMAGE_FEATURE_SCHEMA (narrow)."""
+    into Python; output is IMAGE_FEATURE_SCHEMA (narrow). The worker
+    closure is self-contained (no references to this module's globals):
+    Spark Python workers inherit the driver's environment, not its
+    ``sys.path`` edits, so a by-reference pickle of package functions
+    would fail under any driver that imports us from a non-installed
+    checkout."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        def fake_features(payload: bytes) -> tuple[str, float, list[float]]:
+            h = _hl.sha256(payload).digest()
+            raw = [(h[i % 32] - 127.5) / 127.5 for i in range(dim)]
+            norm = sum(x * x for x in raw) ** 0.5 or 1.0
+            return h.hex()[:16], h[0] / 255.0, [x / norm for x in raw]
+
         for pdf in batches:
             if not decode_stub:
                 raise NotImplementedError(
@@ -90,7 +103,7 @@ def extract_image_features(
                 )
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                digest, luma, feat = _fake_image_features(bytes(payload), dim)
+                digest, luma, feat = fake_features(bytes(payload))
                 rows.append((mid, len(payload), digest, luma, feat))
             yield pd.DataFrame(
                 rows, columns=["media_id", "n_bytes", "digest", "mean_luma", "feature"]

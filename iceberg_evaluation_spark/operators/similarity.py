@@ -142,18 +142,17 @@ def ivf_cosine_topk(
     (query_id, vec_id, cosine_sim, rk).
     """
     v = _spread(corpus).select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
-    w_first = W.orderBy(F.col(id_col))
-    cents = (
-        v.withColumn("_rn", F.row_number().over(w_first))
-        .filter(F.col("_rn") <= n_cells)
-        .select(F.col("_rn").alias("cell"), F.col("_v").alias("_cent"))
-    )
-    cent_rows = cents.collect()  # n_cells rows only — bounded, not data-sized
+    # orderBy+limit = TakeOrderedAndProject (per-partition top-k, driver
+    # merge of n_cells rows) — never a global single-partition window
+    cent_rows = [
+        {"cell": i + 1, "_v": r["_v"]}
+        for i, r in enumerate(v.orderBy(id_col).limit(n_cells).collect())
+    ]
     cent_arr = F.array(
         *[
             F.struct(
                 F.lit(r["cell"]).alias("cell"),
-                F.array(*[F.lit(float(x)) for x in r["_cent"]]).alias("c"),
+                F.array(*[F.lit(float(x)) for x in r["_v"]]).alias("c"),
             )
             for r in cent_rows
         ]

@@ -19,7 +19,7 @@ from ..functions.text import (
     token_count_ws,
 )
 
-__all__ = ["text_quality", "language_id"]
+__all__ = ["text_quality", "language_id", "rolling_fingerprint"]
 
 
 def text_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -54,6 +54,40 @@ def text_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         F.round(sw_ratio, 4).alias("stopword_ratio"),
         F.round(score, 2).alias("quality_score"),
         fingerprint_md5(text_col).alias("fingerprint"),
+    )
+
+
+def rolling_fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    n_sketch: int = 4,
+) -> DataFrame:
+    """Rolling-window character-``k``-gram document fingerprint
+    (winnowing / min-k sketch family — Schleimer et al., MOSS).
+
+    Every char window ``[i, i+k)`` of the normalized text is hashed; the
+    document keeps (a) the minimum window hash and (b) the ``n_sketch``
+    smallest window hashes concatenated — a stable min-k sketch usable as
+    a shift-robust near-dup key (unlike ``fingerprint_md5``, a one-char
+    edit perturbs only the k windows covering it). In a columnar engine
+    the "rolling" structure is the window *enumeration* (`sequence` +
+    `substr`), evaluated entirely in JVM codegen — narrow per-row work,
+    no shuffle, no Python. Docs shorter than ``k`` contribute their whole
+    text as the single window so none vanish from the dedup universe.
+    """
+    norm = normalize_ws(text_col)
+    m = F.greatest(F.length(norm) - k + 1, F.lit(1))
+    hs = F.transform(
+        F.sequence(F.lit(1), m), lambda i: F.md5(norm.substr(i, F.lit(k)))
+    )
+    sorted_hs = F.array_sort(hs)
+    return df.select(
+        F.col(id_col),
+        F.size(hs).alias("n_kgrams"),
+        F.element_at(sorted_hs, 1).alias("fp_min"),
+        F.concat_ws("", F.slice(sorted_hs, 1, n_sketch)).alias("fp_sketch"),
     )
 
 

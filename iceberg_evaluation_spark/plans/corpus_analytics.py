@@ -354,3 +354,64 @@ def q25_event_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q27: event sessionization (gaps-and-islands): a session breaks after a
+#      >30 min silence per user. The canonical training-pipeline log
+#      transform — lag + running sum of break flags + per-session agg,
+#      all shuffling once on user_id (the window and the groupBy share
+#      the hash partitioning, so Catalyst reuses the exchange).
+# ---------------------------------------------------------------------------
+@register(
+    "q27_event_sessions",
+    covers="W3 W5 A1 streaming-shape",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('second', lag(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx,
+       count(*) AS n_events,
+       -- second-truncate: the testdata carries ns timestamps; Spark
+       -- ROUNDS ns→µs at parquet read while DuckDB truncates, so any
+       -- finer quantization flips on values within 1µs of a boundary
+       date_trunc('second', min(ts)) AS session_start,
+       date_trunc('second', max(ts)) AS session_end,
+       date_diff('second', min(ts), max(ts)) AS duration_s,
+       {sql_sum('value')} AS total_value
+FROM numbered
+GROUP BY user_id, session_idx
+""",
+)
+def q27_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    brk = F.when(
+        prev_ts.isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts) > 1800),
+        1,
+    ).otherwise(0)
+    numbered = ev.withColumn(
+        "session_idx",
+        F.sum(brk).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return numbered.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_trunc("second", F.min("ts")).alias("session_start"),
+        F.date_trunc("second", F.max("ts")).alias("session_end"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias(
+            "duration_s"
+        ),
+        exact_sum(F.col("value")).alias("total_value"),
+    )

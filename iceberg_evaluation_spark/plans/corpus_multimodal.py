@@ -1,0 +1,76 @@
+"""Multimodal corpus: opaque binary payload columns with typed metadata
+(the beyond-the-reference training-data surface; see operators.multimodal).
+
+The testdata has no native binary table, so ``documents.text`` is encoded
+to UTF-8 bytes as the payload stand-in — the engine-side shape (binary
+column + metadata struct + Arrow-batched Python stage) is exactly what a
+production image/audio feed would use, and the metadata query q45 has an
+exact DuckDB oracle (``encode``/``octet_length``/``md5`` agree between
+engines on UTF-8 bytes). The decode/feature stage q46 is deterministic
+but sha256-based — not SQL-expressible → rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import attach_binary_payload, extract_image_features
+from ..sources import load_table
+from .registry import register
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return attach_binary_payload(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q45: binary payload metadata census (byte length, digest, typed dims) —
+#      the projection/pruning contract for multimodal columns: only
+#      narrow metadata leaves the scan, payload bytes never shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "q45_multimodal_metadata",
+    covers="multimodal-binary P2 P5 A1",
+    oracle="""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         octet_length(encode(text)) AS n_bytes,
+         md5(text) AS digest
+  FROM documents
+)
+SELECT media_id, n_bytes, digest,
+       n_bytes % 64 + 16 AS width,
+       n_bytes % 48 + 16 AS height,
+       n_bytes % 8 + 1 AS n_frames
+FROM m
+""",
+)
+def q45_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _media(spark, sf_dir)
+    return media.select(
+        "media_id",
+        F.length("payload").alias("n_bytes"),
+        F.md5("payload").alias("digest"),
+        "width",
+        "height",
+        "n_frames",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q46: decode + feature-extract via Arrow-batched mapInPandas (stubbed
+#      codec, real plumbing) — deterministic but sha256-derived → rows-only
+# ---------------------------------------------------------------------------
+@register("q46_multimodal_features", covers="multimodal-decode mapInPandas", oracle=None)
+def q46_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = extract_image_features(_media(spark, sf_dir), dim=16)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "digest",
+        F.round("mean_luma", 6).alias("mean_luma"),
+        F.round(F.element_at("feature", 1).cast("double"), 4).alias("f0"),
+    )

@@ -22,7 +22,7 @@ from ..operators.dedup import (
     simhash_near_duplicates,
 )
 from ..operators.similarity import cosine_pairs, cosine_topk, ivf_cosine_topk
-from ..operators.text_ops import language_id, text_quality
+from ..operators.text_ops import language_id, rolling_fingerprint, text_quality
 from ..sources import load_table
 from .registry import register
 
@@ -205,6 +205,33 @@ def q35_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q36/q37/q38: LSH-family ops — approximate by design → rows-only checks
 # ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------
+# q39: rolling-window k-gram fingerprint (winnowing / min-k sketch —
+#      shift-robust document fingerprint, exact SQL oracle)
+# ---------------------------------------------------------------------------
+@register(
+    "q39_rolling_fingerprint",
+    covers="fingerprint dedup-exact P2",
+    oracle=f"""
+WITH n AS (
+  SELECT doc_id, {_NORM} AS t FROM documents
+), g AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(t) - 8 + 1, 1) + 1),
+                        i -> md5(substr(t, i, 8))) AS hs
+  FROM n
+)
+SELECT doc_id, len(hs) AS n_kgrams, list_min(hs) AS fp_min,
+       array_to_string(list_sort(hs)[1:4], '') AS fp_sketch
+FROM g
+""",
+)
+def q39_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rolling_fingerprint(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id", k=8, n_sketch=4
+    )
+
+
 @register("q36_minhash_neardup", covers="dedup-minhash-lsh", oracle=None)
 def q36_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_duplicates(
