@@ -24,7 +24,9 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
     names = sorted(REGISTRY)
-    stats = run_benchmark(spark, sf_dir, names=names, iterations=1, warmup=False)
+    stats = run_benchmark(
+        spark, sf_dir, names=names, iterations=1, warmup=False, collect_rows=False
+    )
 
     queries = {}
     failed = {}

@@ -267,3 +267,91 @@ def q44_scd2_table_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "end_datetime",
         "is_current",
     )
+
+
+# ---------------------------------------------------------------------------
+# q47: snapshot history + timestamp/version time travel through the table
+#      layer (S9/S10; ref updating_db_with_deltas_iceberg.ipynb cells
+#      41-43: $history scan + FOR TIMESTAMP AS OF). The table is built
+#      from orders (v1), an append creates v2, and the query reads v1
+#      back via time travel — the oracle rebuilds v1 declaratively, so a
+#      time-travel read that leaks v2 rows (or loses v1 rows) hash-fails.
+# ---------------------------------------------------------------------------
+@register(
+    "q47_time_travel",
+    covers="S7 S9 S10 table-layer A1",
+    oracle="""
+SELECT count(*) AS n_rows,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       2 AS n_snapshots,
+       CAST((SELECT count(*) FROM orders WHERE o_orderkey % 10 = 0) AS BIGINT)
+         AS appended_rows
+FROM orders
+""",
+)
+def q47_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..tables.snapshot_table import SnapshotTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    table = SnapshotTable(spark, tempfile.mkdtemp(prefix="timetravel_"))
+    table.create_or_replace(
+        orders, partitions=spark.sparkContext.defaultParallelism
+    )  # v1
+    table.append(orders.filter(F.col("o_orderkey") % 10 == 0))  # v2
+    n_snapshots = table.history().count()
+    v1 = table.read(version=1)
+    v2 = table.read()  # current
+    appended = v2.count() - v1.count()
+    return v1.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").alias("key_sum"),
+        F.lit(n_snapshots).cast("int").alias("n_snapshots"),
+        F.lit(appended).cast("bigint").alias("appended_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q48: bin-pack compaction (M8; ref OPTIMIZE … REWRITE DATA USING
+#      BIN_PACK, notebook cell 45). Two writes fragment the table into
+#      2×parallelism files; compaction rewrites them into size-targeted
+#      files. The oracle pins both the surviving data (sum/count over the
+#      doubled keys) and the file counts before/after, so a compaction
+#      that drops or duplicates rows — or doesn't actually reduce the
+#      file count — hash-fails.
+# ---------------------------------------------------------------------------
+@register(
+    "q48_compaction",
+    covers="M8 S5 S7 table-layer A1",
+    oracle="""
+WITH doubled AS (
+  SELECT o_orderkey FROM orders
+  UNION ALL
+  SELECT o_orderkey FROM orders
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       32 AS files_before,
+       1 AS files_after
+FROM doubled
+""",
+)
+def q48_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..tables.snapshot_table import SnapshotTable
+
+    keys = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    table = SnapshotTable(spark, tempfile.mkdtemp(prefix="compact_"))
+    table.create_or_replace(keys, partitions=16)
+    table.append(keys.repartition(16))
+    files_before = len(table._read_snapshot(table.current_version())["files"])
+    table.compact(target_file_mb=128)  # sf0.1 keys ≪ 128 MB → 1 file
+    files_after = len(table._read_snapshot(table.current_version())["files"])
+    return table.read().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").alias("key_sum"),
+        F.lit(files_before).cast("int").alias("files_before"),
+        F.lit(files_after).cast("int").alias("files_after"),
+    )

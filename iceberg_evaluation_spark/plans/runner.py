@@ -39,6 +39,7 @@ def run_benchmark(
     names: list[str] | None = None,
     iterations: int = 1,
     warmup: bool = True,
+    collect_rows: bool = True,
 ) -> dict[str, QueryStats]:
     """Execute each registered query ``iterations`` times (plus an optional
     JIT/IO warmup run) and record wall seconds. Failures are captured per
@@ -51,12 +52,16 @@ def run_benchmark(
         try:
             if warmup:
                 q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            # rows collected once, untimed; timed runs materialize EVERY
+            # column via the noop sink — count() alone lets Catalyst prune
+            # the computed columns and understates narrow queries
+            if collect_rows:
+                stats.rows = q.spark(spark, sf_dir).count()
             for _ in range(iterations):
                 t0 = time.perf_counter()
                 df = q.spark(spark, sf_dir)
-                n = df.count()
+                df.write.format("noop").mode("overwrite").save()
                 stats.runs_s.append(time.perf_counter() - t0)
-                stats.rows = n
         except Exception as exc:  # noqa: BLE001
             stats.error = f"{type(exc).__name__}: {exc}"
         out[name] = stats

@@ -54,3 +54,29 @@ def test_pricing_summary_single_scan_partial_agg(spark, sf_correct):
     assert plan.count("HashAggregate") >= 2
     # formatted mode prints each node twice (tree + details) → one scan = 2
     assert plan.count("Scan parquet") == 2
+
+
+def test_sessionization_single_exchange(spark, sf_correct):
+    # the lag window, the running-sum window, and the (user_id, session_idx)
+    # groupBy must all reuse ONE hash exchange on user_id: HashPartitioning
+    # on user_id satisfies the ClusteredDistribution of the superset key
+    plan = _formatted_plan(spark, "q27_event_sessions", sf_correct)
+    import re
+
+    # formatted mode prints one "(N) Exchange" detail header per exchange
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges == 1, f"expected 1 shuffle, plan has {n_exchanges}"
+
+
+def test_rolling_fingerprint_no_shuffle(spark, sf_correct):
+    # per-row fingerprints are narrow: any Exchange would mean the k-gram
+    # computation shuffles payload-sized data for no reason
+    plan = _formatted_plan(spark, "q39_rolling_fingerprint", sf_correct)
+    assert "Exchange" not in plan
+
+
+def test_multimodal_metadata_no_shuffle_no_python(spark, sf_correct):
+    # metadata census must stay JVM-side (no Python workers) and narrow
+    plan = _formatted_plan(spark, "q45_multimodal_metadata", sf_correct)
+    assert "Exchange" not in plan
+    assert "Python" not in plan
