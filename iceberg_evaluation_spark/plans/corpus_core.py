@@ -537,3 +537,41 @@ def q26_or_of_ands_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.when((q > 30) | ((d > 0.08) & (t > 0.04)), 1)).alias("bucket_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q51: the SQL path — register the star schema as temp views (S2/S8:
+#      catalog scan + DDL analog) and run the query through spark.sql.
+#      Same Catalyst plan as the DataFrame path (SURVEY §3.1 step 4:
+#      createOrReplaceTempView + spark.sql is exactly how the reference
+#      drives its MERGE sources, pyspark_functions.py:50,137); proves the
+#      engine's two front doors resolve to one optimizer.
+# ---------------------------------------------------------------------------
+@register(
+    "q51_sql_path_view_scan",
+    covers="S2 S8 J1 J2 A1 O1 O2",
+    oracle="""
+SELECT n_name,
+       count(*) AS n_customers,
+       CAST(sum(c_custkey) AS BIGINT) AS key_sum
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_customers DESC, n_name
+LIMIT 10
+""",
+)
+def q51_sql_path_view_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import register_star_schema
+
+    register_star_schema(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name,
+               count(*) AS n_customers,
+               CAST(sum(c_custkey) AS BIGINT) AS key_sum
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY n_customers DESC, n_name
+        LIMIT 10
+        """
+    )

@@ -223,7 +223,7 @@ def _cdc_feed(spark: SparkSession, sf_dir: str):
 
 @register(
     "q44_scd2_table_pipeline",
-    covers="M1 M2 M3 M5-shape S5 S7 W5 table-layer",
+    covers="M1 M2 M3 M5-shape J2 O3 S5 S7 W5 table-layer",
     oracle=f"""
 WITH feed AS (
   SELECT o_orderkey AS pk, o_orderdate AS extraction_timestamp,
@@ -354,4 +354,89 @@ def q48_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o_orderkey").alias("key_sum"),
         F.lit(files_before).cast("int").alias("files_before"),
         F.lit(files_after).cast("int").alias("files_after"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q49: partitioned parquet sink + partition-pruned scan-back (S6; ref
+#      generate_tpcds.py:164-172 — Glue parquet sink partitioned on the
+#      date surrogate key, partitions declared in utils/metadata/*.json).
+#      Writes lineitem partitioned by l_returnflag, reads ONE partition
+#      back; the oracle computes the same slice from the source table, so
+#      a partition mix-up (rows landing in the wrong directory, or the
+#      pruned read leaking other partitions) hash-fails.
+# ---------------------------------------------------------------------------
+@register(
+    "q49_partitioned_sink",
+    covers="S6 S1 A1 P3",
+    oracle="""
+SELECT l_linestatus,
+       count(*) AS n_rows,
+       CAST(sum(l_orderkey) AS BIGINT) AS key_sum
+FROM lineitem
+WHERE l_returnflag = 'R'
+GROUP BY l_linestatus
+""",
+)
+def q49_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_returnflag"
+    )
+    out = tempfile.mkdtemp(prefix="part_sink_")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    # scan-back with a partition filter: Catalyst prunes to the one
+    # l_returnflag=R directory (PartitionFilters in the plan)
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("l_returnflag") == "R")
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("l_orderkey").alias("key_sum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q50: CSV source with explicit schema (S4; ref tutorial employees feed,
+#      create_dummy_deltas.py:6). Round-trips orders through CSV —
+#      explicit schema, no inference double-scan — and aggregates; the
+#      oracle aggregates the parquet source directly, so any CSV
+#      serialization drift (dates, quoting, nulls) hash-fails.
+# ---------------------------------------------------------------------------
+@register(
+    "q50_csv_source",
+    covers="S4 S1 A1 P5",
+    oracle="""
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(min(o_orderdate) AS DATE) AS first_date
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def q50_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources import read_csv
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.to_date("o_orderdate").alias("o_orderdate"),
+    )
+    out = tempfile.mkdtemp(prefix="csv_src_")
+    orders.write.mode("overwrite").option("header", "true").csv(out)
+    back = read_csv(
+        spark,
+        out,
+        schema="o_orderkey BIGINT, o_orderstatus STRING, o_orderdate DATE",
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_orderkey").alias("key_sum"),
+        F.min("o_orderdate").alias("first_date"),
     )

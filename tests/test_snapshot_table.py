@@ -137,3 +137,18 @@ def test_employees_delete_aware_pipeline(spark, tmp_path):
     # compaction preserves content
     t.compact()
     assert set(r["employee_id"] for r in t.read().collect()) == set(got3)
+
+
+def test_drop_purge_removes_table(spark, tmp_path):
+    # M9 destructive reset (ref pyspark_functions.py:348-355: DROP + S3
+    # prefix delete) — purge removes data files, snapshots, and pointer
+    import os
+
+    from iceberg_evaluation_spark.tables.snapshot_table import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "drop_me"))
+    t.create_or_replace(spark.range(100).toDF("id"))
+    assert t.exists()
+    t.drop(purge=True)
+    assert not t.exists()
+    assert not os.path.isdir(t.root)
