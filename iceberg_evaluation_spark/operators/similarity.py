@@ -135,50 +135,53 @@ def ivf_cosine_topk(
 
     Centroids are the ``n_cells`` lexicographically-first corpus vectors
     by id — deterministic, no iterative k-means (adequate for a coarse
-    quantizer; swap in k-means|| offline for production). Every corpus
-    vector is assigned to its nearest centroid (narrow map over a
-    broadcast centroid list); each query probes its ``nprobe`` nearest
-    cells, so the scored fraction is ~nprobe/n_cells. Output:
+    quantizer; swap in k-means|| offline for production). Cell assignment
+    is a **narrow** Arrow-batched pandas_udf over a broadcast centroid
+    matrix: no shuffle touches the corpus, each batch is one BLAS matmul,
+    and the scheme scales to any n_cells×dim (inlining centroids as a
+    literal expression tree blows codegen into interpreted fallback and
+    ships MB-scale task binaries; a centroid join would shuffle the
+    corpus). Each query probes its ``nprobe`` nearest cells, so the
+    scored fraction is ~nprobe/n_cells. Output:
     (query_id, vec_id, cosine_sim, rk).
     """
+    import numpy as np
+
     v = _spread(corpus).select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
     # orderBy+limit = TakeOrderedAndProject (per-partition top-k, driver
     # merge of n_cells rows) — never a global single-partition window
-    cent_rows = [
-        {"cell": i + 1, "_v": r["_v"]}
-        for i, r in enumerate(v.orderBy(id_col).limit(n_cells).collect())
-    ]
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(r["cell"]).alias("cell"),
-                F.array(*[F.lit(float(x)) for x in r["_v"]]).alias("c"),
-            )
-            for r in cent_rows
+    M = np.stack(
+        [
+            np.asarray(r["_v"], dtype="float64")
+            for r in v.orderBy(id_col).limit(n_cells).collect()
         ]
     )
+    nrm = np.linalg.norm(M, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    bc = corpus.sparkSession.sparkContext.broadcast(M / nrm)
 
-    def nearest_cells(vec: Column, n: int) -> Column:
-        scored = F.transform(
-            cent_arr,
-            lambda s: F.struct(
-                (-cosine(vec, s["c"])).alias("neg"), s["cell"].alias("cell")
-            ),
-        )
-        return F.slice(F.array_sort(scored), 1, n)
+    def cells_udf(n: int):
+        # self-contained closure (broadcast handle + int only): workers
+        # don't need this package on their sys.path
+        def _cells(v_ser):
+            import numpy as _np
+            import pandas as _pd
 
-    assigned = v.select(
-        id_col, "_v", F.element_at(nearest_cells(F.col("_v"), 1), 1)["cell"].alias("cell")
-    )
-    q = queries.select(
-        F.col(query_id_col),
-        _as_double(F.col(vec_col)).alias("_qv"),
-    ).select(
-        query_id_col,
-        "_qv",
-        F.explode(
-            F.transform(nearest_cells(F.col("_qv"), nprobe), lambda s: s["cell"])
-        ).alias("cell"),
+            Mn = bc.value
+            A = _np.stack([_np.asarray(x, dtype="float64") for x in v_ser])
+            an = _np.linalg.norm(A, axis=1, keepdims=True)
+            an[an == 0] = 1.0
+            sims = (A / an) @ Mn.T
+            # ties break to the lower cell id (stable argsort)
+            idx = _np.argsort(-sims, axis=1, kind="stable")[:, :n] + 1
+            return _pd.Series([r.tolist() for r in idx])
+
+        return F.pandas_udf(_cells, "array<int>")
+
+    assigned = v.withColumn("cell", F.element_at(cells_udf(1)(F.col("_v")), 1))
+    qv = queries.select(F.col(query_id_col), _as_double(F.col(vec_col)).alias("_qv"))
+    q = qv.withColumn("cell", F.explode(cells_udf(nprobe)(F.col("_qv")))).select(
+        query_id_col, "_qv", "cell"
     )
     scored = assigned.join(F.broadcast(q), "cell").select(
         query_id_col,

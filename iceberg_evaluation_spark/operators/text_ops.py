@@ -76,18 +76,23 @@ def rolling_fingerprint(
     `substr`), evaluated entirely in JVM codegen — narrow per-row work,
     no shuffle, no Python. Docs shorter than ``k`` contribute their whole
     text as the single window so none vanish from the dedup universe.
+
+    The normalized text and the hash array are each materialized ONCE per
+    row via staged projections: inlining ``normalize_ws`` into the
+    transform lambda would re-run the regex for every one of the ~|text|
+    window positions (measured 30× slower at sf0.1).
     """
-    norm = normalize_ws(text_col)
-    m = F.greatest(F.length(norm) - k + 1, F.lit(1))
+    staged = df.select(F.col(id_col), normalize_ws(text_col).alias("__norm"))
+    m = F.greatest(F.length("__norm") - k + 1, F.lit(1))
     hs = F.transform(
-        F.sequence(F.lit(1), m), lambda i: F.md5(norm.substr(i, F.lit(k)))
+        F.sequence(F.lit(1), m), lambda i: F.md5(F.col("__norm").substr(i, F.lit(k)))
     )
-    sorted_hs = F.array_sort(hs)
-    return df.select(
+    hashed = staged.select(F.col(id_col), F.array_sort(hs).alias("__hs"))
+    return hashed.select(
         F.col(id_col),
-        F.size(hs).alias("n_kgrams"),
-        F.element_at(sorted_hs, 1).alias("fp_min"),
-        F.concat_ws("", F.slice(sorted_hs, 1, n_sketch)).alias("fp_sketch"),
+        F.size("__hs").alias("n_kgrams"),
+        F.element_at("__hs", 1).alias("fp_min"),
+        F.concat_ws("", F.slice("__hs", 1, n_sketch)).alias("fp_sketch"),
     )
 
 
