@@ -575,3 +575,99 @@ def q51_sql_path_view_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 10
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q52: flagship composite — the reference's hardest TPC-DS shapes in ONE
+#      plan (ref sql/q5.sql / q77.sql: channel UNION ALL feeding ROLLUP;
+#      q67.sql: rank over grouped revenue; q27.sql: grouping()): channel
+#      union → broadcast dim joins → 3-level ROLLUP + GROUPING() → rank
+#      window → HAVING → ordered top-k. Exercises the optimizer's
+#      composability: one shuffle for the rollup agg, one for the rank
+#      window, TakeOrderedAndProject for the limit, dims broadcast.
+# ---------------------------------------------------------------------------
+@register(
+    "q52_flagship_composite",
+    covers="U1 A5 A6 A8 A10 W1 W6 J1 O1 O2 P3",
+    oracle=f"""
+WITH channels AS (
+  SELECT l_suppkey, l_partkey, l_extendedprice, l_discount, 'returned' AS channel
+  FROM lineitem WHERE l_returnflag = 'R'
+  UNION ALL
+  SELECT l_suppkey, l_partkey, l_extendedprice, l_discount, 'kept' AS channel
+  FROM lineitem WHERE l_returnflag <> 'R'
+), agg AS (
+  SELECT channel, n_name, p_brand,
+         CAST(grouping(channel) AS INT)  AS g_channel,
+         CAST(grouping(n_name) AS INT)   AS g_nation,
+         CAST(grouping(p_brand) AS INT)  AS g_brand,
+         {sql_sum('l_extendedprice * (1 - l_discount)', 10000)} AS revenue,
+         count(*) AS n_items
+  FROM channels
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN part     ON l_partkey = p_partkey
+  GROUP BY ROLLUP(channel, n_name, p_brand)
+  HAVING count(*) >= 5
+)
+SELECT channel, n_name, p_brand, g_channel, g_nation, g_brand,
+       revenue, n_items,
+       rank() OVER (PARTITION BY channel, n_name, g_brand
+                    ORDER BY revenue DESC, p_brand) AS rk
+FROM agg
+ORDER BY g_channel DESC, g_nation DESC, g_brand DESC,
+         channel NULLS FIRST, n_name NULLS FIRST, revenue DESC, p_brand NULLS FIRST
+LIMIT 100
+""",
+)
+def q52_flagship_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    part = _t(spark, sf_dir, "part")
+
+    base = li.select("l_suppkey", "l_partkey", "l_extendedprice", "l_discount",
+                     "l_returnflag")
+    channels = (
+        base.filter(F.col("l_returnflag") == "R").withColumn("channel", F.lit("returned"))
+        .unionByName(
+            base.filter(F.col("l_returnflag") != "R").withColumn("channel", F.lit("kept"))
+        )
+        .drop("l_returnflag")
+    )
+    joined = (
+        channels.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    agg = (
+        joined.rollup("channel", "n_name", "p_brand")
+        .agg(
+            F.grouping("channel").cast("int").alias("g_channel"),
+            F.grouping("n_name").cast("int").alias("g_nation"),
+            F.grouping("p_brand").cast("int").alias("g_brand"),
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .filter(F.col("n_items") >= 5)
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("channel", "n_name", "g_brand").orderBy(
+        F.col("revenue").desc(), F.col("p_brand")
+    )
+    return (
+        agg.withColumn("rk", F.rank().over(w))
+        .orderBy(
+            F.col("g_channel").desc(),
+            F.col("g_nation").desc(),
+            F.col("g_brand").desc(),
+            F.col("channel").asc_nulls_first(),
+            F.col("n_name").asc_nulls_first(),
+            F.col("revenue").desc(),
+            F.col("p_brand").asc_nulls_first(),
+        )
+        .limit(100)
+    )

@@ -80,3 +80,13 @@ def test_multimodal_metadata_no_shuffle_no_python(spark, sf_correct):
     plan = _formatted_plan(spark, "q45_multimodal_metadata", sf_correct)
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_flagship_composite_plan(spark, sf_correct):
+    # q52 composes union→joins→rollup→window→limit; the plan must keep
+    # the dims broadcast and fuse the final ORDER BY+LIMIT into top-k
+    plan = _formatted_plan(spark, "q52_flagship_composite", sf_correct)
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier, nation, part
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Expand" in plan  # rollup grouping sets

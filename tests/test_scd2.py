@@ -147,3 +147,44 @@ def test_scd2_idempotent_reapply(spark, tmp_path, fixture_batches):
     scd2_complex(table, cdc_1)
     scd2_complex(table, cdc_1)
     assert _actual(table) == EXPECTED_U1
+
+
+def test_scd2_complex_composite_keys(spark, tmp_path):
+    # schema-generic keys: SCD2 over a 2-column business key, including a
+    # late arrival for one composite key — the other key's history must
+    # be untouched by the re-windowing
+    schema = "region string, code int, qty int, extraction_timestamp timestamp, op string"
+    table = SnapshotTable(spark, str(tmp_path / "ck"))
+    full = spark.createDataFrame(
+        [
+            ("eu", 1, 10, TS("2022-01-01 00:00:00"), None),
+            ("eu", 2, 20, TS("2022-01-01 00:00:00"), None),
+            ("us", 1, 30, TS("2022-01-01 00:00:00"), None),
+        ],
+        schema,
+    )
+    keys = ["region", "code"]
+    bulk_insert(table, full)
+    scd2_complex(
+        table,
+        spark.createDataFrame([("eu", 1, 11, TS("2022-03-01 00:00:00"), "U")], schema),
+        keys=keys,
+    )
+    scd2_complex(  # late arrival for (eu, 1) only
+        table,
+        spark.createDataFrame([("eu", 1, 12, TS("2022-02-01 00:00:00"), "U")], schema),
+        keys=keys,
+    )
+    rows = sorted(
+        (r["region"], r["code"], r["qty"], r["start_datetime"], r["end_datetime"], r["is_current"])
+        for r in table.read().collect()
+    )
+    assert rows == sorted(
+        [
+            ("eu", 1, 10, TS("2022-01-01"), TS("2022-02-01"), False),
+            ("eu", 1, 12, TS("2022-02-01"), TS("2022-03-01"), False),
+            ("eu", 1, 11, TS("2022-03-01"), SENT, True),
+            ("eu", 2, 20, TS("2022-01-01"), SENT, True),
+            ("us", 1, 30, TS("2022-01-01"), SENT, True),
+        ]
+    )
