@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "attach_binary_payload",
     "extract_image_features",
+    "resize_images",
     "sample_frames",
     "MEDIA_SCHEMA",
     "IMAGE_FEATURE_SCHEMA",
@@ -112,6 +113,46 @@ def extract_image_features(
     return media.select("media_id", "payload").mapInPandas(
         run, schema=IMAGE_FEATURE_SCHEMA
     )
+
+
+def resize_images(
+    media: DataFrame, target_w: int = 64, target_h: int = 64, decode_stub: bool = True
+) -> DataFrame:
+    """Resize payloads to target dims as an Arrow-batched mapInPandas stage.
+
+    Emits the full MEDIA_SCHEMA bundle with the payload replaced and
+    width/height set to the target — downstream operators (feature
+    extraction, frame sampling) compose on the output unchanged. The stub
+    'resize' derives a deterministic payload of size ∝ target area where
+    a codec would decode→scale→re-encode; the Spark-side contract
+    (projection shape, batch flow, schema) is the real one. Closure is
+    self-contained — workers never import this package.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real resize requires PIL/libvips — plug the codec in here"
+                )
+            out_payload = []
+            for payload in pdf["payload"]:
+                b = bytes(payload)
+                # deterministic fake: digest-seeded bytes, length ∝ area
+                n = max(16, (target_w * target_h) // 64)
+                seed = _hl.sha256(b).digest()
+                out_payload.append((seed * (n // len(seed) + 1))[:n])
+            res = pdf.copy()
+            res["payload"] = out_payload
+            res["width"] = target_w
+            res["height"] = target_h
+            yield res
+
+    return media.select(
+        "media_id", "payload", "media_type", "width", "height", "n_frames"
+    ).mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 def sample_frames(

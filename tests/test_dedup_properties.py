@@ -1,0 +1,66 @@
+"""Structural guarantees of the approximate dedup family, checked
+against exact computations on the real testdata.
+
+- SimHash banding is COMPLETE by pigeonhole: 4×16-bit bands cannot all
+  differ when Hamming ≤ 3, so the operator must return exactly the
+  pairs with sketch Hamming ≤ max_hamming (no more, no fewer).
+- MinHash+LSH output is verified with exact Jaccard, so it must be a
+  SUBSET of the exact n-gram-Jaccard pairs at the same threshold and
+  shingle size (precision = 1 by construction); its recall on the
+  testdata is pinned so a silent banding regression fails loudly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from iceberg_evaluation_spark.operators.dedup import (
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_frame,
+    simhash_near_duplicates,
+)
+from iceberg_evaluation_spark.sources import load_table
+
+
+def test_simhash_band_blocking_is_complete(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents")
+    sketches = {
+        r["_id"]: r["_sh"] for r in simhash_frame(docs, "doc_id", "text", 2).collect()
+    }
+    ids = sorted(sketches)
+    expected = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(((sketches[a] ^ sketches[b]) + (1 << 64)) % (1 << 64)).count("1") <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_duplicates(docs, "doc_id", "text", max_hamming=3).collect()
+    }
+    assert got == expected
+
+
+def test_minhash_output_subset_of_exact_jaccard(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents")
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.5, shingle_n=3
+        ).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_near_duplicates(
+            docs, "doc_id", "text", threshold=0.5, shingle_n=3
+        ).collect()
+    }
+    # precision 1.0: every LSH-surfaced pair is a true pair with the
+    # identical exact-Jaccard value
+    for pair, j in approx.items():
+        assert pair in exact and abs(exact[pair] - j) < 1e-12
+    # recall floor on this corpus (banded LSH misses some mid-similarity
+    # pairs by design; a drop below this means the banding broke)
+    if exact:
+        assert len(approx) >= 0.8 * len(exact)

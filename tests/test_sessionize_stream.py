@@ -1,0 +1,101 @@
+"""Stateful streaming sessionization (applyInPandasWithState).
+
+A session closes in-stream the moment a later event exceeds the gap
+(emitted in that micro-batch); the final open session per key lives in
+state awaiting the event-time timeout, so with one availableNow batch
+exactly the gap-closed sessions are emitted.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from iceberg_evaluation_spark.streaming.sessionize import sessionize_stream
+
+TS = lambda s: datetime.fromisoformat(s)  # noqa: E731
+SCHEMA = "user_id bigint, ts timestamp, value double"
+
+ROWS = [
+    # user 1: session A (2 events, 10 min apart) … 2h silence … session B
+    (1, TS("2024-01-01 10:00:00"), 1.50),
+    (1, TS("2024-01-01 10:10:00"), 2.25),
+    (1, TS("2024-01-01 12:30:00"), 4.00),  # opens session B (stays in state)
+    # user 2: one event … 31 min gap closes it … second session open
+    (2, TS("2024-01-01 09:00:00"), 10.00),
+    (2, TS("2024-01-01 09:31:00"), 0.75),
+]
+
+
+def test_gap_closed_sessions_emitted(spark, tmp_path):
+    src = str(tmp_path / "events_in")
+    spark.createDataFrame(ROWS, SCHEMA).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    sessions = sessionize_stream(stream, gap_seconds=1800, watermark="0 seconds")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("closed_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["user_id"], r["n_events"], r["session_start"], r["session_end"],
+         r["duration_s"], r["total_value"])
+        for r in spark.sql("SELECT * FROM closed_sessions").collect()
+    )
+    assert got == [
+        # closed in-batch by the gap rule
+        (1, 2, TS("2024-01-01 10:00:00"), TS("2024-01-01 10:10:00"), 600, 3.75),
+        (2, 1, TS("2024-01-01 09:00:00"), TS("2024-01-01 09:00:00"), 0, 10.00),
+        # closed by EVENT-TIME TIMEOUT: the availableNow final batch
+        # advances the watermark to max event time (12:30), past this
+        # session's last+gap (10:01); user 1's open session (timeout
+        # 13:00) correctly survives in state
+        (2, 1, TS("2024-01-01 09:31:00"), TS("2024-01-01 09:31:00"), 0, 0.75),
+    ]
+
+
+def test_batch_semantics_match_q27_shape(spark, sf_smoke):
+    # the streaming operator's session boundaries must agree with the
+    # batch gaps-and-islands query for sessions closed by a gap: replay
+    # the testdata events through the stateful path in one batch and
+    # check every emitted session exists in the batch q27 result
+    from iceberg_evaluation_spark.plans import REGISTRY
+    from iceberg_evaluation_spark.sources import load_table
+
+    batch = {
+        (r["user_id"], r["n_events"], r["session_start"], r["session_end"]):
+            r["total_value"]
+        for r in REGISTRY["q27_event_sessions"].spark(spark, sf_smoke).collect()
+    }
+
+    src_df = load_table(spark, sf_smoke, "events").select("user_id", "ts", "value")
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix="events_stream_")
+    src_df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("user_id bigint, ts timestamp, value double").parquet(src)
+    q = (
+        sessionize_stream(stream, gap_seconds=1800, watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName("stream_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    emitted = spark.sql("SELECT * FROM stream_sessions").collect()
+    assert len(emitted) > 0
+    # every gap-closed streaming session must BE a batch session
+    # (q27 truncates bounds to seconds; same truncation here)
+    for r in emitted:
+        key = (
+            r["user_id"],
+            r["n_events"],
+            r["session_start"].replace(microsecond=0),
+            r["session_end"].replace(microsecond=0),
+        )
+        assert key in batch, f"streaming session not found in batch result: {key}"
+        assert abs(batch[key] - r["total_value"]) < 1e-9

@@ -120,3 +120,29 @@ def test_multimodal_stub_gate(spark, sf_smoke):
     media = attach_binary_payload(docs, "text", "doc_id")
     with pytest.raises(Exception, match="NotImplementedError|real image decode"):
         extract_image_features(media, decode_stub=False).collect()
+
+
+def test_multimodal_resize_composes(spark, sf_smoke):
+    # resize emits the same MEDIA_SCHEMA bundle → feature extraction
+    # composes on it unchanged; payload length tracks the target area
+    from iceberg_evaluation_spark.operators.multimodal import (
+        attach_binary_payload,
+        extract_image_features,
+        resize_images,
+    )
+    from iceberg_evaluation_spark.sources import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").limit(20)
+    media = attach_binary_payload(docs, "text", "doc_id")
+    resized = resize_images(media, target_w=32, target_h=32)
+    rows = resized.collect()
+    assert len(rows) == 20
+    assert all(r["width"] == 32 and r["height"] == 32 for r in rows)
+    assert all(len(r["payload"]) == max(16, 32 * 32 // 64) for r in rows)
+    # deterministic: same input → same resized payload
+    again = resize_images(media, target_w=32, target_h=32).collect()
+    assert {r["media_id"]: bytes(r["payload"]) for r in rows} == {
+        r["media_id"]: bytes(r["payload"]) for r in again
+    }
+    feats = extract_image_features(resized, dim=8).collect()
+    assert len(feats) == 20 and all(len(f["feature"]) == 8 for f in feats)
