@@ -1,0 +1,5 @@
+-- Spark-SQL corpus file (ANSI subset shared with the DuckDB oracle).
+-- Runs over the temp views registered by sources.register_star_schema.
+SELECT c_custkey AS custkey FROM customer
+EXCEPT
+SELECT o_custkey AS custkey FROM orders

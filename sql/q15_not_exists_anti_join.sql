@@ -1,0 +1,6 @@
+-- Spark-SQL corpus file (ANSI subset shared with the DuckDB oracle).
+-- Runs over the temp views registered by sources.register_star_schema.
+SELECT n_name, count(*) AS n_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY n_name
