@@ -415,3 +415,64 @@ def q27_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         exact_sum(F.col("value")).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q53: as-of (point-in-time) join — for every 'click' event, the latest
+#      'purchase' by the same user at or before it (the CDC/SCD2
+#      consumption pattern: "which version was current at event time").
+#      Engine side is operators.asof.asof_join (union + ordered window:
+#      ONE shuffle on the key, no |probes|×|versions| blowup); the
+#      oracle uses DuckDB's native ASOF LEFT JOIN.
+# ---------------------------------------------------------------------------
+@register(
+    "q53_asof_join",
+    covers="J7 J10 W5 streaming-shape",
+    oracle=f"""
+WITH versions AS (
+  SELECT user_id, ts, value FROM (
+    SELECT user_id, ts, value,
+           row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'purchase'
+  ) WHERE rn = 1
+), probes AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id,
+       date_trunc('second', p.ts) AS click_time,
+       date_trunc('second', v.ts) AS purchase_time,
+       round(v.value, 2) AS purchase_value
+FROM probes p ASOF LEFT JOIN versions v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+""",
+)
+def q53_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+    from ..operators.scd2 import dedup_latest
+
+    ev = _t(spark, sf_dir, "events")
+    versions = dedup_latest(
+        ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", F.col("value").alias("purchase_value"), "event_id"
+        ),
+        keys=["user_id", "ts"],
+        order_col="event_id",
+    ).select("user_id", "ts", "purchase_value")
+    probes = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        probes,
+        versions,
+        on=["user_id"],
+        probe_ts="ts",
+        version_ts="ts",
+        value_cols=["purchase_value"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_trunc("second", "ts").alias("click_time"),
+        F.date_trunc("second", "matched_ts").alias("purchase_time"),
+        F.round("purchase_value", 2).alias("purchase_value"),
+    )

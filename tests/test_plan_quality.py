@@ -90,3 +90,14 @@ def test_flagship_composite_plan(spark, sf_correct):
     assert "SortMergeJoin" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "Expand" in plan  # rollup grouping sets
+
+
+def test_asof_join_single_exchange(spark, sf_correct):
+    # the union+window as-of join must cost ONE shuffle on the key —
+    # never a nested-loop/range join over |probes|×|versions|
+    import re
+
+    plan = _formatted_plan(spark, "q53_asof_join", sf_correct)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges <= 2  # probe/version branches feed one union shuffle
