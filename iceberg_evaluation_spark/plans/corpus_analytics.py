@@ -476,3 +476,32 @@ def q53_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("second", "matched_ts").alias("purchase_time"),
         F.round("purchase_value", 2).alias("purchase_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q54: sketch statistics — HyperLogLog++ distinct counts and quantile
+#      sketches per event_type. At 100 TB exact distinct/percentile over
+#      high-cardinality keys is a full-shuffle sort; the sketches are
+#      mergeable map-side partials with bounded memory. Approximate by
+#      contract → rows-only driver check; the relative-error bound vs
+#      the exact answers is pinned by tests/test_sketches.py.
+# ---------------------------------------------------------------------------
+@register("q54_sketch_stats", covers="A3 A1 streaming-shape", oracle=None)
+def q54_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.approx_percentile("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10000).alias("p"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "approx_users",
+            F.round(F.element_at("p", 1), 2).alias("p50"),
+            F.round(F.element_at("p", 2), 2).alias("p90"),
+            F.round(F.element_at("p", 3), 2).alias("p99"),
+        )
+    )
