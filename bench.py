@@ -23,6 +23,15 @@ def main() -> None:
     from iceberg_evaluation_spark.session import get_spark
 
     spark = get_spark(app_name="bench")
+    # one trivial action per table: absorbs JVM/JIT/codegen warmup and
+    # file-index setup so the first measured query isn't charged for it
+    from iceberg_evaluation_spark.sources import TABLES, load_table
+
+    for t in TABLES:
+        try:
+            load_table(spark, sf_dir, t).count()
+        except Exception:
+            pass
     names = sorted(REGISTRY)
     stats = run_benchmark(
         spark, sf_dir, names=names, iterations=1, warmup=False, collect_rows=False
