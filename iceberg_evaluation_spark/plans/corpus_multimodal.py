@@ -62,9 +62,39 @@ def q45_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q46: decode + feature-extract via Arrow-batched mapInPandas (stubbed
-#      codec, real plumbing) — deterministic but sha256-derived → rows-only
+#      codec, real plumbing). The stub decoder is sha256-derived, and
+#      DuckDB has sha256 — so even the PYTHON stage is value-checked:
+#      the oracle re-derives digest bytes from the hex string via nibble
+#      lookup and reproduces mean_luma and the first unit-norm feature
+#      component with identical IEEE double arithmetic.
 # ---------------------------------------------------------------------------
-@register("q46_multimodal_features", covers="multimodal-decode mapInPandas", oracle=None)
+_NIB = "strpos('0123456789abcdef', substr(hx, {p}, 1)) - 1"
+
+
+@register(
+    "q46_multimodal_features",
+    covers="multimodal-decode mapInPandas",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
+         sha256(text) AS hx
+  FROM documents
+), b AS (
+  SELECT media_id, n_bytes, substr(hx, 1, 16) AS digest,
+         list_transform(range(1, 17),
+           i -> (strpos('0123456789abcdef', substr(hx, 2*i-1, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(hx, 2*i, 1)) - 1)) AS bytes16,
+         ({_NIB.format(p=1)}) * 16 + ({_NIB.format(p=2)}) AS b0
+  FROM h
+)
+SELECT media_id, n_bytes, digest,
+       round(b0 / 255.0, 6) AS mean_luma,
+       round(((b0 - 127.5) / 127.5)
+         / sqrt(list_aggregate(list_transform(bytes16,
+                  x -> ((x - 127.5)/127.5)**2), 'sum')), 4) AS f0
+FROM b
+""",
+)
 def q46_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = extract_image_features(_media(spark, sf_dir), dim=16)
     return feats.select(
