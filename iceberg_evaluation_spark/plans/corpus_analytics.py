@@ -505,3 +505,85 @@ def q54_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.element_at("p", 3), 2).alias("p99"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q55: exact interpolated percentiles per group (the exact twin of q54's
+#      sketches; Spark `percentile` and DuckDB `quantile_cont` share the
+#      index = p*(n-1) linear-interpolation definition over sorted
+#      doubles, so values agree bit-for-bit before output rounding)
+# ---------------------------------------------------------------------------
+@register(
+    "q55_exact_percentiles",
+    covers="A1 A2 scalar-census",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events
+GROUP BY event_type
+""",
+)
+def q55_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q56: moving 7-day revenue via a RANGE window frame (value-based frame
+#      over day numbers — includes empty days in the horizon, unlike a
+#      ROWS frame; the time-series rollup idiom). Day number = epoch days
+#      so the frame bound is a plain numeric range on both engines.
+# ---------------------------------------------------------------------------
+@register(
+    "q56_moving_week_revenue",
+    covers="W2 W3 A1 streaming-shape",
+    oracle=f"""
+WITH daily AS (
+  SELECT l_returnflag,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS BIGINT)
+           AS day_no,
+         CAST(l_shipdate AS DATE) AS ship_date,
+         {sql_sum('l_extendedprice * (1 - l_discount)', 10000)} AS day_rev
+  FROM lineitem GROUP BY 1, 2, 3
+)
+SELECT l_returnflag, ship_date, day_rev,
+       round(sum(CAST(round(day_rev * 100, 0) AS BIGINT))
+             OVER (PARTITION BY l_returnflag ORDER BY day_no
+                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) / 100.0, 2)
+         AS week_rev
+FROM daily
+""",
+)
+def q56_moving_week_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.col("l_returnflag"),
+        F.datediff(F.to_date("l_shipdate"), F.lit("1970-01-01").cast("date")).cast(
+            "bigint"
+        ).alias("day_no"),
+        F.to_date("l_shipdate").alias("ship_date"),
+    ).agg(
+        exact_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
+        ).alias("day_rev")
+    )
+    w = (
+        W.partitionBy("l_returnflag")
+        .orderBy("day_no")
+        .rangeBetween(-6, W.currentRow)
+    )
+    day_cents = F.round(F.col("day_rev") * 100, 0).cast("bigint")
+    return daily.select(
+        "l_returnflag",
+        "ship_date",
+        "day_rev",
+        F.round(F.sum(day_cents).over(w) / 100.0, 2).alias("week_rev"),
+    )
