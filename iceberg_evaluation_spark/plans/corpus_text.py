@@ -253,3 +253,133 @@ def q38_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivf_cosine_topk(emb, queries, k=5, n_cells=16, nprobe=4)
+
+
+# ---------------------------------------------------------------------------
+# q57: int8 embedding quantization — the 4× storage cut every 100 TB
+#      vector corpus takes. Symmetric per-vector scheme: scale = max|x|,
+#      q = round(x/scale*127) clamped to [-127,127]. Output keeps the
+#      scale plus reconstruction error so the pipeline can gate on
+#      quality. Pure per-row array math in both engines → exact oracle.
+# ---------------------------------------------------------------------------
+@register(
+    "q57_embedding_quantize",
+    covers="similarity-ann P2 P5",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+), s AS (
+  SELECT vec_id, x,
+         list_aggregate(list_transform(x, e -> abs(e)), 'max') AS scale
+  FROM v
+), q AS (
+  SELECT vec_id, x, scale,
+         list_transform(x, e -> CASE WHEN scale = 0 THEN 0
+            ELSE greatest(-127, least(127, CAST(round(e / scale * 127, 0) AS INT))) END) AS qv
+  FROM s
+)
+-- scale/max_abs_err emitted RAW: per-row double arithmetic is
+-- bit-identical across engines (max is order-independent), while an
+-- engine-side round() can split at shortest-repr midpoints
+SELECT vec_id, scale,
+       qv[1] AS q0, qv[2] AS q1,
+       list_aggregate(list_transform(range(1, len(x) + 1),
+               i -> abs(x[i] - qv[i] * (scale / 127.0))), 'max') AS max_abs_err
+FROM q
+""",
+)
+def q57_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.transform(F.col("embedding"), lambda e: e.cast("double"))
+    v = emb.select("vec_id", x.alias("x"))
+    v = v.withColumn(
+        "scale_raw", F.array_max(F.transform("x", lambda e: F.abs(e)))
+    )
+    qv = F.transform(
+        "x",
+        lambda e: F.when(F.col("scale_raw") == 0, F.lit(0)).otherwise(
+            F.greatest(
+                F.lit(-127),
+                F.least(
+                    F.lit(127),
+                    F.round(e / F.col("scale_raw") * 127, 0).cast("int"),
+                ),
+            )
+        ),
+    )
+    staged = v.withColumn("qv", qv)
+    err = F.array_max(
+        F.zip_with(
+            "x",
+            "qv",
+            lambda xe, qe: F.abs(xe - qe * (F.col("scale_raw") / 127.0)),
+        )
+    )
+    return staged.select(
+        "vec_id",
+        F.col("scale_raw").alias("scale"),
+        F.element_at("qv", 1).alias("q0"),
+        F.element_at("qv", 2).alias("q1"),
+        err.alias("max_abs_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q58: document chunking with overlap — the LLM-pretraining segmentation
+#      step: fixed token windows (size 32, stride 24) per document, each
+#      chunk with its token span and text. explode = one narrow pass; at
+#      100 TB chunk rows shuffle instead of documents, which is the
+#      point (uniform units for downstream dedup/pack).
+# ---------------------------------------------------------------------------
+@register(
+    "q58_document_chunks",
+    covers="P2 token-count text-analysis",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks, {_NTOK} AS n FROM documents
+), c AS (
+  SELECT doc_id, n,
+         list_transform(range(0, greatest(CAST(ceil((n - 32) / 24.0) AS BIGINT), 0) + 1),
+                        i -> i * 24) AS starts,
+         toks
+  FROM t WHERE n > 0
+)
+SELECT doc_id, CAST(u.i AS INT) AS chunk_idx,
+       CAST(starts[u.i + 1] AS INT) AS tok_start,
+       CAST(least(starts[u.i + 1] + 32, n) AS INT) AS tok_end,
+       array_to_string(toks[starts[u.i + 1] + 1 : least(starts[u.i + 1] + 32, n)], ' ')
+         AS chunk_text
+FROM c, (SELECT unnest(range(0, len(starts))) AS i) u(i)
+WHERE u.i < len(starts)
+""",
+)
+def q58_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import normalize_ws
+
+    size, stride = 32, 24
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(normalize_ws("text"), " ")
+    staged = docs.select("doc_id", toks.alias("toks")).withColumn(
+        "n",
+        F.when(F.trim(F.concat_ws(" ", "toks")) == "", 0).otherwise(F.size("toks")),
+    ).filter(F.col("n") > 0)
+    n_chunks = F.greatest(
+        F.ceil((F.col("n") - size) / float(stride)).cast("bigint"), F.lit(0)
+    ) + 1
+    exploded = staged.select(
+        "doc_id",
+        "n",
+        "toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * stride
+    end = F.least(start + size, F.col("n"))
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int"),
+        start.cast("int").alias("tok_start"),
+        end.cast("int").alias("tok_end"),
+        F.concat_ws(
+            " ", F.slice("toks", start + 1, end - start)
+        ).alias("chunk_text"),
+    )
