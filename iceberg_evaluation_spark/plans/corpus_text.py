@@ -383,3 +383,59 @@ def q58_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.slice("toks", start + 1, end - start)
         ).alias("chunk_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q59: chunk-level dedup statistics — the composition the pipeline ops
+#      exist for: chunk (q58) → fingerprint → corpus-wide duplicate
+#      detection → per-document boilerplate ratio. Two shuffles (one on
+#      the fingerprint, one on doc_id), both hash-distributed.
+# ---------------------------------------------------------------------------
+@register(
+    "q59_chunk_dedup_stats",
+    covers="dedup-exact token-count P2 A1 W2",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks, {_NTOK} AS n FROM documents
+), c AS (
+  SELECT doc_id, n,
+         list_transform(range(0, greatest(CAST(ceil((n - 32) / 24.0) AS BIGINT), 0) + 1),
+                        i -> i * 24) AS starts,
+         toks
+  FROM t WHERE n > 0
+), chunks AS (
+  SELECT doc_id,
+         md5(array_to_string(toks[starts[u.i + 1] + 1 : least(starts[u.i + 1] + 32, n)], ' '))
+           AS fp
+  FROM c, (SELECT unnest(range(0, len(starts))) AS i) u(i)
+  WHERE u.i < len(starts)
+), flagged AS (
+  SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) > 1 AS is_dup FROM chunks
+)
+SELECT doc_id,
+       count(*) AS n_chunks,
+       CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       round(CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4)
+         AS dup_ratio
+FROM flagged
+GROUP BY doc_id
+""",
+)
+def q59_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    chunks = q58_document_chunks(spark, sf_dir).select(
+        "doc_id", F.md5("chunk_text").alias("fp")
+    )
+    flagged = chunks.withColumn(
+        "is_dup", F.count(F.lit(1)).over(W.partitionBy("fp")) > 1
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("n_dup_chunks"),
+        F.round(
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("dup_ratio"),
+    )

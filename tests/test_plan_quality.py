@@ -101,3 +101,21 @@ def test_asof_join_single_exchange(spark, sf_correct):
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
     assert n_exchanges <= 2  # probe/version branches feed one union shuffle
+
+
+def test_corpus_wide_plan_lint(spark, sf_smoke):
+    """Every registered query's physical plan obeys the engine's scale
+    rules: no cartesian product, and no row-at-a-time Python eval —
+    Python stages must be Arrow-batched (mapInPandas / ArrowEval)."""
+    # intentional scalar-subquery cross joins: 1-row × N, constant cost
+    CARTESIAN_OK = {"q18_cross_scalar_ratio"}
+    # table-layer/pipeline queries execute side effects at plan-build
+    # time; their final read plan is still linted
+    problems = []
+    for name in sorted(REGISTRY):
+        plan = _formatted_plan(spark, name, sf_smoke)
+        if "BatchEvalPython" in plan:
+            problems.append(f"{name}: row-at-a-time Python UDF in plan")
+        if "CartesianProduct" in plan and name not in CARTESIAN_OK:
+            problems.append(f"{name}: CartesianProduct join")
+    assert not problems, "\n".join(problems)
