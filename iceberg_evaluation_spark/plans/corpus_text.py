@@ -439,3 +439,70 @@ def q59_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("dup_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q60: sequence packing — assign chunks to fixed-token-budget packs
+#      (budget 256) for pretraining batch assembly. Packing is inherently
+#      sequential, so it runs WITHIN hash buckets (doc_id % 8): each
+#      bucket's chunks get a running token total and a chunk belongs to
+#      the pack its first token lands in. One shuffle on the bucket;
+#      pack ids are (bucket, pack_idx) pairs, so the scheme parallelizes
+#      to any bucket count instead of serializing the corpus.
+# ---------------------------------------------------------------------------
+@register(
+    "q60_sequence_packing",
+    covers="token-count P2 A1 W3",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks, {_NTOK} AS n FROM documents
+), c AS (
+  SELECT doc_id, n,
+         list_transform(range(0, greatest(CAST(ceil((n - 32) / 24.0) AS BIGINT), 0) + 1),
+                        i -> i * 24) AS starts,
+         toks
+  FROM t WHERE n > 0
+), chunks AS (
+  SELECT doc_id, CAST(u.i AS INT) AS chunk_idx,
+         CAST(least(starts[u.i + 1] + 32, n) - starts[u.i + 1] AS BIGINT) AS n_tokens
+  FROM c, (SELECT unnest(range(0, len(starts))) AS i) u(i)
+  WHERE u.i < len(starts)
+), packed AS (
+  SELECT doc_id % 8 AS bucket, n_tokens,
+         CAST(floor((sum(n_tokens) OVER w - n_tokens) / 256.0) AS BIGINT) AS pack_idx
+  FROM chunks
+  WINDOW w AS (PARTITION BY doc_id % 8 ORDER BY doc_id, chunk_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT bucket, pack_idx,
+       count(*) AS n_chunks,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total
+FROM packed
+GROUP BY bucket, pack_idx
+""",
+)
+def q60_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    chunks = q58_document_chunks(spark, sf_dir).select(
+        "doc_id",
+        "chunk_idx",
+        (F.col("tok_end") - F.col("tok_start")).cast("bigint").alias("n_tokens"),
+    )
+    bucket = F.pmod(F.col("doc_id"), F.lit(8)).alias("bucket")
+    w = (
+        W.partitionBy(F.pmod(F.col("doc_id"), F.lit(8)))
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = chunks.select(
+        bucket,
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 256.0).alias(
+            "pack_idx"
+        ),
+    )
+    return packed.groupBy("bucket", "pack_idx").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").alias("n_tokens_total"),
+    )
