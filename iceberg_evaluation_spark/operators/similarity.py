@@ -150,12 +150,19 @@ def ivf_cosine_topk(
     v = _spread(corpus).select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
     # orderBy+limit = TakeOrderedAndProject (per-partition top-k, driver
     # merge of n_cells rows) — never a global single-partition window
-    M = np.stack(
-        [
-            np.asarray(r["_v"], dtype="float64")
-            for r in v.orderBy(id_col).limit(n_cells).collect()
-        ]
-    )
+    cent_vecs = [
+        np.asarray(r["_v"], dtype="float64")
+        for r in v.orderBy(id_col).limit(n_cells).collect()
+    ]
+    if not cent_vecs:  # empty corpus → empty result, stable schema
+        return (
+            queries.select(F.col(query_id_col))
+            .limit(0)
+            .withColumn(id_col, F.lit(None).cast(corpus.schema[id_col].dataType))
+            .withColumn("cosine_sim", F.lit(0.0))
+            .withColumn("rk", F.lit(0))
+        )
+    M = np.stack(cent_vecs)
     nrm = np.linalg.norm(M, axis=1, keepdims=True)
     nrm[nrm == 0] = 1.0
     bc = corpus.sparkSession.sparkContext.broadcast(M / nrm)

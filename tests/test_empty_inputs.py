@@ -1,0 +1,64 @@
+"""Every operator must degrade to empty output (not crash) on empty
+inputs — empty CDC days and empty partitions are routine at scale."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from iceberg_evaluation_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+from iceberg_evaluation_spark.operators.scd2 import bulk_insert, scd2_complex
+from iceberg_evaluation_spark.operators.similarity import (
+    cosine_pairs,
+    cosine_topk,
+    ivf_cosine_topk,
+)
+from iceberg_evaluation_spark.operators.text_ops import (
+    language_id,
+    rolling_fingerprint,
+    text_quality,
+)
+from iceberg_evaluation_spark.tables.snapshot_table import SnapshotTable
+
+
+def test_text_and_dedup_ops_on_empty(spark):
+    docs = spark.createDataFrame([], "doc_id bigint, text string")
+    for fn in (
+        lambda: exact_dedup(docs, "text", "doc_id"),
+        lambda: minhash_near_duplicates(docs, "doc_id", "text"),
+        lambda: simhash_near_duplicates(docs, "doc_id", "text"),
+        lambda: ngram_jaccard_pairs(docs, "doc_id", "text"),
+        lambda: text_quality(docs),
+        lambda: language_id(docs),
+        lambda: rolling_fingerprint(docs),
+    ):
+        assert fn().count() == 0
+
+
+def test_similarity_ops_on_empty(spark):
+    emb = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    assert cosine_topk(emb, queries).count() == 0
+    assert cosine_pairs(emb).count() == 0
+    out = ivf_cosine_topk(emb, queries)
+    assert out.count() == 0
+    assert set(out.columns) == {"query_id", "vec_id", "cosine_sim", "rk"}
+
+
+def test_scd2_empty_update_batch_is_noop(spark):
+    feed = spark.range(10).select(
+        F.col("id").alias("pk"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("extraction_timestamp"),
+        (F.col("id") * 1.0).alias("price"),
+    )
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="empty_scd2_"))
+    bulk_insert(t, feed)
+    before = sorted(map(tuple, t.read().collect()))
+    scd2_complex(t, feed.limit(0))
+    assert sorted(map(tuple, t.read().collect())) == before
