@@ -671,3 +671,96 @@ def q52_flagship_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(100)
     )
+
+
+def _halfup2(col: str):
+    t = F.col(col) + 50
+    return ((t - t % 100) / 100) / 100.0
+
+
+# ---------------------------------------------------------------------------
+# q61: cumulative channel crossover — the TPC-DS q51 composite: two
+#      channels' daily revenue, running totals per channel, FULL OUTER
+#      join on day, filter where one channel's running MAX overtakes the
+#      other's running total. Stresses window-on-aggregate + full-outer
+#      + windows-after-join in one plan (ref sql/q51.sql:5-51).
+#      The global (unpartitioned) windows are scale-safe BY CONSTRUCTION:
+#      they run over the daily pre-aggregate — one row per date — so the
+#      single-partition frame is calendar-bounded (~thousands of rows)
+#      no matter how large the raw fact table grows.
+# ---------------------------------------------------------------------------
+@register(
+    "q61_cumulative_crossover",
+    covers="W3 W4 J4 U1 A1 O1 O2",
+    oracle="""
+WITH o_daily AS (
+  SELECT CAST(l_shipdate AS DATE) AS d,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS rev
+  FROM lineitem WHERE l_linestatus = 'O' GROUP BY 1
+), f_daily AS (
+  SELECT CAST(l_shipdate AS DATE) AS d,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS rev
+  FROM lineitem WHERE l_linestatus = 'F' GROUP BY 1
+), o_cum AS (
+  SELECT d, sum(rev) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM o_daily
+), f_cum AS (
+  SELECT d, sum(rev) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM f_daily
+), joined AS (
+  SELECT coalesce(o.d, f.d) AS d, o.cum AS o_cum, f.cum AS f_cum
+  FROM o_cum o FULL OUTER JOIN f_cum f ON o.d = f.d
+), maxed AS (
+  SELECT d,
+         max(o_cum) OVER w AS o_run, max(f_cum) OVER w AS f_run
+  FROM joined
+  WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+-- integer half-up: o_run is exact 4dp-cents, /10000 lands on .xx5
+-- midpoints where Spark (HALF_UP) and DuckDB (binary) disagree
+SELECT d,
+       (((o_run + 50) - (o_run + 50) % 100) / 100) / 100.0 AS open_cum,
+       (((f_run + 50) - (f_run + 50) % 100) / 100) / 100.0 AS filled_cum
+FROM maxed
+WHERE o_run > f_run
+ORDER BY d
+LIMIT 100
+""",
+)
+def q61_cumulative_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("bigint")
+
+    def cum(status: str, out: str) -> DataFrame:
+        daily = (
+            li.filter(F.col("l_linestatus") == status)
+            .groupBy(F.to_date("l_shipdate").alias("d"))
+            .agg(F.sum(cents).alias("rev"))
+        )
+        w = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+        return daily.select("d", F.sum("rev").over(w).alias(out))
+
+    o, f = cum("O", "o_cum"), cum("F", "f_cum")
+    joined = o.join(f, "d", "full_outer").select(
+        F.col("d"), "o_cum", "f_cum"
+    )
+    w = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    maxed = joined.select(
+        "d",
+        F.max("o_cum").over(w).alias("o_run"),
+        F.max("f_cum").over(w).alias("f_run"),
+    )
+    return (
+        maxed.filter(F.col("o_run") > F.col("f_run"))
+        .select(
+            "d",
+            _halfup2("o_run").alias("open_cum"),
+            _halfup2("f_run").alias("filled_cum"),
+        )
+        .orderBy("d")
+        .limit(100)
+    )
