@@ -80,3 +80,19 @@ def windowed_event_counts(
         )
         .select(F.col("w.start").alias("window_start"), key_col, "n", "total_value")
     )
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exactly-once dedup: drop re-delivered events by key.
+
+    ``dropDuplicates`` over (keys…, event-time) with a watermark keeps
+    per-key state only until the watermark passes — bounded memory at
+    any stream length (the unwatermarked form grows state forever).
+    Works identically on batch DataFrames for backfills.
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicates(keys + [ts_col])

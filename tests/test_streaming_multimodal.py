@@ -146,3 +146,33 @@ def test_multimodal_resize_composes(spark, sf_smoke):
     }
     feats = extract_image_features(resized, dim=8).collect()
     assert len(feats) == 20 and all(len(f["feature"]) == 8 for f in feats)
+
+
+def test_dedup_stream_drops_redelivered(spark, tmp_path):
+    # the same file fed twice through a file-source stream: every event
+    # is re-delivered once; dedup keeps exactly one copy per key
+    from iceberg_evaluation_spark.streaming.incremental import dedup_stream
+
+    rows = spark.range(50).selectExpr(
+        "id AS event_id",
+        "timestamp_micros(CAST(1700000000000000 + id * 1000000 AS LONG)) AS ts",
+        "CAST(id % 7 AS DOUBLE) AS value",
+    )
+    src = str(tmp_path / "dup_in")
+    rows.coalesce(1).write.parquet(src)
+    rows.coalesce(1).write.mode("append").parquet(src)  # re-delivery
+
+    stream = spark.readStream.schema(
+        "event_id bigint, ts timestamp, value double"
+    ).parquet(src)
+    q = (
+        dedup_stream(stream, keys=["event_id"])
+        .writeStream.format("memory")
+        .queryName("deduped_events")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT event_id FROM deduped_events").collect()
+    assert sorted(r["event_id"] for r in got) == list(range(50))
