@@ -64,3 +64,28 @@ def test_minhash_output_subset_of_exact_jaccard(spark, sf_smoke):
     # pairs by design; a drop below this means the banding broke)
     if exact:
         assert len(approx) >= 0.8 * len(exact)
+
+
+def test_chunking_invariants(spark, sf_smoke):
+    # chunk windows must tile every token: starts advance by the stride,
+    # ends clamp to n, the last chunk reaches n, and re-splitting each
+    # chunk_text yields exactly (tok_end - tok_start) tokens
+    from iceberg_evaluation_spark.plans.corpus_text import q58_document_chunks
+
+    chunks = q58_document_chunks(spark, sf_smoke).collect()
+    assert chunks
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_idx"])
+        n = max(r["tok_end"] for r in rows)
+        for j, r in enumerate(rows):
+            assert r["chunk_idx"] == j
+            assert r["tok_start"] == j * 24
+            assert r["tok_end"] == min(j * 24 + 32, n)
+            n_toks = len(r["chunk_text"].split(" ")) if r["chunk_text"] else 0
+            assert n_toks == r["tok_end"] - r["tok_start"], (doc_id, j)
+        assert rows[-1]["tok_end"] == n  # last chunk reaches the end
+        if len(rows) > 1:
+            assert rows[-2]["tok_end"] - rows[-1]["tok_start"] >= 0  # overlap ≥ 0
