@@ -95,3 +95,64 @@ def test_scd2_complex_equals_declarative_rebuild(spark, tmp_path_factory, batche
         for r in table.read().collect()
     }
     assert actual == _expected(batches)
+
+
+# ---------------------------------------------------------------------------
+# the reference's duality: for IN-ORDER delivery (every batch strictly
+# newer than all applied rows — the scd2_simple precondition,
+# pyspark_functions.py:40-137) the simple and complex paths must land
+# the identical table, and both must equal the declarative rebuild
+# ---------------------------------------------------------------------------
+ordered_batches_st = st.tuples(
+    st.lists(row_st, min_size=1, max_size=3, unique_by=lambda r: r[0]),
+    st.lists(
+        st.lists(row_st, min_size=1, max_size=3, unique_by=lambda r: r[0]),
+        min_size=0,
+        max_size=2,
+    ),
+).map(
+    # shift batch i's day offsets into its own strictly-later decade
+    lambda t: [
+        [(pk, day + 10 * i, val) for (pk, day, val) in batch]
+        for i, batch in enumerate([t[0], *t[1]])
+    ]
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(batches=ordered_batches_st)
+def test_scd2_simple_equals_complex_for_inorder_batches(
+    spark, tmp_path_factory, batches
+):
+    from iceberg_evaluation_spark.operators.scd2 import scd2_simple
+
+    def run(apply_fn, tag):
+        table = SnapshotTable(
+            spark, str(tmp_path_factory.mktemp(f"scd2_{tag}"))
+        )
+        full, *rest = batches
+        bulk_insert(table, _df(spark, full))
+        for batch in rest:
+            apply_fn(table, _df(spark, batch))
+        return {
+            (r["pk"], r["value"], r["start_datetime"], r["end_datetime"], r["is_current"])
+            for r in table.read().collect()
+        }
+
+    def _df(s, rows):
+        return s.createDataFrame(
+            [
+                (pk, val, BASE + timedelta(days=day), "U")
+                for (pk, day, val) in rows
+            ],
+            "pk string, value int, extraction_timestamp timestamp, op string",
+        )
+
+    simple = run(scd2_simple, "simple")
+    complex_ = run(scd2_complex, "complex")
+    assert simple == complex_
+    assert simple == _expected(batches)
