@@ -587,3 +587,37 @@ def q56_moving_week_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_rev",
         F.round(F.sum(day_cents).over(w) / 100.0, 2).alias("week_rev"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q62: JSON property extraction + semi-structured aggregation — the
+#      engine's path for the `props` payload column: parse once with an
+#      explicit schema (from_json, JVM-side — never a Python json loop),
+#      then aggregate on the extracted field. Narrow parse + one shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "q62_json_props",
+    covers="P2 P5 A1 scalar-census",
+    oracle="""
+SELECT event_type,
+       CAST(json_extract(props, '$.k') AS INT) % 10 AS k_bucket,
+       count(*) AS n,
+       CAST(min(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS k_min,
+       CAST(max(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS k_max
+FROM events
+WHERE json_extract(props, '$.k') IS NOT NULL
+GROUP BY 1, 2
+""",
+)
+def q62_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "k", F.from_json("props", "k INT")["k"]
+    ).filter(F.col("k").isNotNull())
+    return parsed.groupBy(
+        "event_type", (F.col("k") % 10).alias("k_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("k").alias("k_min"),
+        F.max("k").alias("k_max"),
+    )
