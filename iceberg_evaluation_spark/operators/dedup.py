@@ -41,11 +41,15 @@ __all__ = [
 # exact dedup
 # ---------------------------------------------------------------------------
 def _spread(df: DataFrame, parallelism: int | None = None) -> DataFrame:
-    """Fan a (possibly single-partition) input across the cluster before
-    CPU-heavy per-row expressions. A small parquet file arrives as ONE
-    partition; without this every shingle/signature computation would run
-    on a single core regardless of cluster size."""
+    """Fan an under-partitioned input across the cluster before CPU-heavy
+    per-row expressions. A small parquet file arrives as ONE partition;
+    without this every shingle/signature computation would run on a
+    single core regardless of cluster size. Inputs that already carry
+    enough partitions (any real at-scale scan) pass through untouched —
+    an unconditional repartition would add a full corpus shuffle."""
     p = parallelism or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(2, p // 2):
+        return df
     return df.repartition(p)
 
 

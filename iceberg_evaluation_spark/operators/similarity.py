@@ -23,8 +23,12 @@ __all__ = ["cosine_topk", "cosine_pairs", "ivf_cosine_topk"]
 
 def _spread(df: DataFrame) -> DataFrame:
     """Small parquet inputs arrive as one partition; fan out before the
-    CPU-heavy vector math so it uses every core."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    CPU-heavy vector math so it uses every core. Already-partitioned
+    inputs pass through — no gratuitous corpus shuffle at scale."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(2, p // 2):
+        return df
+    return df.repartition(p)
 
 
 def _as_double(v: Column) -> Column:
