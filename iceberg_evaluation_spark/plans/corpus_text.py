@@ -506,3 +506,62 @@ def q60_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum("n_tokens").alias("n_tokens_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q63: dataset split + source mixture — the last mile of a training-data
+#      pipeline: assign every document a deterministic train/val/test
+#      split (80/10/10) and downsample per-source to target mixture
+#      rates, all driven by an md5-derived uniform hash of the doc id so
+#      the assignment is content-stable, engine-portable (md5 is shared
+#      with the oracle), reproducible across runs, and embarrassingly
+#      parallel (narrow, no shuffle before the final per-cell count).
+# ---------------------------------------------------------------------------
+_MIX = ("CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 1000 "
+        "WHEN CAST(substr(source, 4) AS INT) < 10 THEN 700 ELSE 500 END")
+
+
+@register(
+    "q63_dataset_split_mixture",
+    covers="P3 P4 A1 text-analysis",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS INT) % 1000
+           AS bucket
+  FROM documents
+), sampled AS (
+  SELECT doc_id, source, bucket,
+         CASE WHEN bucket < 800 THEN 'train'
+              WHEN bucket < 900 THEN 'val'
+              ELSE 'test' END AS split
+  FROM h
+  WHERE (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 7, 6)) AS INT) % 1000)
+        < ({_MIX})
+)
+SELECT source, split, count(*) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM sampled
+GROUP BY source, split
+""",
+)
+def q63_dataset_split_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hex1 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6)
+    hex2 = F.substring(F.md5(F.col("doc_id").cast("string")), 7, 6)
+    bucket = (F.conv(hex1, 16, 10).cast("bigint") % 1000).cast("int")
+    mix_bucket = (F.conv(hex2, 16, 10).cast("bigint") % 1000).cast("int")
+    src_n = F.substring("source", 4, 10).cast("int")
+    rate = F.when(src_n < 5, 1000).when(src_n < 10, 700).otherwise(500)
+    sampled = docs.select("doc_id", "source", bucket.alias("bucket"), mix_bucket.alias("mb"), rate.alias("rate")).filter(
+        F.col("mb") < F.col("rate")
+    )
+    split = (
+        F.when(F.col("bucket") < 800, "train")
+        .when(F.col("bucket") < 900, "val")
+        .otherwise("test")
+    )
+    return sampled.withColumn("split", split).groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+    )
