@@ -244,14 +244,19 @@ class SnapshotTable:
             .distinct()
             .collect()
         )
-        touched_uris = {r["__file"] for r in touched_rows}
+        # URIs look like file:///<root>/data/commit-x/part-*.parquet —
+        # recover the root-relative path for an exact O(1) membership
+        # test (an endswith scan would be O(files × touched) and can
+        # false-positive on basename collisions across commits)
+        def _to_rel(uri: str) -> str:
+            marker = "/data/"
+            idx = uri.rfind(marker)
+            return "data/" + uri[idx + len(marker):] if idx >= 0 else uri
+
+        touched_set = {_to_rel(r["__file"]) for r in touched_rows}
         prev = self._read_snapshot(self.current_version())
-        untouched_rel = [
-            rel
-            for rel in prev["files"]
-            if not any(uri.endswith(rel) for uri in touched_uris)
-        ]
-        touched_rel = [rel for rel in prev["files"] if rel not in set(untouched_rel)]
+        untouched_rel = [rel for rel in prev["files"] if rel not in touched_set]
+        touched_rel = [rel for rel in prev["files"] if rel in touched_set]
 
         if touched_rel:
             touched_abs = [os.path.join(self.root, rel) for rel in touched_rel]
