@@ -764,3 +764,41 @@ def q61_cumulative_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("d")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# q64: CASE over scalar subqueries in SELECT (ref sql/q9.sql:2-14): each
+#      output column picks between two scalar aggregates depending on a
+#      third — Catalyst plans each as an independent subquery, executes
+#      them in parallel, and injects the results as literals. All sums
+#      ride the exact-cents path so the engines agree bit-for-bit.
+# ---------------------------------------------------------------------------
+_Q64_SQL = """
+SELECT r_name,
+       (SELECT count(*) FROM orders) AS n_orders_total,
+       CASE WHEN (SELECT count(*) FROM lineitem WHERE l_quantity <= 25) >
+                 (SELECT count(*) FROM lineitem WHERE l_quantity > 25)
+            THEN (SELECT sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                  FROM lineitem WHERE l_quantity <= 25) / 100.0
+            ELSE (SELECT sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                  FROM lineitem WHERE l_quantity > 25) / 100.0
+       END AS majority_bucket_revenue,
+       CASE WHEN (SELECT count(*) FROM lineitem WHERE l_returnflag = 'R') * 2 >
+                 (SELECT count(*) FROM lineitem)
+            THEN 'mostly_returned' ELSE 'mostly_kept'
+       END AS return_profile
+FROM region
+ORDER BY r_name
+"""
+
+
+@register(
+    "q64_case_scalar_subqueries",
+    covers="A2 J9 P5 scalar-census O1",
+    oracle=_Q64_SQL,
+)
+def q64_case_scalar_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import register_star_schema
+
+    register_star_schema(spark, sf_dir)
+    return spark.sql(_Q64_SQL)
