@@ -26,8 +26,12 @@ Scale design:
   snapshot by reference, only touched files are rewritten. At 100 TB with
   0.1 % daily updates this rewrites ~the files containing matches, not
   the table (same win Iceberg's merge gets from manifest pruning).
-- Commits are single-writer; the VERSION pointer flips via
-  ``os.replace`` (atomic on POSIX), so readers never see a torn snapshot.
+- The VERSION pointer flips via ``os.replace`` (atomic on POSIX), so
+  readers never see a torn snapshot; writers use optimistic concurrency
+  (Iceberg's commit model): state-reading operations (merge, compact)
+  pin the version they read and their commit is REJECTED with
+  :class:`ConcurrentCommitError` if another writer advanced the table
+  meanwhile — retry against fresh state.
 """
 
 from __future__ import annotations
@@ -43,7 +47,13 @@ from typing import Any
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["SnapshotTable", "MergeClause"]
+__all__ = ["SnapshotTable", "MergeClause", "ConcurrentCommitError"]
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed between this operation's read and its
+    commit (optimistic concurrency, same model as Iceberg's snapshot
+    CAS). Retry the operation against the fresh table state."""
 
 
 @dataclass
@@ -107,9 +117,24 @@ class SnapshotTable:
         return out
 
     def _commit(self, files: list[str], operation: str, summary: dict[str, Any],
-                schema_json: str) -> int:
+                schema_json: str, expected_version: int | None = None) -> int:
+        """Write the snapshot and flip the pointer.
+
+        ``expected_version`` is the optimistic-concurrency guard
+        (Iceberg's commit model): operations that READ table state to
+        compute their output (merge, compact) pass the version they
+        read; if another writer committed meanwhile, the commit is
+        rejected instead of silently clobbering the interleaved snapshot
+        — the caller retries against fresh state.
+        """
         os.makedirs(self._snap_dir, exist_ok=True)
-        version = (self.current_version() + 1) if self.exists() else 1
+        current = self.current_version() if self.exists() else 0
+        if expected_version is not None and current != expected_version:
+            raise ConcurrentCommitError(
+                f"table advanced to v{current} while this {operation} was "
+                f"computed against v{expected_version}; retry on fresh state"
+            )
+        version = current + 1
         snap = {
             "version": version,
             "timestamp_ms": int(time.time() * 1000),
@@ -223,7 +248,10 @@ class SnapshotTable:
         - duplicate source keys raise (Spark/Iceberg merge cardinality
           rule; SURVEY §7 "genuinely hard" #1)
         """
-        target_all = self.read().withColumn("__file", F.input_file_name())
+        base_version = self.current_version()  # optimistic-concurrency basis
+        target_all = self.read(version=base_version).withColumn(
+            "__file", F.input_file_name()
+        )
         src = source
 
         if validate_source_unique:
@@ -254,7 +282,7 @@ class SnapshotTable:
             return "data/" + uri[idx + len(marker):] if idx >= 0 else uri
 
         touched_set = {_to_rel(r["__file"]) for r in touched_rows}
-        prev = self._read_snapshot(self.current_version())
+        prev = self._read_snapshot(base_version)
         untouched_rel = [rel for rel in prev["files"] if rel not in touched_set]
         touched_rel = [rel for rel in prev["files"] if rel in touched_set]
 
@@ -276,6 +304,7 @@ class SnapshotTable:
                 "added_files": len(new_files),
             },
             prev["schema"],
+            expected_version=base_version,
         )
         return version
 
@@ -342,18 +371,20 @@ class SnapshotTable:
     def compact(self, target_file_mb: int = 128) -> int:
         """Bin-pack compaction (reference ``OPTIMIZE … REWRITE DATA USING
         BIN_PACK``, notebook cell 45 / SURVEY M8)."""
-        snap = self._read_snapshot(self.current_version())
+        base_version = self.current_version()
+        snap = self._read_snapshot(base_version)
         total_bytes = sum(
             os.path.getsize(os.path.join(self.root, rel)) for rel in snap["files"]
         )
         n = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
-        df = self.read()
+        df = self.read(version=base_version)
         files = self._write_files(df, target_partitions=n)
         return self._commit(
             files,
             "rewrite_data_files",
             {"strategy": "binpack", "rewritten": len(snap["files"]), "added": len(files)},
             snap["schema"],
+            expected_version=base_version,
         )
 
     def expire_snapshots(self, keep_last: int = 1) -> int:

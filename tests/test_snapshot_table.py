@@ -152,3 +152,35 @@ def test_drop_purge_removes_table(spark, tmp_path):
     t.drop(purge=True)
     assert not t.exists()
     assert not os.path.isdir(t.root)
+
+
+def test_concurrent_commit_rejected(spark, tmp_path):
+    # Iceberg-style optimistic concurrency: a merge computed against v1
+    # must be REJECTED if another writer advanced the table meanwhile —
+    # never silently clobber the interleaved snapshot
+    import pytest as _pytest
+
+    from iceberg_evaluation_spark.tables.snapshot_table import (
+        ConcurrentCommitError,
+        MergeClause,
+        SnapshotTable,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "occ"))
+    t.create_or_replace(spark.range(10).toDF("id"))
+
+    # simulate an interleaved writer by advancing the version between a
+    # merge's read (patched to capture) and its commit: easiest faithful
+    # simulation is committing through a SECOND handle first, then
+    # replaying a merge whose base was the old version via the low-level
+    # API
+    other = SnapshotTable(spark, t.root)
+    base = t.current_version()
+    other.append(spark.range(10, 15).toDF("id"))  # interleaved commit
+    with _pytest.raises(ConcurrentCommitError):
+        t._commit([], "merge", {}, t._read_snapshot(base)["schema"],
+                  expected_version=base)
+    # and a fresh merge against current state still succeeds
+    src = spark.range(3).toDF("id")
+    t.merge(src, ["id"], MergeClause(matched_update={"id": "s.id"}))
+    assert t.current_version() == base + 2
