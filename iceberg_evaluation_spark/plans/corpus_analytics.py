@@ -621,3 +621,78 @@ def q62_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").alias("k_min"),
         F.max("k").alias("k_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q65: native DataFrame pivot — groupBy().pivot() with explicit value
+#      list (never the value-discovering form, which adds a full extra
+#      scan job at scale). Same semantics as the A9 manual CASE pivot
+#      (q22) through the dedicated API; Catalyst compiles both to one
+#      aggregate pass.
+# ---------------------------------------------------------------------------
+@register(
+    "q65_native_pivot",
+    covers="A9 A1 P1",
+    oracle=f"""
+SELECT l_returnflag,
+       {sql_sum("CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END")} AS qty_O,
+       {sql_sum("CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END")} AS qty_F
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q65_native_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    pivoted = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(exact_sum(F.col("l_quantity")))
+    )
+    return pivoted.select(
+        "l_returnflag",
+        F.coalesce("O", F.lit(0.0)).alias("qty_O"),
+        F.coalesce("F", F.lit(0.0)).alias("qty_F"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q66: unpivot/melt — the inverse reshape (wide metrics → long rows),
+#      Spark's native `unpivot`; the oracle reconstructs via UNION ALL.
+#      Narrow: each input row fans to one row per metric, no shuffle
+#      until the final aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "q66_unpivot_metrics",
+    covers="U1 P1 A1",
+    oracle=f"""
+WITH metrics AS (
+  SELECT o_orderstatus, 'totalprice' AS metric,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+  UNION ALL
+  SELECT o_orderstatus, 'orderkey_mod', CAST((o_orderkey % 97) * 100 AS BIGINT)
+  FROM orders
+)
+SELECT o_orderstatus, metric,
+       count(*) AS n, (sum(cents) / 100.0) AS total
+FROM metrics
+GROUP BY o_orderstatus, metric
+""",
+)
+def q66_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    wide = orders.select(
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("totalprice"),
+        ((F.col("o_orderkey") % 97) * 100).cast("bigint").alias("orderkey_mod"),
+    )
+    long = wide.unpivot(
+        ids=["o_orderstatus"],
+        values=["totalprice", "orderkey_mod"],
+        variableColumnName="metric",
+        valueColumnName="cents",
+    )
+    return long.groupBy("o_orderstatus", "metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("cents") / 100.0).alias("total"),
+    )
