@@ -96,3 +96,19 @@ def dedup_stream(
     Works identically on batch DataFrames for backfills.
     """
     return events.withWatermark(ts_col, watermark).dropDuplicates(keys + [ts_col])
+
+
+def enrich_stream(
+    events: DataFrame,
+    dimension: DataFrame,
+    on: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment: join a stream against a (small) static
+    dimension. Spark broadcasts the static side into every micro-batch —
+    no stream-side shuffle, no state. The dimension snapshot is re-read
+    per batch, so slowly-changing dims pick up updates batch-to-batch;
+    for point-in-time correctness against history use operators.asof
+    on the SCD2 table instead.
+    """
+    return events.join(dimension, on, how)

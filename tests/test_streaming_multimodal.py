@@ -176,3 +176,39 @@ def test_dedup_stream_drops_redelivered(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("SELECT event_id FROM deduped_events").collect()
     assert sorted(r["event_id"] for r in got) == list(range(50))
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_smoke, tmp_path):
+    from iceberg_evaluation_spark.sources import load_table
+    from iceberg_evaluation_spark.streaming.incremental import enrich_stream
+
+    ev_batch = load_table(spark, sf_smoke, "events").select(
+        "event_id", "user_id", "value"
+    )
+    dim = spark.range(200).select(
+        F.col("id").alias("user_id"), (F.col("id") % 5).alias("tier")
+    )
+    src = str(tmp_path / "enrich_in")
+    ev_batch.write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "event_id bigint, user_id bigint, value double"
+    ).parquet(src)
+    q = (
+        enrich_stream(stream, dim, ["user_id"])
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["event_id"], r["tier"])
+        for r in spark.sql("SELECT event_id, tier FROM enriched").collect()
+    }
+    want = {
+        (r["event_id"], r["tier"])
+        for r in ev_batch.join(dim, ["user_id"], "left").collect()
+    }
+    assert got == want
