@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""End-to-end training-data pipeline over the documents corpus:
+
+    quality filter → exact dedup → chunk → near-dup chunk stats →
+    sequence packing → train/val/test split + source mixture
+
+    python examples/training_data_pipeline.py [SF_DIR]
+
+Every stage is the same operator the oracle-checked corpus queries use;
+this script shows how they compose into one lazy plan per stage output.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from iceberg_evaluation_spark.operators.dedup import exact_dedup
+from iceberg_evaluation_spark.operators.text_ops import text_quality
+from iceberg_evaluation_spark.session import get_spark
+from iceberg_evaluation_spark.sources import load_table
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="training-data-pipeline")
+    docs = load_table(spark, sf_dir, "documents")
+    n0 = docs.count()
+
+    # 1. quality gate: keep docs scoring >= 0.5 on the heuristic panel
+    quality = text_quality(docs)
+    kept_ids = quality.filter(F.col("quality_score") >= 0.5).select("doc_id")
+    docs_q = docs.join(kept_ids, "doc_id", "left_semi")
+    n1 = docs_q.count()
+
+    # 2. exact dedup: one survivor per normalized-text group
+    survivors = exact_dedup(docs_q, "text", "doc_id").select("doc_id")
+    docs_d = docs_q.join(survivors, "doc_id", "left_semi")
+    n2 = docs_d.count()
+
+    # 3-5. chunk → dedup stats → pack → split (registry operators run on
+    # the full table; in a production pipeline they'd take docs_d)
+    from iceberg_evaluation_spark.plans.corpus_text import (
+        q58_document_chunks,
+        q59_chunk_dedup_stats,
+        q60_sequence_packing,
+        q63_dataset_split_mixture,
+    )
+
+    n_chunks = q58_document_chunks(spark, sf_dir).count()
+    dup = q59_chunk_dedup_stats(spark, sf_dir).agg(
+        F.round(F.avg("dup_ratio"), 4).alias("mean_dup_ratio")
+    ).collect()[0]["mean_dup_ratio"]
+    n_packs = q60_sequence_packing(spark, sf_dir).count()
+    split = {
+        (r["source"], r["split"]): r["n_docs"]
+        for r in q63_dataset_split_mixture(spark, sf_dir).collect()
+    }
+    n_train = sum(v for (s, sp), v in split.items() if sp == "train")
+    n_val = sum(v for (s, sp), v in split.items() if sp == "val")
+    n_test = sum(v for (s, sp), v in split.items() if sp == "test")
+
+    print(f"documents:            {n0}")
+    print(f"after quality gate:   {n1}")
+    print(f"after exact dedup:    {n2}")
+    print(f"chunks (32/24):       {n_chunks}")
+    print(f"mean chunk dup ratio: {dup}")
+    print(f"packs (256 tokens):   {n_packs}")
+    print(f"split train/val/test: {n_train}/{n_val}/{n_test}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

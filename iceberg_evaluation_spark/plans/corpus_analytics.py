@@ -696,3 +696,33 @@ def q66_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         (F.sum("cents") / 100.0).alias("total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q67: GROUPING SETS — arbitrary aggregation granularities in one pass
+#      (generalizes q08's ROLLUP; one Expand + one shuffle regardless of
+#      how many sets). Sets chosen to NOT nest: (flag, status), (flag),
+#      (status), () — a shape ROLLUP cannot express.
+# ---------------------------------------------------------------------------
+_Q67_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) AS INT) AS g_flag,
+       CAST(grouping(l_linestatus) AS INT) AS g_status,
+       count(*) AS n,
+       (sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) / 100.0) AS total_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
+                        (l_linestatus), ())
+"""
+
+
+@register(
+    "q67_grouping_sets",
+    covers="A5 A6 A1",
+    oracle=_Q67_SQL,
+)
+def q67_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import register_star_schema
+
+    register_star_schema(spark, sf_dir)
+    return spark.sql(_Q67_SQL)
