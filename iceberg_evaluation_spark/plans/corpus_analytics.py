@@ -726,3 +726,57 @@ def q67_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_star_schema(spark, sf_dir)
     return spark.sql(_Q67_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q68: the full ranking-function family — dense_rank, ntile, percent_rank,
+#      cume_dist over one totally-ordered window (the reference corpus
+#      uses only rank/row_number; the engine exposes the whole family).
+# ---------------------------------------------------------------------------
+@register(
+    "q68_rank_family",
+    covers="W1 W2 A1",
+    oracle=f"""
+WITH nat AS (
+  SELECT n_name, count(*) AS n_customers,
+         CAST(sum(c_custkey) AS BIGINT) AS key_sum
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT n_name, n_customers,
+       rank()         OVER w AS rk,
+       dense_rank()   OVER w AS drk,
+       ntile(4)       OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist()    OVER w, 6) AS cume
+FROM nat
+WINDOW w AS (ORDER BY n_customers DESC, n_name)
+""",
+)
+def q68_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import load_table as _lt
+
+    customer = _lt(spark, sf_dir, "customer")
+    nation = _lt(spark, sf_dir, "nation")
+    nat = (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("c_custkey").alias("key_sum"),
+        )
+    )
+    # nation-count cardinality is calendar-of-nations bounded (25) — the
+    # unpartitioned window is constant-size at any raw scale
+    w = W.orderBy(F.col("n_customers").desc(), F.col("n_name"))
+    return nat.select(
+        "n_name",
+        "n_customers",
+        F.rank().over(w).alias("rk"),
+        F.dense_rank().over(w).alias("drk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
