@@ -22,6 +22,17 @@ from ..functions.text import (
 __all__ = ["text_quality", "language_id", "rolling_fingerprint"]
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """A single parquet file arrives as ONE partition; these operators are
+    narrow (no shuffle of their own), so an under-partitioned input would
+    serialize the whole corpus onto one core. Fan out only when needed —
+    an already-partitioned at-scale scan passes through untouched."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(2, p // 2):
+        return df
+    return df.repartition(p)
+
+
 def text_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document quality metrics + a composite score in [0, 1].
 
@@ -44,7 +55,7 @@ def text_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         + F.when(p_ratio <= 0.2, 0.25).otherwise(0.0)
         + F.when(sw_ratio >= 0.02, 0.25).otherwise(0.0)
     )
-    return df.select(
+    return _fan_out(df).select(
         F.col(id_col),
         n_chars.alias("n_chars_obs"),
         n_tok.alias("n_tokens"),
@@ -82,7 +93,7 @@ def rolling_fingerprint(
     transform lambda would re-run the regex for every one of the ~|text|
     window positions (measured 30× slower at sf0.1).
     """
-    staged = df.select(F.col(id_col), normalize_ws(text_col).alias("__norm"))
+    staged = _fan_out(df).select(F.col(id_col), normalize_ws(text_col).alias("__norm"))
     m = F.greatest(F.length("__norm") - k + 1, F.lit(1))
     hs = F.transform(
         F.sequence(F.lit(1), m), lambda i: F.md5(F.col("__norm").substr(i, F.lit(k)))
@@ -118,4 +129,4 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     sel = [F.col(id_col)]
     sel += [F.round(ratios[lang], 4).alias(f"ratio_{lang}") for lang in sorted(STOPWORDS)]
     sel.append(label.alias("lang_pred"))
-    return df.select(*sel)
+    return _fan_out(df).select(*sel)

@@ -68,11 +68,12 @@ def test_sessionization_single_exchange(spark, sf_correct):
     assert n_exchanges == 1, f"expected 1 shuffle, plan has {n_exchanges}"
 
 
-def test_rolling_fingerprint_no_shuffle(spark, sf_correct):
-    # per-row fingerprints are narrow: any Exchange would mean the k-gram
-    # computation shuffles payload-sized data for no reason
+def test_rolling_fingerprint_only_fanout_shuffle(spark, sf_correct):
+    # per-row fingerprints are narrow; the only permitted Exchange is the
+    # ROUND-ROBIN fan-out for under-partitioned single-file inputs —
+    # never a hash/range shuffle of payload-sized data
     plan = _formatted_plan(spark, "q39_rolling_fingerprint", sf_correct)
-    assert "Exchange" not in plan
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
 
 
 def test_multimodal_metadata_no_shuffle_no_python(spark, sf_correct):
