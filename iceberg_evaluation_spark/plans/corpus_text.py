@@ -565,3 +565,53 @@ def q63_dataset_split_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q69: near-duplicate clusters — connected components over the exact
+#      n-gram-Jaccard pair graph (iterative min-label propagation,
+#      operators/cluster.py; diameter-bounded rounds, one join+agg per
+#      round). The oracle computes the same components with a recursive
+#      CTE, so the distributed iterative algorithm is value-checked
+#      against declarative SQL. Isolated docs are singleton clusters.
+# ---------------------------------------------------------------------------
+@register(
+    "q69_neardup_clusters",
+    covers="dedup-ngram-jaccard dedup-exact J1 A1",
+    oracle=f"""
+WITH RECURSIVE norm AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(0, greatest(len(t) - 3, 0) + 1),
+                                      i -> array_to_string(t[i+1:i+3], ' '))) AS s
+  FROM norm
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+)
+SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster
+FROM reach GROUP BY node
+""",
+)
+def q69_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cluster import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    cc = connected_components(
+        docs.select(F.col("doc_id").alias("id")), edges
+    )
+    return cc.select(F.col("node").alias("doc_id"), "cluster")
