@@ -802,3 +802,44 @@ def q64_case_scalar_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_star_schema(spark, sf_dir)
     return spark.sql(_Q64_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q70: extended string-function census — lower/trim/length/replace/
+#      lpad/split/strpos over customer names (the reference corpus uses
+#      only substr/upper/concat/LIKE, §2.9; the engine exposes the full
+#      portable set). Narrow projection + one aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "q70_string_census",
+    covers="P1 P5 scalar-census A1",
+    oracle="""
+SELECT c_mktsegment,
+       count(*) AS n,
+       CAST(sum(length(trim(c_name))) AS BIGINT) AS total_name_len,
+       CAST(sum(length(replace(lower(c_name), 'customer', ''))) AS BIGINT)
+         AS len_sans_word,
+       CAST(sum(CASE WHEN strpos(c_name, '#') > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS with_hash,
+       min(lpad(CAST(c_custkey AS VARCHAR), 10, '0')) AS first_key_padded,
+       CAST(sum(len(string_split(c_name, '#'))) AS BIGINT) AS total_parts
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
+def q70_string_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length(F.trim("c_name"))).alias("total_name_len"),
+        F.sum(
+            F.length(F.regexp_replace(F.lower("c_name"), "customer", ""))
+        ).alias("len_sans_word"),
+        F.sum(
+            F.when(F.instr("c_name", "#") > 0, 1).otherwise(0)
+        ).alias("with_hash"),
+        F.min(F.lpad(F.col("c_custkey").cast("string"), 10, "0")).alias(
+            "first_key_padded"
+        ),
+        F.sum(F.size(F.split("c_name", "#"))).alias("total_parts"),
+    )
