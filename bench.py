@@ -2,9 +2,10 @@
 """Benchmark entry point (driver contract).
 
 Runs the headline query inventory at ``$SPARK_GRAFT_SF_DIR`` (default
-/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
-line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``. The FINAL stdout
+line is one SHORT JSON object (<200 bytes — the driver's tail window
+truncated round 1's 2.5 KB per-query line to ``parsed: null``); the full
+per-query breakdown goes to ``BENCH_DETAIL.json`` next to this file.
 """
 
 from __future__ import annotations
@@ -46,7 +47,7 @@ def main() -> None:
             queries[name] = round(s.best_s, 3)
     total = round(sum(queries.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    out = {
+    detail = {
         "metric": "corpus_total_wall",
         "value": total,
         "unit": "sec",
@@ -54,8 +55,25 @@ def main() -> None:
         "sf": sf,
     }
     if failed:
-        out["failed"] = failed
-    print(json.dumps(out))
+        detail["failed"] = failed
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    # final line stays tiny so the driver's tail window can parse it
+    print(
+        json.dumps(
+            {
+                "metric": "corpus_total_wall",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "n_ok": len(queries),
+                "n_failed": len(failed),
+            }
+        )
+    )
     spark.stop()
 
 

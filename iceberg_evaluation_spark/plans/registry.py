@@ -31,6 +31,13 @@ class Query:
 
 REGISTRY: dict[str, Query] = {}
 
+# Names listed here are emitted FIRST by all_queries()/all_oracles(), in this
+# order; everything else follows in registration order. The driver's
+# CORRECTNESS check covers only the first 50 entries of queries(), so the
+# queries most in need of an independent verdict (newly added, recently
+# fixed, or never yet driver-checked) must sit inside that window.
+PRIORITY: list[str] = []
+
 
 def register(name: str, covers: str, oracle: str | None):
     """Decorator: add a (spark_fn, oracle_sql) pair to the registry."""
@@ -44,9 +51,17 @@ def register(name: str, covers: str, oracle: str | None):
     return deco
 
 
+def ordered_registry() -> list[Query]:
+    """Registry entries with PRIORITY names first, then registration order."""
+    head = [REGISTRY[n] for n in PRIORITY if n in REGISTRY]
+    headset = set(PRIORITY)
+    tail = [q for n, q in REGISTRY.items() if n not in headset]
+    return head + tail
+
+
 def all_queries() -> dict[str, SparkQuery]:
-    return {q.name: q.spark for q in REGISTRY.values()}
+    return {q.name: q.spark for q in ordered_registry()}
 
 
 def all_oracles() -> dict[str, str]:
-    return {q.name: q.oracle for q in REGISTRY.values() if q.oracle is not None}
+    return {q.name: q.oracle for q in ordered_registry() if q.oracle is not None}

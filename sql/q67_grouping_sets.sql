@@ -4,7 +4,8 @@ SELECT l_returnflag, l_linestatus,
        CAST(grouping(l_returnflag) AS INT) AS g_flag,
        CAST(grouping(l_linestatus) AS INT) AS g_status,
        count(*) AS n,
-       (sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) / 100.0) AS total_qty
+       CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+           AS total_qty
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
                         (l_linestatus), ())

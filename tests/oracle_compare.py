@@ -29,17 +29,31 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _norm_cell(v):
+def _norm_cell(v, strict: bool = True):
+    """Normalize a cell for comparison.
+
+    strict=True mirrors the driver's hash discipline: DECIMAL results keep
+    their type identity (a Spark DECIMAL never matches a DuckDB DOUBLE even
+    when numerically equal — exactly the q64/q67 class of bug the round-1
+    driver caught and the old round-to-9/int-float forgiveness masked), and
+    floats compare at full repr precision. strict=False is the old loose
+    behavior, retained only for intra-engine comparisons where decimal-vs-
+    double drift is representational (sql/*.sql text vs DataFrame twin).
+    """
     if v is None:
         return "<null>"
     if isinstance(v, Decimal):
+        if strict:
+            return "dec:" + format(v.normalize(), "f")
         v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "<nan>"
-        if v == int(v) and abs(v) < 2**53:
-            return str(int(v))  # unify 3.0 (double) vs 3 (int) column-type drift
-        return repr(round(v, 9))
+        if not strict:
+            if v == int(v) and abs(v) < 2**53:
+                return str(int(v))  # unify 3.0 (double) vs 3 (int) drift
+            return repr(round(v, 9))
+        return repr(v)
     if isinstance(v, datetime):
         return v.replace(tzinfo=None).isoformat(timespec="microseconds")
     if isinstance(v, date):
@@ -47,13 +61,15 @@ def _norm_cell(v):
     if isinstance(v, bool):
         return str(int(v))
     if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+        return "[" + ",".join(_norm_cell(x, strict) for x in v) + "]"
     return str(v)
 
 
-def normalize_rows(columns: list[str], rows: list[tuple]) -> list[tuple]:
+def normalize_rows(
+    columns: list[str], rows: list[tuple], strict: bool = True
+) -> list[tuple]:
     order = sorted(range(len(columns)), key=lambda i: columns[i])
-    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    out = [tuple(_norm_cell(r[i], strict) for i in order) for r in rows]
     out.sort()
     return out
 

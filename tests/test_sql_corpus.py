@@ -23,7 +23,7 @@ def _norm(columns, rows):
     from tests.oracle_compare import _norm_cell
 
     order = sorted(range(len(columns)), key=lambda i: columns[i])
-    return sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
+    return sorted(tuple(_norm_cell(r[i], strict=False) for i in order) for r in rows)
 
 
 @pytest.mark.parametrize("name", NAMES)
