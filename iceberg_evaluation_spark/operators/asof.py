@@ -75,24 +75,29 @@ def asof_join(
         .orderBy("__ts", "__tag")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    # Carry ONE struct keyed on the always-non-null __vts rather than
+    # last(ignorenulls) per value column: a per-column carry cannot tell
+    # "no version row yet" from "latest version's value IS NULL" and would
+    # silently substitute an older non-null value, making value_cols
+    # disagree with matched_ts. The struct is non-null exactly on version
+    # rows, so NULL payload fields propagate from the correct version.
+    payload = F.when(
+        F.col("__tag") == 0,
+        F.struct(
+            F.col("__vts").alias("__vts"),
+            *[F.col(c).alias(c) for c in value_cols],
+        ),
+    )
     carried = unioned.select(
         *unioned.columns,
-        F.last(F.when(F.col("__tag") == 0, F.col("__vts")), ignorenulls=True)
-        .over(w)
-        .alias("matched_ts"),
-        *[
-            F.last(F.when(F.col("__tag") == 0, F.col(c)), ignorenulls=True)
-            .over(w)
-            .alias(f"__m_{c}")
-            for c in value_cols
-        ],
+        F.last(payload, ignorenulls=True).over(w).alias("__m"),
     )
     out = (
         carried.filter(F.col("__tag") == 1)
         .select(
             *probes.columns,
-            "matched_ts",
-            *[F.col(f"__m_{c}").alias(c) for c in value_cols],
+            F.col("__m.__vts").alias("matched_ts"),
+            *[F.col(f"__m.{c}").alias(c) for c in value_cols],
         )
     )
     if how == "inner":

@@ -265,9 +265,20 @@ class SnapshotTable:
                 )
 
         src_keys = src.select(*on).distinct()
-        # file-level pruning: only files containing key matches are rewritten
+        # file-level pruning: only files containing key matches are rewritten.
+        # The match condition MUST mirror _apply_merge's eqNullSafe semantics:
+        # a plain column-name semi-join is null-rejecting, so a target row
+        # with a NULL merge key would never mark its file as touched — the
+        # stale row would be carried over while the matching source row was
+        # re-inserted as NOT MATCHED, yielding duplicates.
+        t_pr = target_all.alias("t")
+        k_pr = src_keys.alias("k")
+        prune_cond = None
+        for k in on:
+            c = F.col(f"t.{k}").eqNullSafe(F.col(f"k.{k}"))
+            prune_cond = c if prune_cond is None else (prune_cond & c)
         touched_rows = (
-            target_all.join(src_keys, on, "left_semi")
+            t_pr.join(k_pr, prune_cond, "left_semi")
             .select("__file")
             .distinct()
             .collect()

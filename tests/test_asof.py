@@ -66,3 +66,23 @@ def test_value_column_collision_raises(spark, frames):
     with pytest.raises(ValueError, match="collide"):
         asof_join(probes, versions.withColumnRenamed("val", "ts"),
                   ["user_id"], "ts", "vts", ["ts"])
+
+
+def test_null_payload_from_latest_version_propagates(spark):
+    """The latest matching version's NULL payload must come through as NULL,
+    not be papered over by an older version's non-null value (regression:
+    per-column last(ignorenulls) carry)."""
+    probes = spark.createDataFrame(
+        [(1, 100, TS("2024-01-01 11:00:00"))],
+        "event_id int, user_id int, ts timestamp",
+    )
+    versions = spark.createDataFrame(
+        [
+            (100, TS("2024-01-01 09:00:00"), 1.0),
+            (100, TS("2024-01-01 10:00:00"), None),  # latest before probe
+        ],
+        "user_id int, vts timestamp, val double",
+    )
+    [row] = asof_join(probes, versions, ["user_id"], "ts", "vts", ["val"]).collect()
+    assert row["matched_ts"] == TS("2024-01-01 10:00:00")
+    assert row["val"] is None  # NULL payload of the matched version, not 1.0

@@ -184,3 +184,21 @@ def test_concurrent_commit_rejected(spark, tmp_path):
     src = spark.range(3).toDF("id")
     t.merge(src, ["id"], MergeClause(matched_update={"id": "s.id"}))
     assert t.current_version() == base + 2
+
+
+def test_merge_null_key_prunes_and_updates(spark, tmp_path):
+    """File pruning must use the same eqNullSafe key semantics as the row
+    merge: a target row with a NULL merge key must have its file rewritten
+    (regression: null-rejecting semi-join carried the stale row AND inserted
+    the source row as NOT MATCHED, duplicating the key)."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create_or_replace(
+        spark.createDataFrame([(1, "a"), (None, "b")], "id int, v string")
+    )
+    src = spark.createDataFrame([(None, "B")], "id int, v string")
+    t.merge(src, on=["id"], clause=MergeClause(matched_update={"v": "s.v"}))
+    rows = sorted(
+        ((r["id"], r["v"]) for r in t.read().collect()),
+        key=lambda x: (x[0] is None, x[0]),
+    )
+    assert rows == [(1, "a"), (None, "B")]  # updated in place, no duplicate
