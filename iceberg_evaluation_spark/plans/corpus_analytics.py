@@ -781,3 +781,137 @@ def q68_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q71: multi-CTE year-over-year cross-channel growth — the reference
+#      corpus's deepest composition shape (ref sql/q4.sql:1-108,
+#      q14a.sql:1-100): a 3-channel year_total CTE self-joined six ways,
+#      first-year-positive guards, and cross-channel growth-rate
+#      comparisons. The DuckDB oracle keeps the literal 6-way self-join
+#      CTE form; the Spark plan re-expresses it as ONE conditional-pivot
+#      aggregation (sum(CASE channel×year)) — identical semantics, one
+#      shuffle on custkey instead of six joins of the same CTE, which is
+#      the plan you want at 100 TB. Growth comparisons run as exact
+#      BIGINT-cents cross-multiplications (no double division until the
+#      output boundary), so engines agree bit-for-bit.
+# ---------------------------------------------------------------------------
+_Q71_RET = (
+    "sum(CAST(round(l_extendedprice*(1-l_discount)*10000,0) AS BIGINT))"
+)
+
+_Q71_ORACLE = f"""
+WITH year_total AS (
+  SELECT o_custkey AS custkey, year(o_orderdate) AS yr, 'pri' AS channel,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders WHERE o_orderpriority IN ('1-URGENT','2-HIGH') GROUP BY 1,2
+  UNION ALL
+  SELECT o_custkey, year(o_orderdate), 'std',
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+  FROM orders WHERE o_orderpriority NOT IN ('1-URGENT','2-HIGH') GROUP BY 1,2
+  UNION ALL
+  SELECT o_custkey, year(o_orderdate), 'ret',
+         CAST(((({_Q71_RET}+50) - ({_Q71_RET}+50) % 100) / 100) AS BIGINT)
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag='R' GROUP BY 1,2
+)
+SELECT p1.custkey AS custkey, c.c_name AS c_name,
+  round(CAST(p2.cents AS DOUBLE)/p1.cents, 6) AS pri_growth,
+  round(CAST(s2.cents AS DOUBLE)/s1.cents, 6) AS std_growth,
+  round(CAST(r2.cents AS DOUBLE)/r1.cents, 6) AS ret_growth
+FROM year_total p1
+JOIN year_total p2 ON p1.custkey=p2.custkey AND p2.channel='pri' AND p2.yr=1999
+JOIN year_total s1 ON p1.custkey=s1.custkey AND s1.channel='std' AND s1.yr=1998
+JOIN year_total s2 ON p1.custkey=s2.custkey AND s2.channel='std' AND s2.yr=1999
+JOIN year_total r1 ON p1.custkey=r1.custkey AND r1.channel='ret' AND r1.yr=1998
+JOIN year_total r2 ON p1.custkey=r2.custkey AND r2.channel='ret' AND r2.yr=1999
+JOIN customer c ON c.c_custkey = p1.custkey
+WHERE p1.channel='pri' AND p1.yr=1998
+  AND p1.cents > 0 AND s1.cents > 0 AND r1.cents > 0
+  AND p2.cents * s1.cents > s2.cents * p1.cents
+  AND p2.cents * r1.cents > r2.cents * p1.cents
+ORDER BY custkey LIMIT 100
+"""
+
+
+@register(
+    "q71_yoy_cross_channel",
+    covers="A9 A10 J1 J9 U1 O1 O2 P3 P5",
+    oracle=_Q71_ORACLE,
+)
+def q71_yoy_cross_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    customer = _t(spark, sf_dir, "customer")
+
+    is_pri = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ord_tot = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.year("o_orderdate").alias("yr"),
+        F.when(is_pri, F.lit("pri")).otherwise(F.lit("std")).alias("channel"),
+        cents(F.col("o_totalprice")).alias("_c"),
+    )
+    ret_raw = (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.year("o_orderdate").alias("yr"),
+            F.lit("ret").alias("channel"),
+            cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000).alias("_c"),
+        )
+    )
+    # half-up 1e4→cents happens per (custkey, yr) AFTER the sum, so the
+    # 'ret' branch aggregates first, then unions with the order channels
+    ret_tot = (
+        ret_raw.groupBy("custkey", "yr", "channel")
+        .agg(F.sum("_c").alias("_s"))
+        .select(
+            "custkey",
+            "yr",
+            "channel",
+            (
+                ((F.col("_s") + 50) - (F.col("_s") + 50) % 100) / 100
+            ).cast("long").alias("cents"),
+        )
+    )
+    ord_tot_agg = ord_tot.groupBy("custkey", "yr", "channel").agg(
+        F.sum("_c").alias("cents")
+    )
+    year_total = ord_tot_agg.unionByName(ret_tot)
+
+    def _cell(ch: str, yr: int):
+        return F.sum(
+            F.when(
+                (F.col("channel") == ch) & (F.col("yr") == yr), F.col("cents")
+            )
+        )
+
+    pivot = year_total.groupBy("custkey").agg(
+        _cell("pri", 1998).alias("p1"),
+        _cell("pri", 1999).alias("p2"),
+        _cell("std", 1998).alias("s1"),
+        _cell("std", 1999).alias("s2"),
+        _cell("ret", 1998).alias("r1"),
+        _cell("ret", 1999).alias("r2"),
+    )
+    kept = pivot.filter(
+        F.col("p1").isNotNull() & (F.col("p1") > 0)
+        & F.col("s1").isNotNull() & (F.col("s1") > 0)
+        & F.col("r1").isNotNull() & (F.col("r1") > 0)
+        & F.col("p2").isNotNull() & F.col("s2").isNotNull() & F.col("r2").isNotNull()
+        & (F.col("p2") * F.col("s1") > F.col("s2") * F.col("p1"))
+        & (F.col("p2") * F.col("r1") > F.col("r2") * F.col("p1"))
+    )
+    return (
+        kept.join(F.broadcast(customer), kept.custkey == customer.c_custkey)
+        .select(
+            "custkey",
+            "c_name",
+            F.round(F.col("p2").cast("double") / F.col("p1"), 6).alias("pri_growth"),
+            F.round(F.col("s2").cast("double") / F.col("s1"), 6).alias("std_growth"),
+            F.round(F.col("r2").cast("double") / F.col("r1"), 6).alias("ret_growth"),
+        )
+        .orderBy("custkey")
+        .limit(100)
+    )
