@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_topk", "cosine_pairs", "ivf_cosine_topk"]
+__all__ = ["cosine_topk", "cosine_pairs", "ivf_cosine_topk", "srp_neardup_pairs"]
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -201,3 +201,121 @@ def ivf_cosine_topk(
     )
     w = W.partitionBy(query_id_col).orderBy(F.col("cosine_sim").desc(), F.col(id_col))
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def srp_neardup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+    dim: int = 64,
+    n_bits: int = 64,
+    band_bits: int = 16,
+    quant_scale: int = 1_000_000,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Blocked embedding near-dup pairs via deterministic integer SRP-LSH.
+
+    The scale path for embedding dedup (vs the all-pairs
+    :func:`cosine_pairs` diagnostic): signed-random-projection LSH with a
+    banded blocking join — no O(n²) stage anywhere.
+
+    Every stage is **exactly deterministic and engine-portable**, so a
+    DuckDB oracle can mirror the full pipeline bit-for-bit:
+
+    - hyperplanes are ±1 Rademacher vectors derived from
+      ``md5('srp:<bit>:<pos>')`` hex parity — no RNG, no engine-specific
+      hash (both engines have md5);
+    - vectors are quantized to BIGINT (``round(v*1e6)``) BEFORE
+      projection, so each projection is an INTEGER sum — associative,
+      order-independent, immune to float accumulation order (a double
+      dot product would flip sign bits near 0 between engines);
+    - signatures split into ``n_bits/band_bits`` bands; candidates are
+      pairs agreeing exactly on any band (equi-join on (band, value) —
+      hash-shuffle, broadcast-free, AQE-skew-safe);
+    - per-(band, value) buckets are capped at ``max_bucket`` members
+      (keep-lowest-id, deterministic) so a degenerate embedding cluster
+      cannot go quadratic at 100 TB;
+    - candidates are verified with the exact double cosine and filtered
+      at ``threshold``.
+
+    Identical vectors always share all bands, so exact-duplicate recall
+    is 1.0 by construction (the property the planted-duplicate oracle
+    checks); near-identical pairs match a band with probability
+    ``1-(1-(1-θ/π)^band_bits)^bands``. Output: (id_a, id_b, cosine_sim).
+    """
+    spark = df.sparkSession
+    bands = n_bits // band_bits
+
+    base = df.select(
+        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
+    )
+
+    # ±1 hyperplane entries from md5 parity: first hex digit <= '7' → +1
+    sign_tbl = (
+        spark.range(n_bits * dim)
+        .select(
+            (F.col("id") / dim).cast("int").alias("bit"),
+            (F.col("id") % dim).cast("int").alias("pos"),
+        )
+        .withColumn(
+            "s",
+            F.when(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.lit("srp"), F.col("bit"), F.col("pos"))),
+                    1,
+                    1,
+                )
+                <= "7",
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        )
+    )
+
+    exploded = base.select(
+        "_id", F.posexplode("_v").alias("pos", "_val")
+    ).select(
+        "_id",
+        "pos",
+        F.round(F.col("_val") * quant_scale, 0).cast("bigint").alias("vq"),
+    )
+    proj = (
+        exploded.join(F.broadcast(sign_tbl), "pos")
+        .groupBy("_id", "bit")
+        .agg(F.sum(F.col("vq") * F.col("s")).alias("pr"))
+    )
+    chunks = proj.groupBy(
+        "_id", (F.col("bit") / band_bits).cast("int").alias("chunk")
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("pr") >= 0,
+                F.pow(F.lit(2), F.col("bit") % band_bits).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).alias("cval")
+    )
+    w = W.partitionBy("chunk", "cval").orderBy("_id")
+    capped = chunks.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= max_bucket
+    )
+    a = capped.select("chunk", "cval", F.col("_id").alias("id_a"))
+    b = capped.select("chunk", "cval", F.col("_id").alias("id_b"))
+    cand = (
+        a.join(b, ["chunk", "cval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+    vb = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

@@ -615,3 +615,60 @@ def q69_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.col("doc_id").alias("id")), edges
     )
     return cc.select(F.col("node").alias("doc_id"), "cluster")
+
+
+# ---------------------------------------------------------------------------
+# q72: blocked embedding near-dup — the SCALE path for embedding dedup
+#      (replaces all-pairs q35 as the registered headline; q35 stays as
+#      the exact small-N diagnostic). Deterministic integer SRP-LSH:
+#      md5-derived ±1 hyperplanes over BIGINT-quantized vectors, banded
+#      blocking equi-join, bucket cap, exact-cosine verification. Because
+#      every stage is integer-deterministic and md5 is engine-portable,
+#      the DuckDB oracle replicates the ENTIRE pipeline — the driver
+#      check therefore verifies blocking, capping, and verification at
+#      pair level, not just a planted-recall summary. The query plants
+#      an exact duplicate of every vector (vec_id + 1_000_000): identical
+#      vectors share all bands, so planted recall is 1.0 by construction
+#      and the planted pairs anchor the oracle.
+# ---------------------------------------------------------------------------
+_Q72_ORACLE = """
+WITH c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id, v FROM c0 UNION ALL SELECT vec_id + 1000000, v FROM c0),
+ex AS (SELECT vec_id, CAST(t.pos AS INT) AS pos,
+              CAST(round(v[CAST(t.pos AS INT) + 1] * 1000000, 0) AS BIGINT) AS vq
+       FROM c, range(64) t(pos)),
+s AS (SELECT CAST(t1.b AS INT) AS bit, CAST(t2.p AS INT) AS pos,
+             CASE WHEN substr(md5(concat_ws(':', 'srp', CAST(t1.b AS INT), CAST(t2.p AS INT))), 1, 1) <= '7'
+                  THEN 1 ELSE -1 END AS s
+      FROM range(64) t1(b), range(64) t2(p)),
+proj AS (SELECT vec_id, bit, sum(vq * s) AS pr FROM ex JOIN s USING (pos) GROUP BY 1, 2),
+chunks AS (SELECT vec_id, bit // 16 AS chunk,
+                  sum(CASE WHEN pr >= 0 THEN CAST(power(2, bit % 16) AS BIGINT) ELSE 0 END) AS cval
+           FROM proj GROUP BY 1, 2),
+capped AS (SELECT vec_id, chunk, cval,
+                  row_number() OVER (PARTITION BY chunk, cval ORDER BY vec_id) AS rn
+           FROM chunks),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM capped a JOIN capped b
+           ON a.chunk = b.chunk AND a.cval = b.cval AND a.vec_id < b.vec_id
+         WHERE a.rn <= 200 AND b.rn <= 200)
+SELECT id_a, id_b, round(list_cosine_similarity(ca.v, cb.v), 6) AS cosine_sim
+FROM cand JOIN c ca ON ca.vec_id = id_a JOIN c cb ON cb.vec_id = id_b
+WHERE round(list_cosine_similarity(ca.v, cb.v), 6) >= 0.8
+"""
+
+
+@register(
+    "q72_blocked_embedding_neardup",
+    covers="dedup-embedding-cosine dedup-srp-lsh J1 A1 W1 U1",
+    oracle=_Q72_ORACLE,
+)
+def q72_blocked_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import srp_neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(planted)
+    return srp_neardup_pairs(corpus, threshold=0.8)
