@@ -232,17 +232,145 @@ def q39_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q36_minhash_neardup", covers="dedup-minhash-lsh", oracle=None)
+# ---------------------------------------------------------------------------
+# q36/q37: LSH-family dedup with PLANTED-DUPLICATE INVARIANT oracles.
+#
+# MinHash/SimHash signatures hash with xxhash64 (Spark-only), so their raw
+# pair sets cannot be SQL-oracled. What CAN be oracled exactly are the
+# guarantees the algorithms must satisfy on a corpus with planted exact
+# duplicates (doc_id + 1_000_000, identical text):
+#   - recall on planted pairs is 1.0 BY CONSTRUCTION (identical text →
+#     identical signature → identical band buckets → candidate; exact
+#     verification keeps J=1 / Hamming=0), and
+#   - precision violations are 0, checked through an INDEPENDENT
+#     implementation path (inverted-index Jaccard recount for MinHash;
+#     the HOF-aggregate simhash64 vs the explode-aggregate simhash_frame
+#     for SimHash).
+# The queries emit one summary row of those counts; the DuckDB oracle
+# derives the expected values from the corpus itself. A broken shingle,
+# signature, banding, capping, or verification stage shows up as a
+# planted_found shortfall or a nonzero violation count.
+# ---------------------------------------------------------------------------
+def _planted_docs(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    return docs, docs.unionByName(copies)
+
+
+_Q36_ORACLE = """
+SELECT count(*) AS n_docs,
+       count(*) AS planted_pairs,
+       count(*) AS planted_found,
+       CAST(0 AS BIGINT) AS precision_violations
+FROM documents
+"""
+
+
+@register(
+    "q36_minhash_neardup",
+    covers="dedup-minhash-lsh J5 J6 A2",
+    oracle=_Q36_ORACLE,
+)
 def q36_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_near_duplicates(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.7
+    from ..operators.dedup import _shingle_frame, _jaccard
+
+    docs, corpus = _planted_docs(spark, sf_dir)
+    pairs = minhash_near_duplicates(corpus, "doc_id", "text", threshold=0.7)
+
+    planted = docs.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 1_000_000).alias("id_b"),
+    )
+    found = pairs.join(planted, ["id_a", "id_b"], "left_semi")
+
+    # independent precision recount: inverted-index intersection counting
+    # (explode + hash-agg) instead of the verify join's array_intersect
+    sh = _shingle_frame(corpus, "doc_id", "text", 3)
+    sizes = sh.select("_id", F.size("_sh").alias("_n"))
+    inv = sh.select("_id", F.explode("_sh").alias("_g"))
+    inter = (
+        inv.alias("x")
+        .join(inv.alias("y"), "_g")
+        .filter(F.col("x._id") < F.col("y._id"))
+        .groupBy(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("_i"))
+    )
+    recount = (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .join(sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")), "id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")), "id_b")
+        .select(
+            (
+                F.coalesce(F.col("_i"), F.lit(0)).cast("double")
+                / (F.col("_na") + F.col("_nb") - F.coalesce(F.col("_i"), F.lit(0)))
+            ).alias("_j2")
+        )
+    )
+    violations = recount.filter(F.col("_j2") < 0.7)
+
+    return (
+        docs.agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(planted.agg(F.count(F.lit(1)).alias("planted_pairs")))
+        .crossJoin(found.agg(F.count(F.lit(1)).alias("planted_found")))
+        .crossJoin(violations.agg(F.count(F.lit(1)).alias("precision_violations")))
     )
 
 
-@register("q37_simhash_neardup", covers="dedup-simhash", oracle=None)
+_Q37_ORACLE = """
+SELECT count(*) AS n_docs,
+       count(*) AS planted_pairs,
+       count(*) AS planted_found,
+       CAST(0 AS BIGINT) AS hamming_violations,
+       CAST(0 AS BIGINT) AS impl_mismatches
+FROM documents
+"""
+
+
+@register(
+    "q37_simhash_neardup",
+    covers="dedup-simhash J5 J6 A2",
+    oracle=_Q37_ORACLE,
+)
 def q37_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_near_duplicates(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
+    from ..operators.dedup import simhash64
+
+    docs, corpus = _planted_docs(spark, sf_dir)
+    pairs = simhash_near_duplicates(corpus, "doc_id", "text", max_hamming=3)
+
+    planted = docs.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 1_000_000).alias("id_b"),
+    )
+    found = pairs.join(planted, ["id_a", "id_b"], "left_semi")
+
+    # cross-implementation check: recompute sketches for the (small) set of
+    # ids appearing in output pairs with the HOF-aggregate simhash64 and
+    # compare Hamming distances against the explode-aggregate pipeline's
+    ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .union(pairs.select("id_b"))
+        .distinct()
+    )
+    sk2 = corpus.join(ids, "doc_id", "left_semi").select(
+        "doc_id", simhash64("text", 2).alias("_sk2")
+    )
+    rechecked = (
+        pairs.join(sk2.select(F.col("doc_id").alias("id_a"), F.col("_sk2").alias("_a")), "id_a")
+        .join(sk2.select(F.col("doc_id").alias("id_b"), F.col("_sk2").alias("_b")), "id_b")
+        .select(
+            "hamming",
+            F.bit_count(F.col("_a").bitwiseXOR(F.col("_b"))).alias("_h2"),
+        )
+    )
+    hamming_violations = rechecked.filter(F.col("_h2") > 3)
+    impl_mismatches = rechecked.filter(F.col("_h2") != F.col("hamming"))
+
+    return (
+        docs.agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(planted.agg(F.count(F.lit(1)).alias("planted_pairs")))
+        .crossJoin(found.agg(F.count(F.lit(1)).alias("planted_found")))
+        .crossJoin(hamming_violations.agg(F.count(F.lit(1)).alias("hamming_violations")))
+        .crossJoin(impl_mismatches.agg(F.count(F.lit(1)).alias("impl_mismatches")))
     )
 
 
