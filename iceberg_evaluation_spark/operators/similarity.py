@@ -134,23 +134,33 @@ def ivf_cosine_topk(
     k: int = 5,
     n_cells: int = 16,
     nprobe: int = 4,
+    kmeans_iters: int = 2,
+    train_sample_mod: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted file) coarse quantization.
 
-    Centroids are the ``n_cells`` lexicographically-first corpus vectors
-    by id — deterministic, no iterative k-means (adequate for a coarse
-    quantizer; swap in k-means|| offline for production). Cell assignment
-    is a **narrow** Arrow-batched pandas_udf over a broadcast centroid
-    matrix: no shuffle touches the corpus, each batch is one BLAS matmul,
-    and the scheme scales to any n_cells×dim (inlining centroids as a
-    literal expression tree blows codegen into interpreted fallback and
-    ships MB-scale task binaries; a centroid join would shuffle the
-    corpus). Each query probes its ``nprobe`` nearest cells, so the
-    scored fraction is ~nprobe/n_cells. Output:
+    Centroids start from the ``n_cells`` lexicographically-first corpus
+    vectors by id (deterministic init) and are refined with
+    ``kmeans_iters`` rounds of spherical k-means (Lloyd on unit vectors):
+    assign via the same Arrow-batched pandas_udf used for the final
+    assignment, average member unit-vectors per cell with a
+    posexplode + per-(cell, dim) mean (one shuffle of n×dim skinny rows
+    per round; set ``train_sample_mod=m`` to train on the deterministic
+    ``xxhash64(id) % m == 0`` sample at scale), re-normalize, rebroadcast.
+    Empty cells keep their previous centroid.
+
+    Cell assignment is a **narrow** Arrow-batched pandas_udf over a
+    broadcast centroid matrix: no shuffle touches the corpus, each batch
+    is one BLAS matmul, and the scheme scales to any n_cells×dim
+    (inlining centroids as a literal expression tree blows codegen into
+    interpreted fallback and ships MB-scale task binaries; a centroid
+    join would shuffle the corpus). Each query probes its ``nprobe``
+    nearest cells, so the scored fraction is ~nprobe/n_cells. Output:
     (query_id, vec_id, cosine_sim, rk).
     """
     import numpy as np
 
+    sc = corpus.sparkSession.sparkContext
     v = _spread(corpus).select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
     # orderBy+limit = TakeOrderedAndProject (per-partition top-k, driver
     # merge of n_cells rows) — never a global single-partition window
@@ -166,12 +176,13 @@ def ivf_cosine_topk(
             .withColumn("cosine_sim", F.lit(0.0))
             .withColumn("rk", F.lit(0))
         )
-    M = np.stack(cent_vecs)
-    nrm = np.linalg.norm(M, axis=1, keepdims=True)
-    nrm[nrm == 0] = 1.0
-    bc = corpus.sparkSession.sparkContext.broadcast(M / nrm)
 
-    def cells_udf(n: int):
+    def _rownorm(M: "np.ndarray") -> "np.ndarray":
+        nrm = np.linalg.norm(M, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        return M / nrm
+
+    def cells_udf(bc, n: int):
         # self-contained closure (broadcast handle + int only): workers
         # don't need this package on their sys.path
         def _cells(v_ser):
@@ -189,9 +200,41 @@ def ivf_cosine_topk(
 
         return F.pandas_udf(_cells, "array<int>")
 
-    assigned = v.withColumn("cell", F.element_at(cells_udf(1)(F.col("_v")), 1))
+    M = _rownorm(np.stack(cent_vecs))
+    train = v
+    if train_sample_mod and train_sample_mod > 1:
+        train = v.filter(F.pmod(F.xxhash64(F.col(id_col)), train_sample_mod) == 0)
+    # unit vectors staged as a real column so the HOF lambda doesn't
+    # re-evaluate the norm per element
+    train = train.withColumn("_n", _norm(F.col("_v"))).select(
+        "_v",
+        F.when(F.col("_n") == 0, F.col("_v"))
+        .otherwise(F.transform("_v", lambda x: x / F.col("_n")))
+        .alias("_vu"),
+    )
+    for _ in range(max(0, kmeans_iters)):
+        bc_i = sc.broadcast(M)
+        means = (
+            train.withColumn("cell", F.element_at(cells_udf(bc_i, 1)(F.col("_v")), 1))
+            .select("cell", F.posexplode("_vu").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        M2 = M.copy()
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["cell"] - 1, {})[r["pos"]] = r["m"]
+        for ci, dims in by_cell.items():
+            vec = np.array([dims.get(p, 0.0) for p in range(M.shape[1])])
+            if np.linalg.norm(vec) > 0:
+                M2[ci] = vec
+        M = _rownorm(M2)
+
+    bc = sc.broadcast(M)
+    assigned = v.withColumn("cell", F.element_at(cells_udf(bc, 1)(F.col("_v")), 1))
     qv = queries.select(F.col(query_id_col), _as_double(F.col(vec_col)).alias("_qv"))
-    q = qv.withColumn("cell", F.explode(cells_udf(nprobe)(F.col("_qv")))).select(
+    q = qv.withColumn("cell", F.explode(cells_udf(bc, nprobe)(F.col("_qv")))).select(
         query_id_col, "_qv", "cell"
     )
     scored = assigned.join(F.broadcast(q), "cell").select(

@@ -46,3 +46,32 @@ def test_exact_copy_recall_is_total(spark, noised):
     missing = [i for i in [r[0] for r in noised.select("vec_id").collect()]
                if (i, i + 5000) not in got]
     assert missing == []
+
+
+def test_ivf_kmeans_recall_vs_exact(spark, sf_correct):
+    """IVF with k-means-refined centroids must reach recall@5 >= 0.8
+    against the exact brute-force top-k on the real embeddings table."""
+    from pyspark.sql import functions as F
+
+    from iceberg_evaluation_spark.operators.similarity import (
+        cosine_topk,
+        ivf_cosine_topk,
+    )
+    from iceberg_evaluation_spark.sources import load_table
+
+    emb = load_table(spark, sf_correct, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_cosine_topk(
+            emb, queries, k=5, n_cells=16, nprobe=4, kmeans_iters=2
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"recall@5 = {recall}"
