@@ -363,42 +363,86 @@ def ngram_jaccard_pairs(
     *,
     threshold: float = 0.5,
     shingle_n: int = 3,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """ALL pairs with word-``n``-gram Jaccard ≥ threshold (> 0), exactly.
 
     Blocking is an inverted index on shingles: explode → self-join on the
     shingle → distinct pairs. Complete because J ≥ t > 0 implies at least
-    one shared shingle. The shingle join key is hash-distributed; stop-
-    shingle skew is handled by AQE skew-join (and in a 100 TB deployment
-    by dropping top-frequency shingles, which cannot remove any pair whose
-    other shingles still overlap — callers tune via ``minhash`` instead
-    when approximate recall is acceptable).
-    Output: (id_a, id_b, jaccard).
+    one shared shingle. The shingle join key is hash-distributed; AQE
+    skew-join covers moderate imbalance.
+
+    ``max_shingle_df`` bounds the stop-shingle blow-up: shingles whose
+    document frequency exceeds the cap are dropped from the CANDIDATE
+    index only (a df-d shingle alone contributes d² candidate rows, so
+    boilerplate can go quadratic without it). Candidates are then
+    verified against the FULL shingle arrays, so the cap can never create
+    a false pair or perturb a jaccard value — its only effect is the
+    documented recall edge: a pair whose EVERY shared shingle is above
+    the cap is not generated (its docs are near-pure boilerplate; with
+    cap c and threshold t such pairs need > c other docs sharing each of
+    their shingles). Output: (id_a, id_b, jaccard).
     """
     sh = _shingle_frame(df, id_col, text_col, shingle_n)
-    # |∩| falls straight out of the inverted index: shingles are distinct
-    # per doc, so the per-pair match count IS the intersection size — no
-    # per-pair array ops, just one shuffle on the pair key.
     sizes = sh.select("_id", F.size("_sh").alias("_n"))
     inv = sh.select("_id", F.explode("_sh").alias("_g"))
-    inter = (
-        inv.alias("x")
-        .join(inv.alias("y"), "_g")
-        .filter(F.col("x._id") < F.col("y._id"))
-        .groupBy(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("_inter"))
+
+    if max_shingle_df is None:
+        # |∩| falls straight out of the inverted index: shingles are
+        # distinct per doc, so the per-pair match count IS the
+        # intersection size — no per-pair array ops, just one shuffle on
+        # the pair key.
+        inter = (
+            inv.alias("x")
+            .join(inv.alias("y"), "_g")
+            .filter(F.col("x._id") < F.col("y._id"))
+            .groupBy(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("_inter"))
+        )
+        return (
+            inter.join(
+                sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")),
+                "id_a",
+            )
+            .join(
+                sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")),
+                "id_b",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                F.round(
+                    F.col("_inter").cast("double")
+                    / (F.col("_na") + F.col("_nb") - F.col("_inter")),
+                    6,
+                ).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+
+    rare = inv.groupBy("_g").agg(F.count(F.lit(1)).alias("_df")).filter(
+        F.col("_df") <= max_shingle_df
     )
+    inv_c = inv.join(rare.select("_g"), "_g", "left_semi")
+    cands = (
+        inv_c.alias("x")
+        .join(inv_c.alias("y"), "_g")
+        .filter(F.col("x._id") < F.col("y._id"))
+        .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
+        .distinct()
+    )
+    # exact verification over the full arrays — cap-independent values
     return (
-        inter.join(sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")), "id_a")
-        .join(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")), "id_b")
+        cands.join(
+            sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a")), "id_a"
+        )
+        .join(
+            sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b")), "id_b"
+        )
         .select(
             "id_a",
             "id_b",
-            F.round(
-                F.col("_inter").cast("double")
-                / (F.col("_na") + F.col("_nb") - F.col("_inter")),
-                6,
-            ).alias("jaccard"),
+            F.round(_jaccard(F.col("_sh_a"), F.col("_sh_b")), 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )

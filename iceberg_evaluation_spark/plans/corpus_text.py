@@ -151,8 +151,15 @@ WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
 """,
 )
 def q33_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_shingle_df bounds the candidate join at scale; testdata's max
+    # shingle df is 25 (sf0.1), so a cap of 100 never binds here and the
+    # uncapped exact oracle stays valid
     return ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.5
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        threshold=0.5,
+        max_shingle_df=100,
     )
 
 

@@ -89,3 +89,54 @@ def test_chunking_invariants(spark, sf_smoke):
         assert rows[-1]["tok_end"] == n  # last chunk reaches the end
         if len(rows) > 1:
             assert rows[-2]["tok_end"] - rows[-1]["tok_start"] >= 0  # overlap ≥ 0
+
+
+def test_jaccard_freq_cap_preserves_pairs_below_cap(spark, sf_smoke):
+    """Capped and uncapped paths must agree whenever no shared shingle set
+    is entirely above the cap (true on the testdata corpus: max df 25)."""
+    from iceberg_evaluation_spark.operators.dedup import ngram_jaccard_pairs
+    from iceberg_evaluation_spark.sources import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    uncapped = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.5, max_shingle_df=100
+        ).collect()
+    }
+    assert capped == uncapped
+
+
+def test_jaccard_freq_cap_recall_edge_is_boilerplate_only(spark):
+    """The cap drops only pairs whose EVERY shared shingle is boilerplate;
+    values of surviving pairs are untouched."""
+    from iceberg_evaluation_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "all rights reserved contact us for details"
+    rows = [(i, f"{boiler}") for i in range(10)]  # pure boilerplate docs
+    rows += [(100, boiler + " unique alpha beta gamma delta epsilon"),
+             (101, boiler + " unique alpha beta gamma delta zeta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.3).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", threshold=0.3, max_shingle_df=5
+        ).collect()
+    }
+    # the (100, 101) pair shares rare content shingles → survives the cap
+    # with an identical value
+    assert (100, 101) in capped
+    assert capped[(100, 101)] == uncapped[(100, 101)]
+    # every dropped pair involves a pure-boilerplate doc (its shared
+    # shingles are all above the cap); the content pair never drops
+    dropped = set(uncapped) - set(capped)
+    assert dropped and all(a < 100 for a, b in dropped)
