@@ -46,6 +46,7 @@ _registry.PRIORITY[:] = [
     # --- new this round ---
     "q71_yoy_cross_channel",
     "q72_blocked_embedding_neardup",
+    "q73_cross_channel_intersect",
     # --- representative coverage of the already-green surface (multi-op) ---
     "q52_flagship_composite",
     "q61_cumulative_crossover",

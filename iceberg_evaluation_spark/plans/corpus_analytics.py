@@ -915,3 +915,83 @@ def q71_yoy_cross_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("custkey")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# q73: cross-channel INTERSECT composite — the reference's q14a shape
+#      (ref sql/q14a.sql:1-100): a per-channel sales CTE, a cross_items
+#      set built by INTERSECTing the three channels' item sets, a scalar
+#      average-sales threshold, and a ROLLUP over the union-constrained
+#      result. The threshold comparison is a BIGINT cross-multiplication
+#      (c4·n > Σc4) — no double average crosses the engine boundary, so
+#      rows at the threshold cannot flip between Spark and DuckDB.
+# ---------------------------------------------------------------------------
+_Q73_ORACLE = """
+WITH per AS (
+  SELECT l_returnflag AS channel, l_partkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS c4
+  FROM lineitem GROUP BY 1, 2
+),
+cross_parts AS (
+  SELECT l_partkey FROM per WHERE channel = 'A'
+  INTERSECT
+  SELECT l_partkey FROM per WHERE channel = 'N'
+  INTERSECT
+  SELECT l_partkey FROM per WHERE channel = 'R'
+),
+threshold AS (SELECT sum(c4) AS s, count(*) AS n FROM per)
+SELECT channel, p_brand,
+       CAST(grouping(channel) AS INT) AS g_channel,
+       CAST(grouping(p_brand) AS INT) AS g_brand,
+       count(*) AS n_parts,
+       ((sum(c4) + 50) - (sum(c4) + 50) % 100) / 100 / 100.0 AS revenue
+FROM per
+JOIN cross_parts USING (l_partkey)
+JOIN part ON l_partkey = p_partkey
+CROSS JOIN threshold
+WHERE per.c4 * threshold.n > threshold.s
+GROUP BY ROLLUP(channel, p_brand)
+"""
+
+
+@register(
+    "q73_cross_channel_intersect",
+    covers="U2 A5 A6 J1 J9 A1 A2 P5",
+    oracle=_Q73_ORACLE,
+)
+def q73_cross_channel_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+
+    per = li.groupBy(
+        F.col("l_returnflag").alias("channel"), F.col("l_partkey")
+    ).agg(
+        F.sum(
+            cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)
+        ).alias("c4")
+    )
+
+    def chan(c: str) -> DataFrame:
+        return per.filter(F.col("channel") == c).select("l_partkey")
+
+    cross_parts = chan("A").intersect(chan("N")).intersect(chan("R"))
+    threshold = per.agg(
+        F.sum("c4").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+
+    joined = (
+        per.join(cross_parts, "l_partkey")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .crossJoin(F.broadcast(threshold))
+        .filter(F.col("c4") * F.col("n") > F.col("s"))
+    )
+    s = F.sum("c4")
+    t = s + F.lit(50)
+    return joined.rollup("channel", "p_brand").agg(
+        F.grouping("channel").cast("int").alias("g_channel"),
+        F.grouping("p_brand").cast("int").alias("g_brand"),
+        F.count(F.lit(1)).alias("n_parts"),
+        (((t - t % 100) / 100) / 100.0).alias("revenue"),
+    ).select(
+        "channel", "p_brand", "g_channel", "g_brand", "n_parts", "revenue"
+    )

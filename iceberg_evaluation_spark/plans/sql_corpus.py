@@ -19,7 +19,8 @@ import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
-from pyspark.sql import SparkSession
+from pyspark.sql import Observation, SparkSession
+from pyspark.sql import functions as F
 
 from ..sources import register_star_schema
 
@@ -74,7 +75,19 @@ def run_sql_corpus(
         try:
             for _ in range(iterations):
                 t0 = time.perf_counter()
-                stats.rows = len(spark.sql(text).collect())
+                # full execution without driver materialization: the noop
+                # sink consumes every column (a bare count() would let
+                # Catalyst prune computed columns), and an Observation
+                # carries the row count back without collecting rows
+                obs = Observation()
+                (
+                    spark.sql(text)
+                    .observe(obs, F.count(F.lit(1)).alias("rows"))
+                    .write.format("noop")
+                    .mode("overwrite")
+                    .save()
+                )
+                stats.rows = int(obs.get["rows"])
                 stats.runs_s.append(time.perf_counter() - t0)
         except Exception as exc:  # noqa: BLE001 — reference policy: warn, don't abort
             stats.error = f"{type(exc).__name__}: {exc}"

@@ -120,3 +120,23 @@ def test_corpus_wide_plan_lint(spark, sf_smoke):
         if "CartesianProduct" in plan and name not in CARTESIAN_OK:
             problems.append(f"{name}: CartesianProduct join")
     assert not problems, "\n".join(problems)
+
+
+def test_yoy_cross_channel_is_single_pivot_shuffle(spark, sf_correct):
+    """q71 re-expresses the reference's 6-way CTE self-join as ONE
+    conditional-pivot aggregation: no self-joins of the year_total CTE,
+    customer joined broadcast, top-k fused."""
+    plan = _formatted_plan(spark, "q71_yoy_cross_channel", sf_correct)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_blocked_neardup_has_no_quadratic_join(spark, sf_correct):
+    """q72's blocking must stay an equi-join — any BroadcastNestedLoop /
+    cartesian here means the all-pairs anti-pattern crept back."""
+    plan = _formatted_plan(spark, "q72_blocked_embedding_neardup", sf_correct)
+    assert "BroadcastNestedLoop" not in plan
+    assert "Cartesian" not in plan
+    # zero Python in the pipeline: signatures are integer built-ins
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
