@@ -47,6 +47,7 @@ _registry.PRIORITY[:] = [
     "q71_yoy_cross_channel",
     "q72_blocked_embedding_neardup",
     "q73_cross_channel_intersect",
+    "q74_rank_selfjoin_chain",
     # --- representative coverage of the already-green surface (multi-op) ---
     "q52_flagship_composite",
     "q61_cumulative_crossover",

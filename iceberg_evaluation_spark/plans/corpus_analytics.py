@@ -995,3 +995,75 @@ def q73_cross_channel_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "channel", "p_brand", "g_channel", "g_brand", "n_parts", "revenue"
     )
+
+
+# ---------------------------------------------------------------------------
+# q74: rank + lag/lead SELF-JOIN chain — the reference's literal q47
+#      emulation shape (ref sql/q47.sql:15-54: CTE v1 self-joined as
+#      v1_lag/v1_lead on rn±1). q07 covers the idiomatic lag/lead window
+#      form; this query runs the reference's 3-way self-join form, and
+#      the DuckDB oracle computes the same result with window functions —
+#      cross-validating the two implementations against each other.
+# ---------------------------------------------------------------------------
+_Q74_ORACLE = f"""
+WITH monthly AS (
+  SELECT l_returnflag,
+         CAST(date_part('year', l_shipdate) AS INT) AS ship_year,
+         CAST(date_part('month', l_shipdate) AS INT) AS ship_month,
+         {sql_sum('l_quantity')} AS qty
+  FROM lineitem GROUP BY 1, 2, 3
+)
+SELECT l_returnflag, ship_year, ship_month, qty,
+       lag(qty, 1)  OVER w AS prev_qty,
+       lead(qty, 1) OVER w AS next_qty
+FROM monthly
+WINDOW w AS (PARTITION BY l_returnflag ORDER BY ship_year, ship_month)
+"""
+
+
+@register(
+    "q74_rank_selfjoin_chain",
+    covers="J8 W1 J3 A1",
+    oracle=_Q74_ORACLE,
+)
+def q74_rank_selfjoin_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        "l_returnflag",
+        F.year("l_shipdate").alias("ship_year"),
+        F.month("l_shipdate").alias("ship_month"),
+    ).agg(exact_sum(F.col("l_quantity")).alias("qty"))
+    w = W.partitionBy("l_returnflag").orderBy("ship_year", "ship_month")
+    v1 = monthly.withColumn("rn", F.row_number().over(w))
+
+    cur = v1.alias("cur")
+    lagv = v1.select(
+        F.col("l_returnflag").alias("_f"),
+        (F.col("rn") + 1).alias("_rn"),
+        F.col("qty").alias("prev_qty"),
+    )
+    leadv = v1.select(
+        F.col("l_returnflag").alias("_f"),
+        (F.col("rn") - 1).alias("_rn"),
+        F.col("qty").alias("next_qty"),
+    )
+    return (
+        cur.join(
+            lagv,
+            (F.col("cur.l_returnflag") == lagv._f) & (F.col("cur.rn") == lagv._rn),
+            "left",
+        )
+        .join(
+            leadv,
+            (F.col("cur.l_returnflag") == leadv._f) & (F.col("cur.rn") == leadv._rn),
+            "left",
+        )
+        .select(
+            "cur.l_returnflag",
+            "cur.ship_year",
+            "cur.ship_month",
+            "cur.qty",
+            "prev_qty",
+            "next_qty",
+        )
+    )
