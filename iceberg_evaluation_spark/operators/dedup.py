@@ -420,29 +420,71 @@ def ngram_jaccard_pairs(
             .filter(F.col("jaccard") >= threshold)
         )
 
-    rare = inv.groupBy("_g").agg(F.count(F.lit(1)).alias("_df")).filter(
-        F.col("_df") <= max_shingle_df
+    # Split the index at the cap. Rare shingles drive candidate generation
+    # AND contribute their intersection counts straight from the pair join
+    # (shingles are distinct per doc). Hot shingles (> cap) are carried as
+    # tiny per-doc arrays and intersected per candidate pair — exact |∩|
+    # without ever self-joining a hot posting list or shuffling the full
+    # shingle arrays. |∩| = rare_pair_count + |hot_a ∩ hot_b|.
+    dfreq = inv.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+    inv_rare = inv.join(
+        dfreq.filter(F.col("_df") <= max_shingle_df).select("_g"), "_g", "left_semi"
     )
-    inv_c = inv.join(rare.select("_g"), "_g", "left_semi")
-    cands = (
-        inv_c.alias("x")
-        .join(inv_c.alias("y"), "_g")
+    hot_sets = (
+        inv.join(
+            dfreq.filter(F.col("_df") > max_shingle_df).select("_g"), "_g", "left_semi"
+        )
+        .groupBy("_id")
+        .agg(F.collect_set("_g").alias("_hot"))
+    )
+    inter_rare = (
+        inv_rare.alias("x")
+        .join(inv_rare.alias("y"), "_g")
         .filter(F.col("x._id") < F.col("y._id"))
-        .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
-        .distinct()
+        .groupBy(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("_ir"))
     )
-    # exact verification over the full arrays — cap-independent values
-    return (
-        cands.join(
-            sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a")), "id_a"
+    empty = F.array().cast("array<string>")
+    inter = (
+        inter_rare.join(
+            hot_sets.select(F.col("_id").alias("id_a"), F.col("_hot").alias("_ha")),
+            "id_a",
+            "left",
         )
         .join(
-            sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b")), "id_b"
+            hot_sets.select(F.col("_id").alias("id_b"), F.col("_hot").alias("_hb")),
+            "id_b",
+            "left",
         )
         .select(
             "id_a",
             "id_b",
-            F.round(_jaccard(F.col("_sh_a"), F.col("_sh_b")), 6).alias("jaccard"),
+            (
+                F.col("_ir")
+                + F.size(
+                    F.array_intersect(
+                        F.coalesce(F.col("_ha"), empty),
+                        F.coalesce(F.col("_hb"), empty),
+                    )
+                )
+            ).alias("_inter"),
+        )
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")), "id_a"
+        )
+        .join(
+            sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")), "id_b"
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("_inter").cast("double")
+                / (F.col("_na") + F.col("_nb") - F.col("_inter")),
+                6,
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
