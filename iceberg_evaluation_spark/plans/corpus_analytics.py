@@ -482,28 +482,53 @@ def q53_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q54: sketch statistics — HyperLogLog++ distinct counts and quantile
 #      sketches per event_type. At 100 TB exact distinct/percentile over
 #      high-cardinality keys is a full-shuffle sort; the sketches are
-#      mergeable map-side partials with bounded memory. Approximate by
-#      contract → rows-only driver check; the relative-error bound vs
-#      the exact answers is pinned by tests/test_sketches.py.
+#      mergeable map-side partials with bounded memory. Sketch values are
+#      engine-hash-specific, so what the oracle checks is the CONTRACT:
+#      the exact counts (oracle-computable) plus in-query tolerance flags
+#      — HLL within 3×rsd of the exact distinct, approx percentiles
+#      within 5% + 0.5 of the exact ones (measured headroom: HLL is
+#      within 0.4%, percentiles within 1.6 abs on testdata). A broken
+#      sketch shows up as a FALSE flag mismatching the oracle's TRUE.
+#      tests/test_sketches.py pins the tighter measured bounds.
 # ---------------------------------------------------------------------------
-@register("q54_sketch_stats", covers="A3 A1 streaming-shape", oracle=None)
+_Q54_ORACLE = """
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS hll_within_3rsd,
+       TRUE AS pctl_within_tol
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("q54_sketch_stats", covers="A3 A1 A2 streaming-shape", oracle=_Q54_ORACLE)
 def q54_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-            F.approx_percentile("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10000).alias("p"),
-        )
-        .select(
-            "event_type",
-            "n_events",
-            "approx_users",
-            F.round(F.element_at("p", 1), 2).alias("p50"),
-            F.round(F.element_at("p", 2), 2).alias("p90"),
-            F.round(F.element_at("p", 3), 2).alias("p99"),
-        )
+    probes = [0.5, 0.9, 0.99]
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_hll"),
+        F.expr(f"percentile(value, array({','.join(map(str, probes))}))").alias("_pe"),
+        F.expr(
+            f"approx_percentile(value, array({','.join(map(str, probes))}), 10000)"
+        ).alias("_pa"),
+    )
+    p_ok = F.lit(True)
+    for i in range(len(probes)):
+        pe = F.element_at("_pe", i + 1)
+        pa = F.element_at("_pa", i + 1)
+        p_ok = p_ok & (F.abs(pa - pe) <= 0.05 * F.abs(pe) + 0.5)
+    return agg.select(
+        "event_type",
+        "n_events",
+        "exact_users",
+        (
+            F.abs(F.col("_hll") - F.col("exact_users"))
+            <= 0.06 * F.col("exact_users")
+        ).alias("hll_within_3rsd"),
+        p_ok.alias("pctl_within_tol"),
     )
 
 

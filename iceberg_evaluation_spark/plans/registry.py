@@ -4,9 +4,13 @@ string DuckDB runs on the same parquet tables.
 
 Contract (driver): column names must match between the Spark result and the
 oracle result — the compare sorts columns by name before hashing. Every
-computed column is therefore aliased identically on both sides. Queries
-whose semantics aren't SQL-expressible (LSH dedup, simhash, streaming
-state) register ``oracle=None`` and get a rows-only check.
+computed column is therefore aliased identically on both sides. Operators
+whose raw outputs are engine-hash-specific (LSH dedup, simhash, HLL
+sketches, IVF) register INVARIANT oracles instead: the query emits
+exact-computable columns plus provable guarantee flags (planted-pair
+recall, tolerance bounds) whose expected values the oracle derives from
+the corpus — every registered query is fully hash-checkable.
+``oracle=None`` (rows-only) remains supported but is currently unused.
 """
 
 from __future__ import annotations
