@@ -42,6 +42,10 @@ def connected_components(
             edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
         )
         .distinct()
+        # materialize ONCE: the edge input is typically an expensive
+        # dedup pipeline (LSH/Jaccard), and sym is re-joined every
+        # round — without this its lineage re-executes per round
+        .localCheckpoint(eager=True)
     )
     labels = nodes.select(
         F.col(node_col).alias("node"), F.col(node_col).alias("cluster")

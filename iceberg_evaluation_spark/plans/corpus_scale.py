@@ -1,0 +1,232 @@
+"""Execution-infrastructure corpus: REAL Structured Streaming runs,
+skew-salted joins, and bucketed (exchange-free) joins — surfaces that
+were previously exercised only by tests, registered here as driver-
+verifiable queries with exact SQL oracles.
+
+The streaming queries (q75/q76) start genuine ``readStream`` →
+``writeStream`` jobs (memory sink, ``availableNow`` trigger, multiple
+micro-batches via ``maxFilesPerTrigger``) and return the sink table, so
+the driver's oracle check validates end-to-end streaming semantics —
+cross-batch dedup state and watermarked window aggregation — not a
+batch re-phrasing. The skew/bucketed queries (q77/q78) must produce
+results IDENTICAL to the plain join the oracle runs; the value under
+test is the physical strategy (salt spread, no Exchange), pinned
+separately by tests/test_skew.py and tests/test_bucketed.py.
+
+Reference parity: the reference evaluates engines on batch CDC merges
+(src/data_derivation — daily file drops); streaming replay of the same
+drops is the natural Spark extension per SURVEY.md §2.10.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.skew import salted_join
+from ..sources import load_table
+from ..sources.bucketed import read_bucketed, write_bucketed
+from ._exact import exact_sum, sql_sum
+from .registry import register
+
+_EV_COLS = ["event_id", "ts", "user_id", "event_type", "value"]
+
+
+def _replay_dir(df: DataFrame, prefix: str, n_files: int = 4) -> str:
+    """Materialize a DataFrame as an n-file parquet 'stream source' dir."""
+    out = tempfile.mkdtemp(prefix=prefix)
+    df.repartition(n_files, "event_id").write.mode("overwrite").parquet(out)
+    return out
+
+
+def _run_stream(result: DataFrame, sink: str, output_mode: str) -> None:
+    """Drain a streaming DataFrame into a memory sink, to completion."""
+    q = (
+        result.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(output_mode)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix=f"{sink}_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+
+# ---------------------------------------------------------------------------
+# q75: STREAMING exactly-once dedup — replay the events table with planted
+#      exact-duplicate deliveries (every 10th event re-delivered), run a
+#      real watermarked dropDuplicates stream over a multi-file source in
+#      multiple micro-batches, and return the sink. Duplicate pairs are
+#      co-partitioned by event_id into the same source file, so each pair
+#      meets inside one micro-batch and the surviving row is well-defined
+#      (the copies are bit-identical). Oracle: the dedup must restore the
+#      original events table exactly — including raw µs timestamps,
+#      which agree bit-for-bit across engines now that load_table floors
+#      the source's nanosecond values with integer division (both
+#      engines truncate ns→µs identically).
+#      Scale: dropDuplicates state is bounded by the watermark horizon ×
+#      key arrival rate; the planted re-deliveries model at-least-once
+#      ingestion (Kafka/file redelivery) at any volume.
+# ---------------------------------------------------------------------------
+@register(
+    "q75_streaming_dedup",
+    covers="streaming dedup-exact S1",
+    oracle="SELECT event_id, ts, user_id, event_type, value FROM events",
+)
+def q75_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.incremental import dedup_stream
+
+    ev = load_table(spark, sf_dir, "events").select(*_EV_COLS)
+    redelivered = ev.unionByName(ev.filter(F.col("event_id") % 10 == 0))
+    src = _replay_dir(redelivered, "q75_replay_")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)  # force >1 micro-batch
+        .parquet(src)
+    )
+    deduped = dedup_stream(stream, keys=["event_id"], ts_col="ts")
+    sink = f"q75_sink_{uuid.uuid4().hex[:8]}"
+    _run_stream(deduped, sink, "append")
+    return spark.table(sink).select(*_EV_COLS)
+
+
+# ---------------------------------------------------------------------------
+# q76: STREAMING watermarked tumbling-window aggregation — the q25 shape
+#      executed as a genuine stream (watermark + event-time window +
+#      exact cents-sum, which is streaming-safe: sum of BIGINTs).
+#      Complete output mode makes every window visible at drain time so
+#      the oracle can check the full set; production pipelines use
+#      append mode + the watermark to emit-and-evict finalized windows
+#      (that path is pinned by tests/test_streaming_multimodal.py).
+# ---------------------------------------------------------------------------
+@register(
+    "q76_streaming_window_totals",
+    covers="streaming A1 W-window",
+    oracle=f"""
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+       event_type,
+       count(*) AS n,
+       {sql_sum('value')} AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q76_streaming_window_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(*_EV_COLS)
+    src = _replay_dir(ev, "q76_replay_")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact_sum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
+        )
+    )
+    sink = f"q76_sink_{uuid.uuid4().hex[:8]}"
+    _run_stream(agg, sink, "complete")
+    return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# q77: skew-salted fact⋈dim join — lineitem joined to supplier through
+#      operators.skew.salted_join (deterministic per-row salt on the fact
+#      side, dim replicated per salt), aggregated to national revenue.
+#      The salt MUST be semantics-neutral: the oracle runs the plain
+#      join, so any row lost/duplicated by the salting shows up as a
+#      hash mismatch. tests/test_skew.py pins the physical claims.
+# ---------------------------------------------------------------------------
+@register(
+    "q77_salted_skew_join",
+    covers="skew J1 A1",
+    oracle=f"""
+SELECT s_nationkey,
+       count(*) AS n_items,
+       {sql_sum('l_extendedprice * (1 - l_discount)', 10000)} AS revenue
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey
+""",
+)
+def q77_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    joined = salted_join(li, sup, on=["l_suppkey"], salt_buckets=8)
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        exact_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
+        ).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q78: bucketed co-located join — orders and lineitem materialized as
+#      16-bucket tables on the order key (the write pays the shuffle
+#      ONCE), then joined bucket-to-bucket and aggregated by order
+#      priority. tests/test_bucketed.py pins that the bucketed join plan
+#      contains ZERO Exchange; this query pins that the exchange-free
+#      plan computes exactly what the oracle's plain join computes.
+# ---------------------------------------------------------------------------
+@register(
+    "q78_bucketed_colocated_join",
+    covers="bucketing J1 A1 S2 S6",
+    oracle=f"""
+SELECT o_orderpriority,
+       count(*) AS n_items,
+       {sql_sum('l_extendedprice * (1 - l_discount)', 10000)} AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+""",
+)
+def q78_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = tempfile.mkdtemp(prefix="q78_bucketed_")
+    tag = uuid.uuid4().hex[:8]
+    ord_tbl, li_tbl = f"q78_orders_{tag}", f"q78_lineitem_{tag}"
+    write_bucketed(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        ),
+        ord_tbl,
+        os.path.join(base, "orders"),
+        bucket_cols=["o_orderkey"],
+        n_buckets=16,
+        sort_cols=["o_orderkey"],
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        ),
+        li_tbl,
+        os.path.join(base, "lineitem"),
+        bucket_cols=["l_orderkey"],
+        n_buckets=16,
+        sort_cols=["l_orderkey"],
+    )
+    o = read_bucketed(spark, ord_tbl)
+    li = read_bucketed(spark, li_tbl)
+    joined = o.join(li, o.o_orderkey == li.l_orderkey)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        exact_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
+        ).alias("revenue"),
+    )

@@ -51,8 +51,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
+        # INTEGER division: `/ 1000` would promote the epoch-ns long
+        # (~1.7e18, above double's 2^53 exact range) to double and drift
+        # the floor by ±1µs on most rows — `div` keeps it exact and
+        # bit-identical to DuckDB's ns→µs truncation of the same files.
         return df.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
     return spark.read.parquet(path)
 
