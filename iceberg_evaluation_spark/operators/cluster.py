@@ -42,11 +42,11 @@ def connected_components(
             edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
         )
         .distinct()
-        # materialize ONCE: the edge input is typically an expensive
-        # dedup pipeline (LSH/Jaccard), and sym is re-joined every
-        # round — without this its lineage re-executes per round
-        .localCheckpoint(eager=True)
     )
+    # NOT checkpointed: per-round re-execution of sym's lineage reuses
+    # the already-written shuffle files (stages are skipped), so an
+    # eager materialization only adds block-manager pressure — measured
+    # slower at sf0.1, not faster.
     labels = nodes.select(
         F.col(node_col).alias("node"), F.col(node_col).alias("cluster")
     )
