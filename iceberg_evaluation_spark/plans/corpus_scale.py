@@ -108,7 +108,7 @@ def q75_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "q76_streaming_window_totals",
-    covers="streaming A1 W-window",
+    covers="streaming A1 streaming-shape",
     oracle=f"""
 SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
        event_type,

@@ -93,6 +93,9 @@ DESCRIPTIONS = [
     ("multimodal-decode", "Decode/feature-extract (stubbed codec)"),
     ("mapInPandas", "Arrow-batched Python stage"),
     ("streaming-shape", "Stream-shaped event analytics (batch form)"),
+    ("streaming", "Real Structured Streaming run (readStream → availableNow → sink)"),
+    ("skew", "Skew-mitigated salted join (deterministic salt)"),
+    ("bucketing", "Bucketed tables / exchange-free co-located join"),
     ("table-layer", "Snapshot table end-to-end"),
 ]
 
