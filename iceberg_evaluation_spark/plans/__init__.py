@@ -53,6 +53,7 @@ _registry.PRIORITY[:] = [
     "q76_streaming_window_totals",
     "q77_salted_skew_join",
     "q78_bucketed_colocated_join",
+    "q79_streaming_ingest_dedup",
     # --- representative coverage of the already-green surface (multi-op) ---
     "q52_flagship_composite",
     "q61_cumulative_crossover",

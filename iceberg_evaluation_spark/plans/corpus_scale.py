@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from ..operators.skew import salted_join
 from ..sources import load_table
 from ..sources.bucketed import read_bucketed, write_bucketed
+from ..tables.snapshot_table import MergeClause, SnapshotTable
 from ._exact import exact_sum, sql_sum
 from .registry import register
 
@@ -230,3 +231,87 @@ def q78_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
         ).alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q79: STREAMING corpus ingest with dedup-on-ingest — the shape of a
+#      training-data pipeline's front door: documents arrive as a stream
+#      (with at-least-once redeliveries, planted here as doc_id+1e6
+#      copies of every 5th doc), and each micro-batch MERGEs its
+#      fingerprint summary into a snapshot table (min-id survivor,
+#      count accumulated). Composes §2.10 streaming + the M-family
+#      MERGE + exact dedup in one driver-verified query.
+#      The merge is COMMUTATIVE (least/sum), so the result is
+#      independent of how the file source batches arrivals — that is
+#      what makes an exact oracle possible for a streaming ingest.
+#      Scale: per batch the merge rewrites only files containing
+#      matched fingerprints (COW pruning); state lives in the table,
+#      not the stream, so executor memory stays flat at any volume.
+# ---------------------------------------------------------------------------
+@register(
+    "q79_streaming_ingest_dedup",
+    covers="streaming dedup-exact M5-shape S5 S7 A1",
+    oracle="""
+WITH c AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+)
+SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_seen
+FROM c GROUP BY md5(text)
+""",
+)
+def q79_streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    redelivered = docs.unionByName(
+        docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    )
+    src = tempfile.mkdtemp(prefix="q79_replay_")
+    # copies land in DIFFERENT files than their originals (partition by
+    # doc_id), so redeliveries typically arrive in a later micro-batch
+    # and the cross-batch merge path is genuinely exercised
+    redelivered.repartition(4, "doc_id").write.mode("overwrite").parquet(src)
+
+    table = SnapshotTable(spark, tempfile.mkdtemp(prefix="q79_tbl_"))
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        summary = (
+            batch_df.select(F.md5("text").alias("fp"), "doc_id")
+            .groupBy("fp")
+            .agg(
+                F.min("doc_id").alias("keep_id"),
+                F.count(F.lit(1)).alias("n_seen"),
+            )
+        )
+        if not table.exists():
+            table.create_or_replace(summary)
+        else:
+            table.merge(
+                summary,
+                on=["fp"],
+                clause=MergeClause(
+                    matched_update={
+                        "keep_id": "least(t.keep_id, s.keep_id)",
+                        "n_seen": "t.n_seen + s.n_seen",
+                    },
+                ),
+            )
+
+    stream = (
+        spark.readStream.schema(redelivered.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="q79_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return table.read().select("fp", "keep_id", "n_seen")
