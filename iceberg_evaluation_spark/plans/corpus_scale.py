@@ -68,9 +68,9 @@ def _run_stream(result: DataFrame, sink: str, output_mode: str) -> None:
 #      meets inside one micro-batch and the surviving row is well-defined
 #      (the copies are bit-identical). Oracle: the dedup must restore the
 #      original events table exactly — including raw µs timestamps,
-#      which agree bit-for-bit across engines now that load_table floors
-#      the source's nanosecond values with integer division (both
-#      engines truncate ns→µs identically).
+#      which agree bit-for-bit across engines because load_table
+#      normalizes every source layout (ns-longs or timestamp[us]) to
+#      the same session-UTC µs timestamps DuckDB reads natively.
 #      Scale: dropDuplicates state is bounded by the watermark horizon ×
 #      key arrival rate; the planted re-deliveries model at-least-once
 #      ingestion (Kafka/file redelivery) at any volume.

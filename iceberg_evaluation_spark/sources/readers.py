@@ -39,10 +39,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one star-schema table (S1). Pushdown-friendly: no caching,
     no schema mangling — the parquet footer schema is authoritative.
 
-    Exception: ``events.ts`` is written as TIMESTAMP(NANOS), which the
-    Spark parquet reader rejects; it is read as nano-longs and floored to
-    microseconds (Spark's native timestamp precision — same normalization
-    the reference applies for Athena's timestamp(6), SURVEY §1.2)."""
+    Exception: ``events.ts`` — the driver has shipped it both as
+    TIMESTAMP(NANOS) (which Spark's parquet reader rejects; read as
+    nano-longs and floored to microseconds) and as plain timestamp[us]
+    (read as TIMESTAMP_NTZ). Both layouts are normalized to a session-UTC
+    TIMESTAMP so downstream plans see one type regardless of vintage
+    (same normalization the reference applies for Athena's timestamp(6),
+    SURVEY §1.2)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
@@ -51,13 +54,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        # INTEGER division: `/ 1000` would promote the epoch-ns long
-        # (~1.7e18, above double's 2^53 exact range) to double and drift
-        # the floor by ±1µs on most rows — `div` keeps it exact and
-        # bit-identical to DuckDB's ns→µs truncation of the same files.
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # Legacy ns-as-long layout. INTEGER division: `/ 1000` would
+            # promote the epoch-ns long (~1.7e18, above double's 2^53
+            # exact range) to double and drift the floor by ±1µs on most
+            # rows — `div` keeps it exact and bit-identical to DuckDB's
+            # ns→µs truncation of the same files.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            # timestamp[us] layout: cast NTZ → session-tz TIMESTAMP (the
+            # session is pinned to UTC, so the wall-clock value — and the
+            # DuckDB oracle's naive read of the same file — is unchanged).
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 
