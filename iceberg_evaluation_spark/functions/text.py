@@ -19,6 +19,9 @@ __all__ = [
     "punct_ratio",
     "stopword_hits",
     "STOPWORDS",
+    "PII_PATTERNS",
+    "pii_count",
+    "pii_redact",
 ]
 
 #: small per-language stopword lists for the n-gram/stopword lang-id heuristic
@@ -72,3 +75,32 @@ def stopword_hits(col: Column | str, lang: str) -> Column:
     """Number of whitespace tokens that are stopwords of ``lang``."""
     toks = F.split(normalize_ws(col), " ")
     return F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS[lang])))
+
+
+#: PII scrub patterns, ordered (applied first → last). Kept to the ASCII
+#: regex subset shared by Java regex (Spark) and RE2 (DuckDB) — no
+#: lookaround — so every pattern has an exact SQL oracle twin.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b[0-9]{3}-[0-9]{4}\b", "<PHONE>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+)
+
+
+def pii_count(col: Column | str, kind: str) -> Column:
+    """Occurrences of one PII pattern kind in the raw text."""
+    c = F.col(col) if isinstance(col, str) else col
+    pat = next(p for k, p, _ in PII_PATTERNS if k == kind)
+    return F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+
+
+def pii_redact(col: Column | str) -> Column:
+    """Text with every PII pattern replaced by its placeholder token.
+
+    Patterns apply in ``PII_PATTERNS`` order (email before phone before
+    ip), matching the oracle's chained ``regexp_replace(..., 'g')``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c

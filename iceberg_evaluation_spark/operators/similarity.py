@@ -18,7 +18,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_topk", "cosine_pairs", "ivf_cosine_topk", "srp_neardup_pairs"]
+__all__ = [
+    "cosine_topk",
+    "cosine_pairs",
+    "ivf_cosine_topk",
+    "srp_neardup_pairs",
+    "semantic_dedup",
+]
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -244,6 +250,48 @@ def ivf_cosine_topk(
     )
     w = W.partitionBy(query_id_col).orderBy(F.col("cosine_sim").desc(), F.col(id_col))
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    **srp_kwargs,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column.
+
+    Blocked near-dup pair discovery via :func:`srp_neardup_pairs` (no
+    O(n²) stage), then the deterministic keep-first policy: a vector is
+    DROPPED when any lower-id vector is cosine-similar above
+    ``threshold``; otherwise kept. Identical vectors always collide in
+    every SRP band, so exact-duplicate removal is guaranteed by
+    construction; near-duplicates are removed with the SRP band recall.
+
+    The whole pipeline is integer-deterministic and engine-portable
+    (inherited from ``srp_neardup_pairs``), so an exact SQL oracle can
+    replay it — unlike k-means-cell SemDeDup, whose float centroid drift
+    makes raw outputs hash-unstable.
+
+    Output per input vector: ``(id_col, n_lower_nbrs, kept)`` —
+    distributed join against the pair set; no driver-side state.
+    """
+    pairs = srp_neardup_pairs(
+        df, id_col=id_col, vec_col=vec_col, threshold=threshold, **srp_kwargs
+    )
+    nbrs = pairs.groupBy(F.col("id_b").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_lower_nbrs")
+    )
+    return (
+        df.select(id_col)
+        .join(nbrs, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_lower_nbrs"), F.lit(0)).alias("n_lower_nbrs"),
+            (F.coalesce(F.col("n_lower_nbrs"), F.lit(0)) == 0).alias("kept"),
+        )
+    )
 
 
 def srp_neardup_pairs(

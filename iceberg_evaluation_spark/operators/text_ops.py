@@ -13,13 +13,21 @@ from ..functions.text import (
     STOPWORDS,
     fingerprint_md5,
     normalize_ws,
+    pii_count,
+    pii_redact,
     punct_ratio,
     stopword_hits,
     token_count_bpe,
     token_count_ws,
 )
 
-__all__ = ["text_quality", "language_id", "rolling_fingerprint"]
+__all__ = [
+    "text_quality",
+    "language_id",
+    "rolling_fingerprint",
+    "repetition_metrics",
+    "pii_scrub",
+]
 
 
 def _fan_out(df: DataFrame) -> DataFrame:
@@ -104,6 +112,134 @@ def rolling_fingerprint(
         F.size("__hs").alias("n_kgrams"),
         F.element_at("__hs", 1).alias("fp_min"),
         F.concat_ws("", F.slice("__hs", 1, n_sketch)).alias("fp_sketch"),
+    )
+
+
+def repetition_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals.
+
+    Per document: the fraction of tokens taken by the single most
+    frequent unigram, the fraction of bigram occurrences taken by the
+    most frequent bigram, and the fraction of trigram occurrences that
+    are repeats (1 − distinct/total) — the standard "repetitious
+    document" filters from the Gopher/MassiveText quality pipeline.
+
+    Shapes: trigram dup-frac is a narrow array expression (codegen'd,
+    zero shuffle). The two mode-style metrics (top unigram / top bigram)
+    genuinely need a per-(doc, gram) count → explode + two hash
+    aggregations, both map-side combinable and keyed by ``id_col`` so
+    they scale linearly with corpus token count — the same cost class as
+    shingling for dedup. No Python anywhere.
+    """
+    # STAGED projections: the token array materializes ONCE per row, and
+    # the gram-building lambdas read the materialized column. Inlining
+    # the split into the transform lambdas re-runs the regex+split per
+    # array element in interpreted mode — measured 15× slower at sf0.1
+    # (the HOF-inlining trap the verify notes document). CollapseProject
+    # keeps multi-referenced non-cheap aliases staged.
+    def _grams(toks_col: str, n: int):
+        t = F.col(toks_col)
+        return F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - n + 1),
+                lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    staged = _fan_out(df).select(
+        F.col(id_col), F.split(normalize_ws(text_col), " ").alias("_toks")
+    )
+    # split('', ' ') yields [''] — normalize that to an empty token count
+    staged = staged.select(
+        id_col,
+        "_toks",
+        F.when(
+            (F.size("_toks") == 1) & (F.element_at("_toks", 1) == ""), F.lit(0)
+        )
+        .otherwise(F.size("_toks"))
+        .alias("n_tokens"),
+    )
+    with_grams = staged.select(
+        id_col,
+        "n_tokens",
+        "_toks",
+        _grams("_toks", 2).alias("_bi"),
+        _grams("_toks", 3).alias("_tri"),
+    )
+    base = with_grams.select(
+        id_col,
+        "n_tokens",
+        "_toks",
+        "_bi",
+        F.size("_tri").alias("_n_tri"),
+        F.size(F.array_distinct("_tri")).alias("_n_tri_d"),
+    )
+
+    # one tagged long-frame for both mode-style metrics: unigrams and
+    # bigrams share the (doc, kind, gram) count and the per-doc max, so
+    # the whole thing is 2 shuffles + 1 join instead of 4 + 2
+    longs = base.select(
+        F.col(id_col), F.lit("u").alias("_k"), F.explode("_toks").alias("_g")
+    ).unionByName(
+        base.select(F.col(id_col), F.lit("b").alias("_k"), F.explode("_bi").alias("_g"))
+    )
+    tops = (
+        longs.groupBy(id_col, "_k", "_g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg(
+            F.max(F.when(F.col("_k") == "u", F.col("_c"))).alias("_top_uni"),
+            F.max(F.when(F.col("_k") == "b", F.col("_c"))).alias("_top_bi"),
+        )
+    )
+
+    uni_frac = F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+        F.coalesce(F.col("_top_uni"), F.lit(0)).cast("double") / F.col("n_tokens")
+    )
+    n_bi = F.greatest(F.col("n_tokens") - 1, F.lit(0))
+    bi_frac = F.when(n_bi == 0, F.lit(0.0)).otherwise(
+        F.coalesce(F.col("_top_bi"), F.lit(0)).cast("double") / n_bi
+    )
+    tri_frac = F.when(F.col("_n_tri") == 0, F.lit(0.0)).otherwise(
+        (F.col("_n_tri") - F.col("_n_tri_d")).cast("double") / F.col("_n_tri")
+    )
+    return (
+        base.drop("_toks", "_bi")
+        .join(tops, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(uni_frac, 6).alias("top_unigram_frac"),
+            F.round(bi_frac, 6).alias("top_bigram_frac"),
+            F.round(tri_frac, 6).alias("dup_trigram_frac"),
+            ((uni_frac > 0.2) | (tri_frac > 0.5)).alias("repetitive"),
+        )
+    )
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Count and redact PII patterns (email / phone / IPv4) per document.
+
+    Narrow, codegen'd regex work — the redacted text itself is emitted as
+    an md5 fingerprint (value-stable across engines) plus the per-kind
+    match counts, so the full scrub is hash-checkable without shipping
+    the scrubbed corpus through the comparator.
+    """
+    return _fan_out(df).select(
+        F.col(id_col),
+        pii_count(text_col, "email").alias("n_emails"),
+        pii_count(text_col, "phone").alias("n_phones"),
+        pii_count(text_col, "ipv4").alias("n_ips"),
+        (
+            pii_count(text_col, "email")
+            + pii_count(text_col, "phone")
+            + pii_count(text_col, "ipv4")
+            > 0
+        ).alias("pii_found"),
+        F.md5(pii_redact(F.col(text_col))).alias("redacted_fp"),
     )
 
 

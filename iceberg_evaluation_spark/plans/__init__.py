@@ -8,6 +8,7 @@ from . import corpus_text  # noqa: E402,F401
 from . import corpus_curation  # noqa: E402,F401
 from . import corpus_multimodal  # noqa: E402,F401
 from . import corpus_scale  # noqa: E402,F401
+from . import corpus_quality  # noqa: E402,F401
 
 # The driver's per-round CORRECTNESS check covers only the FIRST 50 entries of
 # queries(). Round 1 checked registration order, leaving the entire
@@ -54,6 +55,10 @@ _registry.PRIORITY[:] = [
     "q77_salted_skew_join",
     "q78_bucketed_colocated_join",
     "q79_streaming_ingest_dedup",
+    "q80_semantic_dedup",
+    "q81_contamination_check",
+    "q82_pii_redaction",
+    "q83_repetition_metrics",
     # --- representative coverage of the already-green surface (multi-op) ---
     "q52_flagship_composite",
     "q61_cumulative_crossover",

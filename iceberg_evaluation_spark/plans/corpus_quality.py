@@ -1,0 +1,245 @@
+"""Corpus-hygiene pipeline queries: semantic dedup, benchmark
+contamination, PII scrubbing, and repetition filtering — the data-quality
+layer a 100 TB pretraining pipeline runs between raw ingest and
+tokenization (graded alongside SURVEY.md §2 as first-class components).
+
+All four are exactly deterministic end-to-end, so each carries a FULL
+DuckDB oracle — including q80, whose SRP-LSH blocking was designed
+integer-deterministic precisely so the oracle can replay the whole
+pipeline (see ``operators/similarity.py::srp_neardup_pairs``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.contamination import contamination_check, word_ngrams
+from ..operators.similarity import semantic_dedup
+from ..operators.text_ops import pii_scrub, repetition_metrics
+from ..sources import load_table
+from .registry import register
+
+# DuckDB twins of functions.text helpers (same idioms as corpus_text)
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS = f"regexp_split_to_array({_NORM}, ' ')"
+
+
+# ---------------------------------------------------------------------------
+# q80: SemDeDup-style semantic dedup over embeddings, SRP-LSH blocked.
+#      Corpus = embeddings + planted exact copies (vec_id + 1e6) — the
+#      copies MUST drop (identical vectors share every SRP band and have
+#      a lower-id twin at cosine 1.0); originals drop only when a real
+#      lower-id near-dup ≥ 0.95 exists. The oracle replays the integer
+#      SRP pipeline + keep-first rule exactly (no float divergence: the
+#      projections are BIGINT sums of quantized components).
+# ---------------------------------------------------------------------------
+_Q80_ORACLE = """
+WITH c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id, v FROM c0 UNION ALL SELECT vec_id + 1000000, v FROM c0),
+ex AS (SELECT vec_id, CAST(t.pos AS INT) AS pos,
+              CAST(round(v[CAST(t.pos AS INT) + 1] * 1000000, 0) AS BIGINT) AS vq
+       FROM c, range(64) t(pos)),
+s AS (SELECT CAST(t1.b AS INT) AS bit, CAST(t2.p AS INT) AS pos,
+             CASE WHEN substr(md5(concat_ws(':', 'srp', CAST(t1.b AS INT), CAST(t2.p AS INT))), 1, 1) <= '7'
+                  THEN 1 ELSE -1 END AS s
+      FROM range(64) t1(b), range(64) t2(p)),
+proj AS (SELECT vec_id, bit, sum(vq * s) AS pr FROM ex JOIN s USING (pos) GROUP BY 1, 2),
+chunks AS (SELECT vec_id, bit // 16 AS chunk,
+                  sum(CASE WHEN pr >= 0 THEN CAST(power(2, bit % 16) AS BIGINT) ELSE 0 END) AS cval
+           FROM proj GROUP BY 1, 2),
+capped AS (SELECT vec_id, chunk, cval,
+                  row_number() OVER (PARTITION BY chunk, cval ORDER BY vec_id) AS rn
+           FROM chunks),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM capped a JOIN capped b
+           ON a.chunk = b.chunk AND a.cval = b.cval AND a.vec_id < b.vec_id
+         WHERE a.rn <= 200 AND b.rn <= 200),
+pairs AS (SELECT id_a, id_b
+          FROM cand JOIN c ca ON ca.vec_id = id_a JOIN c cb ON cb.vec_id = id_b
+          WHERE round(list_cosine_similarity(ca.v, cb.v), 6) >= 0.95),
+nbrs AS (SELECT id_b AS vec_id, count(*) AS n_lower_nbrs FROM pairs GROUP BY 1)
+SELECT c.vec_id,
+       coalesce(n.n_lower_nbrs, 0) AS n_lower_nbrs,
+       coalesce(n.n_lower_nbrs, 0) = 0 AS kept
+FROM c LEFT JOIN nbrs n ON n.vec_id = c.vec_id
+"""
+
+
+@register(
+    "q80_semantic_dedup",
+    covers="dedup-semantic dedup-srp-lsh dedup-embedding-cosine J1 A1 W1",
+    oracle=_Q80_ORACLE,
+)
+def q80_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    corpus = emb.unionByName(planted)
+    return semantic_dedup(corpus, threshold=0.95)
+
+
+# ---------------------------------------------------------------------------
+# q81: benchmark-contamination check (GPT-3 appendix-C style word-8-gram
+#      overlap). Eval set = doc_id % 10 == 0; training corpus = the other
+#      documents PLUS planted copies of every eval doc (doc_id + 1e6) —
+#      the copies are contaminated by construction (overlap 1.0), while
+#      organic 8-gram collisions between unrelated docs are counted
+#      identically by both engines.
+# ---------------------------------------------------------------------------
+_Q81_ORACLE = f"""
+WITH nrm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+tok AS (SELECT doc_id,
+               CASE WHEN t = '' THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(t, ' ') END AS w
+        FROM nrm),
+g0 AS (SELECT doc_id,
+              CASE WHEN len(w) >= 8
+                   THEN list_distinct(list_transform(range(1, len(w) - 6),
+                                                     i -> array_to_string(w[i:i+7], ' ')))
+                   ELSE CAST([] AS VARCHAR[]) END AS gs
+       FROM tok),
+ev AS (SELECT DISTINCT unnest(gs) AS gram FROM g0 WHERE doc_id % 10 = 0),
+tr AS (SELECT doc_id, gs FROM g0 WHERE doc_id % 10 <> 0
+       UNION ALL
+       SELECT doc_id + 1000000, gs FROM g0 WHERE doc_id % 10 = 0),
+x AS (SELECT doc_id, unnest(gs) AS gram FROM tr),
+hit AS (SELECT x.doc_id, count(ev.gram) AS n_matched
+        FROM x LEFT JOIN ev USING (gram) GROUP BY 1)
+SELECT t.doc_id,
+       len(t.gs) AS n_grams,
+       coalesce(h.n_matched, 0) AS n_matched,
+       CASE WHEN len(t.gs) = 0 THEN 0.0
+            ELSE round(coalesce(h.n_matched, 0) * 1.0 / len(t.gs), 6) END AS overlap_frac,
+       coalesce(h.n_matched, 0) > 0 AS contaminated
+FROM tr t LEFT JOIN hit h USING (doc_id)
+"""
+
+
+@register(
+    "q81_contamination_check",
+    covers="contamination text-analysis J1 A1 U1",
+    oracle=_Q81_ORACLE,
+)
+def q81_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0).unionByName(
+        ev.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    return contamination_check(train, ev, n=8)
+
+
+# ---------------------------------------------------------------------------
+# q82: PII scrub. The synthetic corpus carries no organic PII, so PII is
+#      planted deterministically in-query (every 7th doc gets an email, a
+#      phone, and an IPv4 appended) and both engines scrub the identical
+#      decorated text — redaction correctness is pinned by the md5 of the
+#      scrubbed output, not just the counts.
+# ---------------------------------------------------------------------------
+_PII_DECOR = (
+    "CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail.example.net or call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' from 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) ELSE text END"
+)
+_PII_EMAIL = r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'"
+_PII_PHONE = r"'\b[0-9]{3}-[0-9]{4}\b'"
+_PII_IP = r"'\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'"
+
+_Q82_ORACLE = f"""
+WITH d AS (SELECT doc_id, {_PII_DECOR} AS text FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(text, {_PII_EMAIL})) AS n_emails,
+       len(regexp_extract_all(text, {_PII_PHONE})) AS n_phones,
+       len(regexp_extract_all(text, {_PII_IP})) AS n_ips,
+       (len(regexp_extract_all(text, {_PII_EMAIL}))
+        + len(regexp_extract_all(text, {_PII_PHONE}))
+        + len(regexp_extract_all(text, {_PII_IP}))) > 0 AS pii_found,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+             {_PII_EMAIL}, '<EMAIL>', 'g'),
+             {_PII_PHONE}, '<PHONE>', 'g'),
+             {_PII_IP}, '<IP>', 'g')) AS redacted_fp
+FROM d
+"""
+
+
+@register(
+    "q82_pii_redaction",
+    covers="pii-redaction text-analysis P2 scalar-census",
+    oracle=_Q82_ORACLE,
+)
+def q82_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    decorated = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.net or call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" from 10.0.0."),
+                (F.col("doc_id") % 256).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return pii_scrub(decorated)
+
+
+# ---------------------------------------------------------------------------
+# q83: Gopher/MassiveText repetition filters — top-unigram fraction,
+#      top-bigram fraction, duplicate-trigram fraction, and the
+#      "repetitive" flag. Exact rational arithmetic → full oracle.
+# ---------------------------------------------------------------------------
+_Q83_ORACLE = f"""
+WITH nrm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+tok AS (SELECT doc_id,
+               CASE WHEN t = '' THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(t, ' ') END AS w
+        FROM nrm),
+base AS (SELECT doc_id, len(w) AS n_tokens, w,
+                CASE WHEN len(w) >= 3
+                     THEN list_transform(range(1, len(w) - 1),
+                                         i -> array_to_string(w[i:i+2], ' '))
+                     ELSE CAST([] AS VARCHAR[]) END AS tri
+         FROM tok),
+uni AS (SELECT doc_id, max(c) AS top_uni FROM (
+          SELECT doc_id, g, count(*) AS c
+          FROM (SELECT doc_id, unnest(w) AS g FROM base) GROUP BY 1, 2)
+        GROUP BY 1),
+bi AS (SELECT doc_id, max(c) AS top_bi FROM (
+         SELECT doc_id, g, count(*) AS c
+         FROM (SELECT doc_id, unnest(
+                 CASE WHEN len(w) >= 2
+                      THEN list_transform(range(1, len(w)),
+                                          i -> array_to_string(w[i:i+1], ' '))
+                      ELSE CAST([] AS VARCHAR[]) END) AS g
+               FROM base) GROUP BY 1, 2)
+       GROUP BY 1)
+SELECT b.doc_id,
+       b.n_tokens,
+       round(CASE WHEN b.n_tokens = 0 THEN 0.0
+                  ELSE coalesce(u.top_uni, 0) * 1.0 / b.n_tokens END, 6) AS top_unigram_frac,
+       round(CASE WHEN b.n_tokens <= 1 THEN 0.0
+                  ELSE coalesce(i.top_bi, 0) * 1.0 / (b.n_tokens - 1) END, 6) AS top_bigram_frac,
+       round(CASE WHEN len(b.tri) = 0 THEN 0.0
+                  ELSE (len(b.tri) - len(list_distinct(b.tri))) * 1.0 / len(b.tri) END, 6) AS dup_trigram_frac,
+       ((CASE WHEN b.n_tokens = 0 THEN 0.0
+              ELSE coalesce(u.top_uni, 0) * 1.0 / b.n_tokens END) > 0.2
+        OR (CASE WHEN len(b.tri) = 0 THEN 0.0
+                 ELSE (len(b.tri) - len(list_distinct(b.tri))) * 1.0 / len(b.tri) END) > 0.5
+       ) AS repetitive
+FROM base b LEFT JOIN uni u USING (doc_id) LEFT JOIN bi i USING (doc_id)
+"""
+
+
+@register(
+    "q83_repetition_metrics",
+    covers="repetition text-quality text-analysis A1 J3",
+    oracle=_Q83_ORACLE,
+)
+def q83_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_metrics(load_table(spark, sf_dir, "documents"))

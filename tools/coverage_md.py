@@ -81,6 +81,10 @@ DESCRIPTIONS = [
     ("dedup-ngram-jaccard", "Exact n-gram Jaccard (inverted index, df-capped)"),
     ("dedup-embedding-cosine", "Embedding-cosine near-dup pairs"),
     ("dedup-srp-lsh", "Blocked embedding near-dup (deterministic SRP-LSH)"),
+    ("dedup-semantic", "SemDeDup-style semantic dedup (SRP-blocked keep-first)"),
+    ("contamination", "Benchmark-contamination check (word-8-gram overlap)"),
+    ("pii-redaction", "PII scrub (email/phone/IP count + redact)"),
+    ("repetition", "Repetition filters (Gopher top-gram / dup-trigram fracs)"),
     ("similarity-ann", "Brute-force cosine top-k (exact baseline)"),
     ("similarity-ivf", "IVF cosine top-k, k-means centroids (scale path)"),
     ("text-quality", "Quality scoring (length/punct/stopword)"),
