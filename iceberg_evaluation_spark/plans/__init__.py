@@ -59,6 +59,7 @@ _registry.PRIORITY[:] = [
     "q81_contamination_check",
     "q82_pii_redaction",
     "q83_repetition_metrics",
+    "q84_stream_stream_join",
     # --- representative coverage of the already-green surface (multi-op) ---
     "q52_flagship_composite",
     "q61_cumulative_crossover",

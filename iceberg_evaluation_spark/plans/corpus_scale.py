@@ -315,3 +315,77 @@ def q79_streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return table.read().select("fp", "keep_id", "n_seen")
+
+
+# ---------------------------------------------------------------------------
+# q84: STREAMING stream-stream interval join — view→purchase attribution.
+#      Two independent readStream sources over the same replayed events
+#      (views and purchases), watermarked on both sides, inner-joined on
+#      user_id with a 30-minute event-time range — the canonical
+#      Structured Streaming stream-stream join (state on both sides,
+#      append-mode emission). The oracle is the batch interval join:
+#      the streamed result must be IDENTICAL pair-for-pair.
+#      Watermark note: the replay files interleave event time (they are
+#      partitioned by event_id, not ts), so the delay is set beyond the
+#      corpus time span to guarantee no row is dropped as late — the
+#      exactness contract under replay. Production sets the delay to the
+#      real lateness horizon and state stays bounded by
+#      (delay + interval) × per-key arrival rate.
+# ---------------------------------------------------------------------------
+@register(
+    "q84_stream_stream_join",
+    covers="streaming J1 J7 J10 streaming-shape",
+    oracle="""
+SELECT a.user_id,
+       a.event_id AS view_id,
+       b.event_id AS purchase_id,
+       a.ts AS view_ts,
+       b.ts AS purchase_ts
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'view' AND b.event_type = 'purchase'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+""",
+)
+def q84_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(*_EV_COLS)
+    src = _replay_dir(ev, "q84_replay_")
+
+    def _src() -> DataFrame:
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+
+    views = (
+        _src()
+        .filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "60 days")
+    )
+    purchases = (
+        _src()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "60 days")
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            "user_id = p_user AND purchase_ts >= view_ts "
+            "AND purchase_ts <= view_ts + interval 30 minutes"
+        ),
+    ).select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
+
+    sink = f"q84_sink_{uuid.uuid4().hex[:8]}"
+    _run_stream(joined, sink, "append")
+    return spark.table(sink)
