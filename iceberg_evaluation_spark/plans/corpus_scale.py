@@ -348,7 +348,11 @@ FROM events a JOIN events b
 """,
 )
 def q84_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(*_EV_COLS)
+    # replay only the two event types the join consumes — the operator
+    # under test is the stream-stream join, not a stream-side filter
+    ev = load_table(spark, sf_dir, "events").select(*_EV_COLS).filter(
+        F.col("event_type").isin("view", "purchase")
+    )
     src = _replay_dir(ev, "q84_replay_")
 
     def _src() -> DataFrame:

@@ -140,3 +140,29 @@ def test_blocked_neardup_has_no_quadratic_join(spark, sf_correct):
     assert "Cartesian" not in plan
     # zero Python in the pipeline: signatures are integer built-ins
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_semantic_dedup_stays_blocked(spark, sf_correct):
+    """q80 inherits q72's blocking contract: equi-joins only, no
+    quadratic fallback, no Python stages."""
+    plan = _formatted_plan(spark, "q80_semantic_dedup", sf_correct)
+    assert "BroadcastNestedLoop" not in plan
+    assert "Cartesian" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_contamination_eval_dict_broadcast(spark, sf_correct):
+    """q81's eval-gram dictionary probe must be a broadcast join — a
+    shuffled join against a tiny eval set is the wrong plan at any
+    corpus scale — and the whole pipeline stays JVM-side."""
+    plan = _formatted_plan(spark, "q81_contamination_check", sf_correct)
+    assert "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_repetition_metrics_all_jvm(spark, sf_correct):
+    """q83: explode + hash-agg pipeline, zero Python stages, and the
+    mode-style metrics must partial-aggregate map-side."""
+    plan = _formatted_plan(spark, "q83_repetition_metrics", sf_correct)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
