@@ -60,6 +60,7 @@ _registry.PRIORITY[:] = [
     "q82_pii_redaction",
     "q83_repetition_metrics",
     "q84_stream_stream_join",
+    "q85_zorder_compaction",
     # --- representative coverage of the already-green surface (multi-op) ---
     "q52_flagship_composite",
     "q61_cumulative_crossover",

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..functions.keys import composite_pk
 from ..sources import load_table
+from ._exact import exact_sum, sql_sum
 from .registry import register
 
 #: SCD2 open-interval sentinel (reference pyspark_functions.py:314)
@@ -439,4 +440,53 @@ def q50_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("o_orderkey").alias("key_sum"),
         F.min("o_orderdate").alias("first_date"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q85: Z-ORDER data-layout rewrite (Iceberg rewrite_data_files
+#      sort/zorder strategy; Delta OPTIMIZE ZORDER BY). The table is
+#      created hash-scattered, then rewritten clustered on the
+#      interleaved-bit Z-value of (o_custkey, o_totalprice) — after the
+#      rewrite each file carries a tight min/max bounding box over BOTH
+#      columns, so predicates on either prune files (the multi-dim
+#      layout win; clustering quality is pinned by
+#      tests/test_snapshot_table.py::test_compaction_zorder_clusters_files).
+#      The oracle checks the rewrite is content-neutral: same rows, same
+#      sums, expected file counts — any row lost/duplicated/mutated by
+#      the layout shuffle hash-fails.
+# ---------------------------------------------------------------------------
+@register(
+    "q85_zorder_compaction",
+    covers="M8 S5 table-layer A1 P5",
+    oracle=f"""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(o_custkey) AS BIGINT) AS custkey_sum,
+       {sql_sum('o_totalprice')} AS price_sum,
+       16 AS files_before,
+       8 AS files_after
+FROM orders
+""",
+)
+def q85_zorder_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..tables.snapshot_table import SnapshotTable
+
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    table = SnapshotTable(spark, tempfile.mkdtemp(prefix="zorder_"))
+    table.create_or_replace(src, partitions=16)
+    files_before = len(table._read_snapshot(table.current_version())["files"])
+    table.compact(
+        strategy="zorder", zorder_by=["o_custkey", "o_totalprice"], target_files=8
+    )
+    files_after = len(table._read_snapshot(table.current_version())["files"])
+    return table.read().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_custkey").cast("bigint").alias("custkey_sum"),
+        exact_sum(F.col("o_totalprice")).alias("price_sum"),
+        F.lit(files_before).cast("int").alias("files_before"),
+        F.lit(files_after).cast("int").alias("files_after"),
     )

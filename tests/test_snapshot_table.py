@@ -202,3 +202,48 @@ def test_merge_null_key_prunes_and_updates(spark, tmp_path):
         key=lambda x: (x[0] is None, x[0]),
     )
     assert rows == [(1, "a"), (None, "B")]  # updated in place, no duplicate
+
+
+def test_compaction_zorder_clusters_files(spark, tmp_path):
+    """Z-order rewrite must (a) preserve content exactly and (b) give
+    each output file a tight bounding box over BOTH zorder columns —
+    the property that makes single-column predicates on either column
+    prune files. Compared against binpack of the same data into the
+    same file count."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    rows = [(i, float(i % 97), float((i * 31) % 89)) for i in range(20000)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+
+    def bbox_area_frac(table):
+        snap = table._read_snapshot(table.current_version())
+        areas = []
+        for rel in snap["files"]:
+            f = spark.read.parquet(f"{table.root}/{rel}")
+            r = f.agg(
+                F.min("x"), F.max("x"), F.min("y"), F.max("y")
+            ).collect()[0]
+            areas.append(((r[1] - r[0]) / 96.0) * ((r[3] - r[2]) / 88.0))
+        return sum(areas) / len(areas)
+
+    tz = SnapshotTable(spark, str(tmp_path / "tz"))
+    tz.create_or_replace(df, partitions=8)
+    tz.compact(strategy="zorder", zorder_by=["x", "y"], target_files=16)
+    tb = SnapshotTable(spark, str(tmp_path / "tb"))
+    tb.create_or_replace(df, partitions=8)
+    tb.compact(target_files=16)
+
+    # content identical to source under both strategies
+    for t in (tz, tb):
+        assert t.read().exceptAll(df).count() == 0
+        assert df.exceptAll(t.read()).count() == 0
+    # hash-partitioned binpack files span ~the full (x, y) space; z-order
+    # files must cover a far smaller average bounding box
+    frac_z, frac_b = bbox_area_frac(tz), bbox_area_frac(tb)
+    assert frac_b > 0.8, f"binpack baseline unexpectedly clustered: {frac_b}"
+    assert frac_z < 0.35 * frac_b, f"zorder {frac_z} vs binpack {frac_b}"
+    # summary records the layout operation
+    hist = tz.history().filter("operation = 'rewrite_data_files'").collect()
+    assert any("zorder" in str(r["summary"]) for r in hist)
