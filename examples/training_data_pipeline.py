@@ -1,8 +1,10 @@
 #!/usr/bin/env python
 """End-to-end training-data pipeline over the documents corpus:
 
-    quality filter → exact dedup → chunk → near-dup chunk stats →
+    quality filter → repetition filter → PII scrub → exact dedup →
+    contamination filter → chunk → near-dup chunk stats →
     sequence packing → train/val/test split + source mixture
+    (+ semantic dedup on the embeddings table)
 
     python examples/training_data_pipeline.py [SF_DIR]
 
@@ -19,8 +21,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
+from iceberg_evaluation_spark.operators.contamination import contamination_check
 from iceberg_evaluation_spark.operators.dedup import exact_dedup
-from iceberg_evaluation_spark.operators.text_ops import text_quality
+from iceberg_evaluation_spark.operators.similarity import semantic_dedup
+from iceberg_evaluation_spark.operators.text_ops import (
+    pii_scrub,
+    repetition_metrics,
+    text_quality,
+)
 from iceberg_evaluation_spark.session import get_spark
 from iceberg_evaluation_spark.sources import load_table
 
@@ -37,10 +45,34 @@ def main() -> None:
     docs_q = docs.join(kept_ids, "doc_id", "left_semi")
     n1 = docs_q.count()
 
+    # 1b. repetition gate: drop Gopher-style repetitious documents
+    rep_ok = repetition_metrics(docs_q).filter(~F.col("repetitive")).select("doc_id")
+    docs_q = docs_q.join(rep_ok, "doc_id", "left_semi")
+    n1b = docs_q.count()
+
+    # 1c. PII audit (this corpus is synthetic-clean; a production run
+    # would substitute the redacted text for flagged docs)
+    n_pii = pii_scrub(docs_q).filter(F.col("pii_found")).count()
+
     # 2. exact dedup: one survivor per normalized-text group
     survivors = exact_dedup(docs_q, "text", "doc_id").select("doc_id")
     docs_d = docs_q.join(survivors, "doc_id", "left_semi")
     n2 = docs_d.count()
+
+    # 2b. contamination gate: drop training docs sharing any word-8-gram
+    # with the held-out eval split (doc_id % 10 == 0)
+    ev = docs_d.filter(F.col("doc_id") % 10 == 0)
+    tr = docs_d.filter(F.col("doc_id") % 10 != 0)
+    clean = (
+        contamination_check(tr, ev, n=8)
+        .filter(~F.col("contaminated"))
+        .select("doc_id")
+    )
+    n2b = tr.join(clean, "doc_id", "left_semi").count()
+
+    # 2c. semantic dedup over the embeddings table (SRP-blocked keep-first)
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_emb_kept = semantic_dedup(emb, threshold=0.95).filter("kept").count()
 
     # 3-5. chunk → dedup stats → pack → split (registry operators run on
     # the full table; in a production pipeline they'd take docs_d)
@@ -66,7 +98,11 @@ def main() -> None:
 
     print(f"documents:            {n0}")
     print(f"after quality gate:   {n1}")
+    print(f"after repetition gate:{n1b}")
+    print(f"docs flagged for PII: {n_pii}")
     print(f"after exact dedup:    {n2}")
+    print(f"train docs clean of eval 8-grams: {n2b}")
+    print(f"embeddings kept by semantic dedup: {n_emb_kept}/{emb.count()}")
     print(f"chunks (32/24):       {n_chunks}")
     print(f"mean chunk dup ratio: {dup}")
     print(f"packs (256 tokens):   {n_packs}")
