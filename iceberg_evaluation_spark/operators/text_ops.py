@@ -164,28 +164,27 @@ def repetition_metrics(
     )
     with_grams = staged.select(
         id_col,
-        "n_tokens",
         "_toks",
         _grams("_toks", 2).alias("_bi"),
         _grams("_toks", 3).alias("_tri"),
     )
-    base = with_grams.select(
-        id_col,
-        "n_tokens",
-        "_toks",
-        "_bi",
-        F.size("_tri").alias("_n_tri"),
-        F.size(F.array_distinct("_tri")).alias("_n_tri_d"),
-    )
 
-    # one tagged long-frame for both mode-style metrics: unigrams and
-    # bigrams share the (doc, kind, gram) count and the per-doc max, so
-    # the whole thing is 2 shuffles + 1 join instead of 4 + 2
-    longs = base.select(
-        F.col(id_col), F.lit("u").alias("_k"), F.explode("_toks").alias("_g")
-    ).unionByName(
-        base.select(F.col(id_col), F.lit("b").alias("_k"), F.explode("_bi").alias("_g"))
-    )
+    # ONE tagged explode feeds every gram statistic — the per-doc gram
+    # mode (top unigram/bigram count) and the trigram total/distinct
+    # counts all come out of the same (doc, kind, gram) aggregation:
+    # 2 shuffles + 1 join total, and the token array stays staged
+    # (3 lambda references) instead of being re-inlined per branch.
+    def _tag(arr: str, k: str):
+        return F.transform(
+            F.col(arr), lambda g: F.struct(F.lit(k).alias("k"), g.alias("g"))
+        )
+
+    longs = with_grams.select(
+        F.col(id_col),
+        F.explode(
+            F.concat(_tag("_toks", "u"), _tag("_bi", "b"), _tag("_tri", "t"))
+        ).alias("_s"),
+    ).select(id_col, F.col("_s.k").alias("_k"), F.col("_s.g").alias("_g"))
     tops = (
         longs.groupBy(id_col, "_k", "_g")
         .agg(F.count(F.lit(1)).alias("_c"))
@@ -193,6 +192,12 @@ def repetition_metrics(
         .agg(
             F.max(F.when(F.col("_k") == "u", F.col("_c"))).alias("_top_uni"),
             F.max(F.when(F.col("_k") == "b", F.col("_c"))).alias("_top_bi"),
+            F.coalesce(
+                F.sum(F.when(F.col("_k") == "t", F.col("_c"))), F.lit(0)
+            ).alias("_n_tri"),
+            F.coalesce(
+                F.sum(F.when(F.col("_k") == "t", 1)), F.lit(0)
+            ).alias("_n_tri_d"),
         )
     )
 
@@ -203,11 +208,13 @@ def repetition_metrics(
     bi_frac = F.when(n_bi == 0, F.lit(0.0)).otherwise(
         F.coalesce(F.col("_top_bi"), F.lit(0)).cast("double") / n_bi
     )
-    tri_frac = F.when(F.col("_n_tri") == 0, F.lit(0.0)).otherwise(
+    tri_frac = F.when(
+        F.coalesce(F.col("_n_tri"), F.lit(0)) == 0, F.lit(0.0)
+    ).otherwise(
         (F.col("_n_tri") - F.col("_n_tri_d")).cast("double") / F.col("_n_tri")
     )
     return (
-        base.drop("_toks", "_bi")
+        staged.drop("_toks")
         .join(tops, id_col, "left")
         .select(
             id_col,
