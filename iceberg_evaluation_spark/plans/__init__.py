@@ -45,6 +45,7 @@ _registry.PRIORITY[:] = [
     # --- rows-only in round 1; invariant oracles added this round ---
     "q36_minhash_neardup",
     "q37_simhash_neardup",
+    "q54_sketch_stats",
     # --- new this round ---
     "q71_yoy_cross_channel",
     "q72_blocked_embedding_neardup",
@@ -61,6 +62,7 @@ _registry.PRIORITY[:] = [
     "q83_repetition_metrics",
     "q84_stream_stream_join",
     "q85_zorder_compaction",
+    "q86_incremental_scan",
     # --- representative coverage of the already-green surface (multi-op) ---
     "q52_flagship_composite",
     "q61_cumulative_crossover",
@@ -75,7 +77,6 @@ _registry.PRIORITY[:] = [
     "q31_language_id",
     "q39_rolling_fingerprint",
     "q55_exact_percentiles",
-    "q54_sketch_stats",
     "q62_json_props",
     "q65_native_pivot",
     "q66_unpivot_metrics",

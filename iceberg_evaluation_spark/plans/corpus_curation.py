@@ -490,3 +490,51 @@ def q85_zorder_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(files_before).cast("int").alias("files_before"),
         F.lit(files_after).cast("int").alias("files_after"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q86: incremental append scan + schema evolution (Iceberg incremental
+#      read / ALTER TABLE ADD COLUMN). The table is built in three
+#      batches split by o_orderkey % 3; between batch 2 and 3 the schema
+#      evolves (add_column 'chan'), and batch 3 carries the new column.
+#      read_incremental(1) must return EXACTLY the rows of batches 2+3
+#      under the evolved schema — batch-2 rows read NULL in 'chan'
+#      (written before the evolution), batch-3 rows carry 'late'. Any
+#      leakage of batch 1, lost/duplicated incremental rows, or
+#      mis-projected schema hash-fails against the oracle's partition
+#      of the same source table.
+# ---------------------------------------------------------------------------
+@register(
+    "q86_incremental_scan",
+    covers="S9 S10 S7 table-layer A1 P5",
+    oracle="""
+SELECT CAST(NULL AS VARCHAR) AS chan,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+FROM orders WHERE o_orderkey % 3 = 1
+UNION ALL
+SELECT 'late' AS chan,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+FROM orders WHERE o_orderkey % 3 = 2
+""",
+)
+def q86_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..tables.snapshot_table import SnapshotTable
+
+    keys = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    table = SnapshotTable(spark, tempfile.mkdtemp(prefix="incr_"))
+    table.create_or_replace(keys.filter(F.col("o_orderkey") % 3 == 0))   # v1
+    table.append(keys.filter(F.col("o_orderkey") % 3 == 1))              # v2
+    table.add_column("chan", "string")                                   # v3
+    table.append(                                                        # v4
+        keys.filter(F.col("o_orderkey") % 3 == 2).withColumn(
+            "chan", F.lit("late")
+        )
+    )
+    return table.read_incremental(1).groupBy("chan").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+    )

@@ -178,13 +178,84 @@ class SnapshotTable:
         )
 
     def append(self, df: DataFrame) -> int:
-        """Append snapshot (reference ``writeTo(t).append()``, notebook cell 30)."""
+        """Append snapshot (reference ``writeTo(t).append()``, notebook cell 30).
+
+        The frame is aligned to the table schema first (Iceberg writer
+        semantics): columns the table has but ``df`` lacks are filled
+        with NULL (they were added by ``add_column`` after ``df``'s
+        producer was written); columns ``df`` has but the table lacks
+        are an error — evolve the schema explicitly, never silently."""
         if not self.exists():
             return self.create_or_replace(df)
         prev = self._read_snapshot(self.current_version())
-        files = self._write_files(df)
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(prev["schema"]))
+        extra = [c for c in df.columns if c not in schema.fieldNames()]
+        if extra:
+            raise ValueError(
+                f"append frame has columns {extra} not in the table schema; "
+                "call add_column first (schema evolution is explicit)"
+            )
+        aligned = df.select(
+            *[
+                F.col(f.name).cast(f.dataType)
+                if f.name in df.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+        files = self._write_files(aligned)
         return self._commit(
             prev["files"] + files, "append", {"added_files": len(files)}, prev["schema"]
+        )
+
+    # ------------------------------------------------------- schema evolution
+    def add_column(self, name: str, dtype: str) -> int:
+        """``ALTER TABLE … ADD COLUMN`` (Iceberg schema evolution).
+
+        Metadata-only commit: the data files are untouched; rows written
+        before the evolution read as NULL in the new column. ``dtype``
+        is a Spark DDL type string (``"double"``, ``"string"`` …).
+        Renames are intentionally NOT offered: this layer maps parquet
+        columns by NAME, and name-mapped renames silently orphan old
+        data (Iceberg solves it with field IDs; Delta with column
+        mapping) — an explicit add + backfill + drop is the honest
+        equivalent here."""
+        base = self.current_version()
+        snap = self._read_snapshot(base)
+        from pyspark.sql.types import StructType, _parse_datatype_string
+
+        schema = StructType.fromJson(json.loads(snap["schema"]))
+        if name in schema.fieldNames():
+            raise ValueError(f"column {name!r} already exists")
+        schema = schema.add(name, _parse_datatype_string(dtype), True)
+        return self._commit(
+            snap["files"],
+            "add_column",
+            {"column": name, "type": dtype},
+            schema.json(),
+            expected_version=base,
+        )
+
+    def drop_column(self, name: str) -> int:
+        """``ALTER TABLE … DROP COLUMN``: metadata-only; the bytes remain
+        in existing files but every read projects the column away, and
+        time travel to pre-drop snapshots still sees it."""
+        base = self.current_version()
+        snap = self._read_snapshot(base)
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(snap["schema"]))
+        if name not in schema.fieldNames():
+            raise ValueError(f"column {name!r} does not exist")
+        kept = StructType([f for f in schema.fields if f.name != name])
+        return self._commit(
+            snap["files"],
+            "drop_column",
+            {"column": name},
+            kept.json(),
+            expected_version=base,
         )
 
     # ------------------------------------------------------------------ reads
@@ -202,14 +273,57 @@ class SnapshotTable:
         if version is None:
             version = self.current_version()
         snap = self._read_snapshot(version)
-        files = self._abs_files(snap)
-        if not files:
-            from pyspark.sql.types import StructType
+        return self._read_files(snap["files"], snap["schema"])
 
-            return self.spark.createDataFrame(
-                [], StructType.fromJson(json.loads(snap["schema"]))
-            )
-        return self.spark.read.parquet(*files)
+    def _read_files(self, rels: list[str], schema_json: str) -> DataFrame:
+        """Scan data files under the SNAPSHOT's schema (Iceberg-style
+        schema projection): files written before an ``add_column`` lack
+        the column and read as NULL; columns dropped from the schema are
+        projected away even though the bytes remain in old files."""
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(schema_json))
+        if not rels:
+            return self.spark.createDataFrame([], schema)
+        files = [os.path.join(self.root, rel) for rel in rels]
+        return self.spark.read.schema(schema).parquet(*files)
+
+    def read_incremental(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Incremental append scan (Iceberg's changelog/incremental read):
+        the rows ADDED by snapshots in ``(from_version, to_version]``.
+
+        Only append snapshots contribute rows; content-neutral snapshots
+        (compaction rewrites, schema evolution) are skipped; ranges
+        containing an overwrite-class snapshot (``create_or_replace``,
+        ``merge``) raise — a row-level diff of a rewrite is not
+        derivable from the file diff (Iceberg's incremental append scan
+        has the same restriction). The added files must not have been
+        removed by ``expire_snapshots``. This is the table-side feed for
+        downstream CDC: consumers checkpoint the last version they
+        processed and read forward from it."""
+        if to_version is None:
+            to_version = self.current_version()
+        if from_version > to_version:
+            raise ValueError(f"empty range ({from_version}, {to_version}]")
+        prev = set(self._read_snapshot(from_version)["files"]) if from_version else set()
+        added: list[str] = []
+        schema_json = self._read_snapshot(to_version)["schema"]
+        for v in range(from_version + 1, to_version + 1):
+            snap = self._read_snapshot(v)
+            op = snap["operation"]
+            if op == "append":
+                added.extend(f for f in snap["files"] if f not in prev)
+            elif op in ("rewrite_data_files", "add_column", "drop_column"):
+                pass  # content-neutral: no new rows
+            else:
+                raise ValueError(
+                    f"incremental scan crossed a {op!r} snapshot (v{v}); "
+                    "append-only ranges are required"
+                )
+            prev = set(snap["files"])
+        return self._read_files(added, schema_json)
 
     def history(self) -> DataFrame:
         """Snapshot history (reference ``SELECT * FROM t.$history``,

@@ -247,3 +247,62 @@ def test_compaction_zorder_clusters_files(spark, tmp_path):
     # summary records the layout operation
     hist = tz.history().filter("operation = 'rewrite_data_files'").collect()
     assert any("zorder" in str(r["summary"]) for r in hist)
+
+
+def test_incremental_append_scan(spark, tmp_path):
+    """read_incremental must return exactly the rows added in the range,
+    skip content-neutral snapshots, and reject overwrite ranges."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i, f"v{i}") for i in range(lo, hi)], "id int, v string"
+    )
+    t.create_or_replace(mk(0, 10))        # v1
+    t.append(mk(10, 20))                  # v2
+    t.append(mk(20, 25))                  # v3
+    t.compact(target_files=1)             # v4 (content-neutral)
+    t.append(mk(25, 30))                  # v5
+
+    inc = t.read_incremental(1, 3)
+    assert sorted(r["id"] for r in inc.collect()) == list(range(10, 25))
+    # compaction inside the range contributes nothing
+    inc2 = t.read_incremental(2)          # (2, current]: v3 + v5 rows
+    assert sorted(r["id"] for r in inc2.collect()) == list(range(20, 30))
+    # overwrite-class snapshots refuse incremental semantics
+    t.create_or_replace(mk(0, 5))         # v6
+    with pytest.raises(ValueError, match="append-only"):
+        t.read_incremental(1)
+
+
+def test_schema_evolution_add_drop(spark, tmp_path):
+    """add_column/drop_column are metadata-only; old files read as NULL
+    in added columns, dropped columns vanish from reads but survive in
+    time travel."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create_or_replace(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    )                                      # v1
+    t.add_column("score", "double")        # v2 (metadata only)
+    assert t.read().columns == ["id", "v", "score"]
+    assert all(r["score"] is None for r in t.read().collect())
+
+    # appends may omit the new column (NULL-filled) or carry it
+    t.append(spark.createDataFrame([(3, "c")], "id int, v string"))       # v3
+    t.append(
+        spark.createDataFrame([(4, "d", 0.5)], "id int, v string, score double")
+    )                                      # v4
+    got = {r["id"]: r["score"] for r in t.read().collect()}
+    assert got == {1: None, 2: None, 3: None, 4: 0.5}
+
+    # unknown columns are rejected, never silently added
+    with pytest.raises(ValueError, match="add_column first"):
+        t.append(spark.createDataFrame([(5, "e", 1)], "id int, v string, bogus int"))
+
+    # incremental scan across the evolution applies the target schema
+    inc = t.read_incremental(2, 4)
+    assert {r["id"]: r["score"] for r in inc.collect()} == {3: None, 4: 0.5}
+
+    t.drop_column("v")                     # v5
+    assert t.read().columns == ["id", "score"]
+    # time travel still sees the pre-drop schema and values
+    assert t.read(version=1).columns == ["id", "v"]
+    assert {r["v"] for r in t.read(version=1).collect()} == {"a", "b"}
