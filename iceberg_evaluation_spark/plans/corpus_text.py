@@ -307,19 +307,27 @@ def q36_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # independent precision recount: inverted-index intersection counting
     # (explode + hash-agg) instead of the verify join's array_intersect.
-    # Counter-intuitively, the full index self-join beats a pair-anchored
-    # double join here (measured 10.6s vs 90s at sf0.1): the shingle key
-    # is low-cardinality-skewed, and AQE handles the self-join's skew
-    # while the pair-anchored form shuffles the wide exploded
-    # intermediate twice.
+    # PAIR-ANCHORED on a COMPOSITE key: the emitted pair set is broadcast
+    # onto the inverted index (side A), and the probe join keys on
+    # (shingle, doc_b) — high-cardinality, so no hot-shingle skew and no
+    # per-shingle quadratic bucket. The earlier full index self-join
+    # keyed on the shingle alone and its hot-shingle tail made the
+    # stage's wall time swing 12→46 s run-to-run under ambient load;
+    # this form is ~4 s and stable. (A pair-anchored EXPLODE-side
+    # shuffle of the wide arrays was worse still — 90 s.)
     sh = _shingle_frame(corpus, "doc_id", "text", 3)
     sizes = sh.select("_id", F.size("_sh").alias("_n"))
     inv = sh.select("_id", F.explode("_sh").alias("_g"))
+    anchored = inv.join(
+        F.broadcast(pairs.select("id_a", "id_b")), F.col("_id") == F.col("id_a")
+    ).select("id_a", "id_b", "_g")
     inter = (
-        inv.alias("x")
-        .join(inv.alias("y"), "_g")
-        .filter(F.col("x._id") < F.col("y._id"))
-        .groupBy(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
+        anchored.alias("x")
+        .join(
+            inv.alias("y"),
+            (F.col("y._id") == F.col("x.id_b")) & (F.col("y._g") == F.col("x._g")),
+        )
+        .groupBy(F.col("x.id_a").alias("id_a"), F.col("x.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("_i"))
     )
     flagged = (
