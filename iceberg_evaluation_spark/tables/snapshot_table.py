@@ -593,6 +593,43 @@ class SnapshotTable:
                 acc = acc + F.shiftleft(bit.cast("long"), b * k + j)
         return acc
 
+    def rollback(self, version: int) -> int:
+        """Roll the table back to a previous snapshot (Iceberg
+        ``rollback_to_snapshot``): a NEW snapshot referencing the old
+        file set — history is preserved, nothing is deleted, and the
+        rollback itself can be rolled back."""
+        base = self.current_version()
+        snap = self._read_snapshot(version)  # raises if unknown
+        return self._commit(
+            snap["files"],
+            "rollback",
+            {"to_version": version},
+            snap["schema"],
+            expected_version=base,
+        )
+
+    def remove_orphan_files(self) -> int:
+        """Delete data files not referenced by ANY snapshot (Iceberg
+        ``remove_orphan_files``): crashed or aborted writes leave
+        parquet files in the data dir that no manifest points to; they
+        are invisible to readers but leak storage forever at scale."""
+        referenced = {rel for s in self._snapshots() for rel in s["files"]}
+        removed = 0
+        if not os.path.isdir(self._data_dir):
+            return 0
+        for commit_dir in os.listdir(self._data_dir):
+            cpath = os.path.join(self._data_dir, commit_dir)
+            if not os.path.isdir(cpath):
+                continue
+            for name in os.listdir(cpath):
+                rel = os.path.join("data", commit_dir, name)
+                if name.endswith(".parquet") and rel not in referenced:
+                    os.remove(os.path.join(cpath, name))
+                    removed += 1
+            if not os.listdir(cpath):
+                os.rmdir(cpath)
+        return removed
+
     def expire_snapshots(self, keep_last: int = 1) -> int:
         """Drop old snapshots and delete data files no longer referenced."""
         snaps = self._snapshots()

@@ -306,3 +306,33 @@ def test_schema_evolution_add_drop(spark, tmp_path):
     # time travel still sees the pre-drop schema and values
     assert t.read(version=1).columns == ["id", "v"]
     assert {r["v"] for r in t.read(version=1).collect()} == {"a", "b"}
+
+
+def test_rollback_and_orphan_cleanup(spark, tmp_path):
+    """rollback() restores an old file set as a NEW snapshot (history
+    preserved); remove_orphan_files() deletes only unreferenced files."""
+    import os
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    df1 = spark.createDataFrame([(1,), (2,)], "id int")
+    t.create_or_replace(df1)                                    # v1
+    t.append(spark.createDataFrame([(3,)], "id int"))           # v2
+    assert t.read().count() == 3
+
+    v3 = t.rollback(1)                                          # v3 = v1 files
+    assert v3 == 3 and t.read().count() == 2
+    assert t.read(version=2).count() == 3  # history intact
+    # a rollback is overwrite-class for incremental consumers
+    with pytest.raises(ValueError, match="append-only"):
+        t.read_incremental(1)
+
+    # plant an orphan (aborted write) and a referenced file check
+    orphan_dir = os.path.join(t.root, "data", "commit-deadbeef")
+    os.makedirs(orphan_dir)
+    with open(os.path.join(orphan_dir, "part-0.parquet"), "wb") as f:
+        f.write(b"junk")
+    n_before = t.read().count()
+    assert t.remove_orphan_files() == 1
+    assert not os.path.exists(orphan_dir)
+    assert t.read().count() == n_before          # referenced files untouched
+    assert t.read(version=2).count() == 3        # all snapshots still readable
