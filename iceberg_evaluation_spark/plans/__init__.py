@@ -14,9 +14,11 @@ from . import corpus_quality  # noqa: E402,F401
 # queries(). Round 1 checked registration order, leaving the entire
 # curation/table layer (q40-q50), the late text-pipeline queries (q57-q60,
 # q63, q69), IVF (q38) and multimodal (q45-q46) without a driver verdict.
-# This list rotates those to the front — together with queries fixed or added
-# since the last driver check — and pushes long-green trivia past position 50
-# (they stay covered by tests/test_oracle_parity.py locally).
+# This list rotates those to the front — together with every query fixed or
+# added since the last driver check (q64/q67 cast fixes; q36/q37/q54 new
+# invariant oracles; q71-q86 new this round) — and pushes long-green trivia
+# past position 50 (those were all hash_match=true in CORRECTNESS_r01 and
+# stay covered by tests/test_oracle_parity.py locally).
 _registry.PRIORITY[:] = [
     # flagship stays first (driver entry() smoke-checks it anyway)
     "q01_pricing_summary",
@@ -63,6 +65,7 @@ _registry.PRIORITY[:] = [
     "q84_stream_stream_join",
     "q85_zorder_compaction",
     "q86_incremental_scan",
+    "q87_rollback",
     # --- representative coverage of the already-green surface (multi-op) ---
     "q52_flagship_composite",
     "q61_cumulative_crossover",

@@ -538,3 +538,43 @@ def q86_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("o_orderkey").cast("bigint").alias("key_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q87: snapshot rollback (Iceberg rollback_to_snapshot). Build two
+#      batches, roll back to the first, and read — the result must be
+#      EXACTLY the pre-append state while history keeps all three
+#      snapshots (create, append, rollback) and the rolled-back state
+#      stays time-travel-readable. Any leakage of batch-2 rows through
+#      the rollback, or a rollback that mutates rather than re-points
+#      files, hash-fails.
+# ---------------------------------------------------------------------------
+@register(
+    "q87_rollback",
+    covers="S9 S10 S7 table-layer A1",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       3 AS n_snapshots,
+       CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_rows_pre_rollback
+FROM orders WHERE o_orderkey % 2 = 0
+""",
+)
+def q87_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..tables.snapshot_table import SnapshotTable
+
+    keys = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    table = SnapshotTable(spark, tempfile.mkdtemp(prefix="rollback_"))
+    table.create_or_replace(keys.filter(F.col("o_orderkey") % 2 == 0))  # v1
+    table.append(keys.filter(F.col("o_orderkey") % 2 == 1))             # v2
+    table.rollback(1)                                                   # v3
+    n_snapshots = table.history().count()
+    pre = table.read(version=2).count()  # time travel across the rollback
+    return table.read().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        F.lit(n_snapshots).cast("int").alias("n_snapshots"),
+        F.lit(pre).cast("bigint").alias("n_rows_pre_rollback"),
+    )
