@@ -66,6 +66,7 @@ _registry.PRIORITY[:] = [
     "q85_zorder_compaction",
     "q86_incremental_scan",
     "q87_rollback",
+    "q88_cube_grouping",
     # --- representative coverage of the already-green surface (multi-op) ---
     "q52_flagship_composite",
     "q61_cumulative_crossover",

@@ -1092,3 +1092,32 @@ def q74_rank_selfjoin_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             "next_qty",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q88: CUBE + GROUPING() — the third grouping-set family member next to
+#      ROLLUP (q08) and explicit GROUPING SETS (q67): all 2^k subtotal
+#      combinations in ONE Expand + ONE shuffle (Catalyst plans cube the
+#      same way as rollup — no per-subtotal re-aggregation).
+# ---------------------------------------------------------------------------
+@register(
+    "q88_cube_grouping",
+    covers="A5 A6 A1",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+       CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+       {sql_sum('l_quantity')} AS sum_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def q88_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+        F.grouping("l_linestatus").cast("bigint").alias("g_status"),
+        exact_sum(F.col("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
