@@ -1,0 +1,60 @@
+"""Weighted mixture resampling — epoch construction for pretraining.
+
+Given a per-row sampling weight (per-mille, so 2300 = 2.3×), emit
+``floor(w)`` copies of every row plus one more with probability
+``frac(w)`` — the standard way a data mixture upsamples high-quality
+sources and downsamples bulk ones when materializing a training epoch
+(w < 1000 is a pure downsample, q63's case; w > 1000 upsamples).
+
+Determinism contract: the fractional coin is an md5 bucket of
+``(id, epoch)`` — no RNG, identical across engines and runs, and a new
+``epoch`` value re-rolls every coin without correlation to the previous
+epoch. The copy fan-out is ``explode(sequence(...))`` — narrow, codegen,
+no shuffle; downstream writers see ``copy_idx`` to disambiguate
+duplicates (e.g. for pack-level shuffling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["mixture_resample"]
+
+
+def mixture_resample(
+    df: DataFrame,
+    weight_permille: Column,
+    *,
+    id_col: str = "doc_id",
+    epoch: int = 1,
+) -> DataFrame:
+    """All input columns + ``copy_idx`` (1..n_copies per row).
+
+    ``n_copies = weight_permille // 1000 + (bucket < weight_permille % 1000)``
+    where ``bucket = int(md5(id || ':' || epoch)[:6], 16) % 1000``.
+    Rows with ``n_copies = 0`` are dropped (pure downsample region).
+    Integer per-mille weights avoid float-boundary drift between
+    engines (2.3 reads as 2299.999…·1e-3 in binary).
+    """
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(epoch)))),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000
+    )
+    n = F.floor(weight_permille / F.lit(1000)).cast("bigint") + F.when(
+        bucket < weight_permille.cast("bigint") % 1000, 1
+    ).otherwise(0)
+    return (
+        df.withColumn("__n", n)
+        .filter(F.col("__n") > 0)
+        .withColumn("copy_idx", F.explode(F.sequence(F.lit(1), F.col("__n"))))
+        .drop("__n")
+    )

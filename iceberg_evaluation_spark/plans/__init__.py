@@ -67,6 +67,7 @@ _registry.PRIORITY[:] = [
     "q86_incremental_scan",
     "q87_rollback",
     "q88_cube_grouping",
+    "q89_mixture_resample",
     # --- representative coverage of the already-green surface (multi-op) ---
     "q52_flagship_composite",
     "q61_cumulative_crossover",
@@ -74,8 +75,8 @@ _registry.PRIORITY[:] = [
     "q27_event_sessions",
     "q24_latest_order_per_customer",
     "q33_ngram_jaccard_pairs",
-    "q34_ann_cosine_topk",
     "q35_embedding_neardup_pairs",
+    "q34_ann_cosine_topk",
     "q32_exact_dedup",
     "q30_text_quality",
     "q31_language_id",

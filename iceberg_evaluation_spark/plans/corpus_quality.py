@@ -243,3 +243,69 @@ FROM base b LEFT JOIN uni u USING (doc_id) LEFT JOIN bi i USING (doc_id)
 )
 def q83_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_metrics(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# q89: weighted mixture resampling (epoch construction). High-quality
+#      sources upsample (2.3×: two guaranteed copies + a 30% md5-coin
+#      third), mid sources stay 1×, bulk sources downsample to 0.4×.
+#      The Spark side MATERIALIZES the copies (explode fan-out — the
+#      operator under test); the oracle computes the same totals in
+#      closed form (sum of floor(w) + coin), so any fan-out bug —
+#      wrong copy count, dropped row, phantom copy, wrong coin — breaks
+#      the hash. sum_copy_idx pins the per-row 1..n structure, not just
+#      the total (n·(n+1)/2 per doc).
+# ---------------------------------------------------------------------------
+_Q89_W = (
+    "CASE WHEN CAST(substr(source, 4, 10) AS INT) < 5 THEN 2300 "
+    "WHEN CAST(substr(source, 4, 10) AS INT) < 10 THEN 1000 ELSE 400 END"
+)
+
+_Q89_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, source, {_Q89_W} AS wpm,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':1'), 1, 6)) AS BIGINT)
+           % 1000 AS bucket
+  FROM documents
+), n AS (
+  SELECT doc_id, source,
+         (wpm // 1000) + (CASE WHEN bucket < wpm % 1000 THEN 1 ELSE 0 END) AS n_copies
+  FROM w
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs_in,
+       CAST(sum(CASE WHEN n_copies > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+       CAST(sum(n_copies) AS BIGINT) AS n_rows_out,
+       CAST(sum(n_copies * (n_copies + 1) / 2) AS BIGINT) AS sum_copy_idx
+FROM n
+GROUP BY source
+"""
+
+
+@register(
+    "q89_mixture_resample",
+    covers="mixture P4 A1 text-analysis",
+    oracle=_Q89_ORACLE,
+)
+def q89_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mixture import mixture_resample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    src_n = F.substring("source", 4, 10).cast("int")
+    wpm = (
+        F.when(src_n < 5, 2300).when(src_n < 10, 1000).otherwise(400)
+    ).cast("bigint")
+    resampled = mixture_resample(docs, wpm, id_col="doc_id", epoch=1)
+    per_source = resampled.groupBy("source").agg(
+        F.count_distinct("doc_id").alias("n_docs_kept"),
+        F.count(F.lit(1)).alias("n_rows_out"),
+        F.sum("copy_idx").alias("sum_copy_idx"),
+    )
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs_in"))
+    return totals.join(per_source, "source", "left").select(
+        "source",
+        "n_docs_in",
+        F.coalesce(F.col("n_docs_kept"), F.lit(0)).cast("bigint").alias("n_docs_kept"),
+        F.coalesce(F.col("n_rows_out"), F.lit(0)).cast("bigint").alias("n_rows_out"),
+        F.coalesce(F.col("sum_copy_idx"), F.lit(0)).cast("bigint").alias("sum_copy_idx"),
+    )

@@ -119,3 +119,30 @@ def test_semantic_dedup_drops_planted_copies(spark):
         assert out[i]["kept"], f"original {i} must be kept"
         assert not out[i + 100]["kept"], f"copy {i + 100} must drop"
         assert out[i + 100]["n_lower_nbrs"] >= 1
+
+
+# ---------------------------------------------------------------- mixture
+def test_mixture_resample_copy_structure(spark):
+    from iceberg_evaluation_spark.operators.mixture import mixture_resample
+
+    df = spark.createDataFrame([(i, "s") for i in range(200)], "doc_id long, src string")
+    # pure upsample: exactly 2 copies each, copy_idx = 1, 2
+    out = mixture_resample(df, F.lit(2000), epoch=1)
+    assert out.count() == 400
+    per = out.groupBy("doc_id").count().collect()
+    assert all(r["count"] == 2 for r in per)
+    idx = {(r["doc_id"], r["copy_idx"]) for r in out.collect()}
+    assert (0, 1) in idx and (0, 2) in idx
+
+    # fractional: 1.5x → between 1 and 2 copies per doc, mean ≈ 1.5
+    frac = mixture_resample(df, F.lit(1500), epoch=1)
+    n = frac.count()
+    assert 200 <= n <= 400 and abs(n - 300) < 60  # md5 coin ≈ 50%
+
+    # epoch changes re-roll the coin without changing guaranteed copies
+    frac2 = mixture_resample(df, F.lit(1500), epoch=2)
+    kept1 = {r["doc_id"] for r in frac.filter("copy_idx = 2").collect()}
+    kept2 = {r["doc_id"] for r in frac2.filter("copy_idx = 2").collect()}
+    assert kept1 != kept2  # different epochs sample different extras
+    # downsample region: 0 copies possible, weight 0 drops everything
+    assert mixture_resample(df, F.lit(0), epoch=1).count() == 0

@@ -85,6 +85,7 @@ DESCRIPTIONS = [
     ("contamination", "Benchmark-contamination check (word-8-gram overlap)"),
     ("pii-redaction", "PII scrub (email/phone/IP count + redact)"),
     ("repetition", "Repetition filters (Gopher top-gram / dup-trigram fracs)"),
+    ("mixture", "Weighted mixture resampling (deterministic epoch upsampling)"),
     ("similarity-ann", "Brute-force cosine top-k (exact baseline)"),
     ("similarity-ivf", "IVF cosine top-k, k-means centroids (scale path)"),
     ("text-quality", "Quality scoring (length/punct/stopword)"),
