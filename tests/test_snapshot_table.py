@@ -336,3 +336,23 @@ def test_rollback_and_orphan_cleanup(spark, tmp_path):
     assert not os.path.exists(orphan_dir)
     assert t.read().count() == n_before          # referenced files untouched
     assert t.read(version=2).count() == 3        # all snapshots still readable
+
+
+def test_merge_after_schema_evolution(spark, tmp_path):
+    """MERGE against a table whose schema evolved must treat missing
+    source columns as NULL on insert and keep target values on update
+    (the Iceberg writer contract the append path also follows)."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create_or_replace(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    )
+    t.add_column("score", "double")
+    # source predates the evolution: no 'score' column
+    src = spark.createDataFrame([(2, "b2"), (3, "c")], "id int, v string")
+    t.merge(
+        src,
+        on=["id"],
+        clause=MergeClause(matched_update={"v": "s.v"}),
+    )
+    got = {r["id"]: (r["v"], r["score"]) for r in t.read().collect()}
+    assert got == {1: ("a", None), 2: ("b2", None), 3: ("c", None)}
