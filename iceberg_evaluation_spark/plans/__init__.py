@@ -68,12 +68,12 @@ _registry.PRIORITY[:] = [
     "q87_rollback",
     "q88_cube_grouping",
     "q89_mixture_resample",
+    "q90_leakage_safe_split",
     # --- representative coverage of the already-green surface (multi-op) ---
     "q52_flagship_composite",
     "q61_cumulative_crossover",
     "q53_asof_join",
     "q27_event_sessions",
-    "q24_latest_order_per_customer",
     "q33_ngram_jaccard_pairs",
     "q35_embedding_neardup_pairs",
     "q34_ann_cosine_topk",

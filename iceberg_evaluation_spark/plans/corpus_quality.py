@@ -309,3 +309,86 @@ def q89_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_rows_out"), F.lit(0)).cast("bigint").alias("n_rows_out"),
         F.coalesce(F.col("sum_copy_idx"), F.lit(0)).cast("bigint").alias("sum_copy_idx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q90: leakage-safe dataset split — the subtle pipeline requirement that
+#      near-duplicate documents must NEVER straddle train/eval (a
+#      test-set member with a train-set near-twin leaks). Split
+#      assignment hashes the CLUSTER representative (min doc_id of the
+#      connected component over the Jaccard-0.5 near-dup graph), not the
+#      document id, so whole dup-clusters move together by construction.
+#      Oracle: recursive-CTE connected components (q69's idiom) + the
+#      same md5 bucket on the representative — per-document hash check
+#      of cluster AND split.
+# ---------------------------------------------------------------------------
+_TOKS_Q90 = "regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+
+_Q90_ORACLE = f"""
+WITH RECURSIVE norm AS (
+  SELECT doc_id, {_TOKS_Q90} AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(0, greatest(len(t) - 3, 0) + 1),
+                                      i -> array_to_string(t[i+1:i+3], ' '))) AS s
+  FROM norm
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+), cc AS (
+  SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster
+  FROM reach GROUP BY node
+), split AS (
+  SELECT doc_id, cluster,
+         CAST(('0x' || substr(md5(CAST(cluster AS VARCHAR) || ':split'), 1, 6)) AS BIGINT)
+           % 1000 AS bucket
+  FROM cc
+)
+SELECT doc_id, cluster,
+       CASE WHEN bucket < 800 THEN 'train'
+            WHEN bucket < 900 THEN 'val'
+            ELSE 'test' END AS split
+FROM split
+"""
+
+
+@register(
+    "q90_leakage_safe_split",
+    covers="dedup-ngram-jaccard P4 A1 text-analysis",
+    oracle=_Q90_ORACLE,
+)
+def q90_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cluster import connected_components
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    cc = connected_components(docs.select(F.col("doc_id").alias("id")), edges)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("cluster").cast("string"), F.lit(":split"))), 1, 6
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000
+    )
+    split = (
+        F.when(bucket < 800, "train").when(bucket < 900, "val").otherwise("test")
+    )
+    return cc.select(
+        F.col("node").alias("doc_id"), "cluster", split.alias("split")
+    )
