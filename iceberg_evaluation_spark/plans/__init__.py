@@ -11,84 +11,70 @@ from . import corpus_scale  # noqa: E402,F401
 from . import corpus_quality  # noqa: E402,F401
 
 # The driver's per-round CORRECTNESS check covers only the FIRST 50 entries of
-# queries(). Round 1 checked registration order, leaving the entire
-# curation/table layer (q40-q50), the late text-pipeline queries (q57-q60,
-# q63, q69), IVF (q38) and multimodal (q45-q46) without a driver verdict.
-# This list rotates those to the front — together with every query fixed or
-# added since the last driver check (q64/q67 cast fixes; q36/q37/q54 new
-# invariant oracles; q71-q86 new this round) — and pushes long-green trivia
-# past position 50 (those were all hash_match=true in CORRECTNESS_r01 and
-# stay covered by tests/test_oracle_parity.py locally).
+# queries(). Round 2's window covered the 38 queries round 1 never reached,
+# the round-1 failures, and everything added in round 2 — leaving the 38
+# round-1-window queries (q02-q26, q30-q32, q34, q39, q51, q55-q56, q62,
+# q65-q66, q68, q70) with verdicts issued against round-1 code. This round
+# rotates exactly that complement to the front so every query's most recent
+# driver verdict is against HEAD, and fills the remaining 11 slots with the
+# queries whose code paths changed in round 3 (q69/q90 shared clustering,
+# q46 real codec, the snapshot-table queries touched by the ADVICE fixes,
+# q36/q37 verification split). Everything else was freshly verified green in
+# round 2 and remains covered locally by tests/test_oracle_parity.py.
 _registry.PRIORITY[:] = [
     # flagship stays first (driver entry() smoke-checks it anyway)
     "q01_pricing_summary",
-    # --- never driver-checked in round 1 (registration positions 50-67) ---
-    "q40_scd2_rebuild",
-    "q41_latest_event_per_user",
-    "q42_composite_pk",
-    "q43_update_synthesis",
-    "q44_scd2_table_pipeline",
-    "q47_time_travel",
-    "q48_compaction",
-    "q49_partitioned_sink",
-    "q50_csv_source",
-    "q45_multimodal_metadata",
-    "q46_multimodal_features",
-    "q57_embedding_quantize",
-    "q58_document_chunks",
-    "q59_chunk_dedup_stats",
-    "q60_sequence_packing",
-    "q63_dataset_split_mixture",
-    "q69_neardup_clusters",
-    "q38_ivf_cosine_topk",
-    # --- hash-FAILed in round 1, fixed this round: need fresh verdicts ---
-    "q64_case_scalar_subqueries",
-    "q67_grouping_sets",
-    # --- rows-only in round 1; invariant oracles added this round ---
-    "q36_minhash_neardup",
-    "q37_simhash_neardup",
-    "q54_sketch_stats",
-    # --- new this round ---
-    "q71_yoy_cross_channel",
-    "q72_blocked_embedding_neardup",
-    "q73_cross_channel_intersect",
-    "q74_rank_selfjoin_chain",
-    "q75_streaming_dedup",
-    "q76_streaming_window_totals",
-    "q77_salted_skew_join",
-    "q78_bucketed_colocated_join",
-    "q79_streaming_ingest_dedup",
-    "q80_semantic_dedup",
-    "q81_contamination_check",
-    "q82_pii_redaction",
-    "q83_repetition_metrics",
-    "q84_stream_stream_join",
-    "q85_zorder_compaction",
-    "q86_incremental_scan",
-    "q87_rollback",
-    "q88_cube_grouping",
-    "q89_mixture_resample",
-    "q90_leakage_safe_split",
-    # --- representative coverage of the already-green surface (multi-op) ---
-    "q52_flagship_composite",
-    "q61_cumulative_crossover",
-    "q53_asof_join",
-    "q27_event_sessions",
-    "q33_ngram_jaccard_pairs",
-    "q35_embedding_neardup_pairs",
-    "q34_ann_cosine_topk",
-    "q32_exact_dedup",
+    # --- last driver-verified in round 1: rotate in for a HEAD verdict ---
+    "q02_top_brand_revenue",
+    "q03_above_nation_avg_balance",
+    "q04_running_revenue",
+    "q05_rank_parts_in_brand",
+    "q06_monthly_vs_flag_avg",
+    "q07_monthly_lag_lead",
+    "q08_rollup_grouping",
+    "q09_count_distinct_customers",
+    "q10_distinct_triple_counts",
+    "q11_intersect_customers",
+    "q12_except_customers",
+    "q13_union_channels",
+    "q14_exists_semi_join",
+    "q15_not_exists_anti_join",
+    "q16_full_outer_totals",
+    "q17_left_join_nation_counts",
+    "q18_cross_scalar_ratio",
+    "q19_interval_range_join",
+    "q20_having_thresholds",
+    "q21_stddev_quantity",
+    "q22_quarter_pivot",
+    "q23_scalar_function_census",
+    "q24_latest_order_per_customer",
+    "q25_event_hourly_windows",
+    "q26_or_of_ands_buckets",
     "q30_text_quality",
     "q31_language_id",
+    "q32_exact_dedup",
+    "q34_ann_cosine_topk",
     "q39_rolling_fingerprint",
+    "q51_sql_path_view_scan",
     "q55_exact_percentiles",
+    "q56_moving_week_revenue",
     "q62_json_props",
     "q65_native_pivot",
     "q66_unpivot_metrics",
     "q68_rank_family",
-    "q08_rollup_grouping",
-    "q05_rank_parts_in_brand",
-    "q04_running_revenue",
+    "q70_string_census",
+    # --- code paths changed in round 3: need fresh verdicts ---
+    "q69_neardup_clusters",
+    "q90_leakage_safe_split",
+    "q46_multimodal_features",
+    "q44_scd2_table_pipeline",
+    "q47_time_travel",
+    "q48_compaction",
+    "q85_zorder_compaction",
+    "q86_incremental_scan",
+    "q87_rollback",
+    "q36_minhash_neardup",
+    "q37_simhash_neardup",
 ]
 
 __all__ = ["Query", "REGISTRY", "register", "all_queries", "all_oracles"]
