@@ -56,6 +56,29 @@ class ConcurrentCommitError(RuntimeError):
     CAS). Retry the operation against the fresh table state."""
 
 
+# Numeric widening order (mirrors Spark's upcast precedence): a value can
+# move right without becoming NULL. Everything else must cast explicitly —
+# Spark's non-ANSI cast turns e.g. string→int failures into silent NULLs,
+# which is exactly the corruption an append must refuse.
+_NUMERIC_WIDENING = ["byte", "short", "integer", "long", "float", "double"]
+
+
+def _cast_is_safe(src, dst) -> bool:
+    """True iff casting ``src`` to ``dst`` can never NULL-out or truncate
+    a representable value (Iceberg's type-promotion rules: int→long,
+    float→double, plus rendering any type to string)."""
+    if src == dst:
+        return True
+    s, d = src.typeName(), dst.typeName()
+    if s in _NUMERIC_WIDENING and d in _NUMERIC_WIDENING:
+        return _NUMERIC_WIDENING.index(s) <= _NUMERIC_WIDENING.index(d)
+    if d == "string":
+        return True  # any scalar renders losslessly
+    if s == "date" and d == "timestamp":
+        return True
+    return False
+
+
 @dataclass
 class MergeClause:
     """WHEN MATCHED / NOT MATCHED actions for :meth:`SnapshotTable.merge`.
@@ -187,7 +210,8 @@ class SnapshotTable:
         are an error — evolve the schema explicitly, never silently."""
         if not self.exists():
             return self.create_or_replace(df)
-        prev = self._read_snapshot(self.current_version())
+        base = self.current_version()
+        prev = self._read_snapshot(base)
         from pyspark.sql.types import StructType
 
         schema = StructType.fromJson(json.loads(prev["schema"]))
@@ -197,6 +221,15 @@ class SnapshotTable:
                 f"append frame has columns {extra} not in the table schema; "
                 "call add_column first (schema evolution is explicit)"
             )
+        df_types = {f.name: f.dataType for f in df.schema.fields}
+        for f in schema.fields:
+            if f.name in df_types and not _cast_is_safe(df_types[f.name], f.dataType):
+                raise ValueError(
+                    f"append column {f.name!r} has type "
+                    f"{df_types[f.name].simpleString()} but the table expects "
+                    f"{f.dataType.simpleString()}; an unchecked cast would write "
+                    "NULLs or lose precision silently — cast explicitly"
+                )
         aligned = df.select(
             *[
                 F.col(f.name).cast(f.dataType)
@@ -206,8 +239,15 @@ class SnapshotTable:
             ]
         )
         files = self._write_files(aligned)
+        # expected_version guards the read-modify-write on prev["files"]:
+        # without it a concurrent append's files would be silently dropped
+        # from the union this commit publishes.
         return self._commit(
-            prev["files"] + files, "append", {"added_files": len(files)}, prev["schema"]
+            prev["files"] + files,
+            "append",
+            {"added_files": len(files)},
+            prev["schema"],
+            expected_version=base,
         )
 
     # ------------------------------------------------------- schema evolution
@@ -229,6 +269,24 @@ class SnapshotTable:
         schema = StructType.fromJson(json.loads(snap["schema"]))
         if name in schema.fieldNames():
             raise ValueError(f"column {name!r} already exists")
+        # Resurrection guard: reads map parquet columns by NAME, so if any
+        # file in the CURRENT snapshot was written while a since-dropped
+        # column of the same name existed, re-adding the name would read
+        # the stale bytes instead of NULL (Iceberg avoids this with field
+        # ids). Only flag files still live in this snapshot — rewritten
+        # tables may reuse the name freely.
+        current_files = set(snap["files"])
+        for old in self._snapshots():
+            if old["version"] > base:
+                continue
+            old_schema = StructType.fromJson(json.loads(old["schema"]))
+            if name in old_schema.fieldNames() and current_files & set(old["files"]):
+                raise ValueError(
+                    f"column {name!r} existed at v{old['version']} and files "
+                    "from that era are still in the current snapshot; re-adding "
+                    "the name would resurrect stale values (name-mapped reads "
+                    "have no field ids) — rewrite the table (compact) first"
+                )
         schema = schema.add(name, _parse_datatype_string(dtype), True)
         return self._commit(
             snap["files"],
@@ -567,6 +625,18 @@ class SnapshotTable:
         columns rank 0. The driver-side state is one min/max row —
         constant at any table size (same class as IVF's centroid rows).
         """
+        # The interleave must fit in the 63 value bits of a signed long:
+        # bit index bits*k-1 reaching 63 would flip the sign (inverting
+        # the most-significant ordering) and ≥64 wraps shiftleft mod 64,
+        # silently colliding bits. Auto-reduce bits per column — fewer
+        # bits per column only coarsens clustering, never corrupts it.
+        if bits * len(cols) > 63:
+            bits = 63 // len(cols)
+            if bits == 0:
+                raise ValueError(
+                    f"zorder over {len(cols)} columns cannot fit one bit per "
+                    "column in a 64-bit Z-value; reduce the column list"
+                )
         stats = df.agg(
             *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
             *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
@@ -608,11 +678,21 @@ class SnapshotTable:
             expected_version=base,
         )
 
-    def remove_orphan_files(self) -> int:
+    def remove_orphan_files(self, older_than_ms: int | None = None) -> int:
         """Delete data files not referenced by ANY snapshot (Iceberg
         ``remove_orphan_files``): crashed or aborted writes leave
         parquet files in the data dir that no manifest points to; they
-        are invisible to readers but leak storage forever at scale."""
+        are invisible to readers but leak storage forever at scale.
+
+        Files modified at or after ``older_than_ms`` are SKIPPED (default:
+        10 minutes ago). Under the optimistic-concurrency model an
+        in-flight writer's ``_write_files`` output is unreferenced until
+        its ``_commit`` lands; deleting it would make that commit publish
+        dangling file references (data loss). Iceberg's
+        ``remove_orphan_files`` requires ``older_than`` for exactly this
+        reason — pass an explicit cutoff only when no writers are live."""
+        if older_than_ms is None:
+            older_than_ms = int(time.time() * 1000) - 10 * 60 * 1000
         referenced = {rel for s in self._snapshots() for rel in s["files"]}
         removed = 0
         if not os.path.isdir(self._data_dir):
@@ -623,8 +703,13 @@ class SnapshotTable:
                 continue
             for name in os.listdir(cpath):
                 rel = os.path.join("data", commit_dir, name)
-                if name.endswith(".parquet") and rel not in referenced:
-                    os.remove(os.path.join(cpath, name))
+                path = os.path.join(cpath, name)
+                if (
+                    name.endswith(".parquet")
+                    and rel not in referenced
+                    and os.path.getmtime(path) * 1000 < older_than_ms
+                ):
+                    os.remove(path)
                     removed += 1
             if not os.listdir(cpath):
                 os.rmdir(cpath)

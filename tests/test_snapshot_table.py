@@ -6,6 +6,7 @@ compaction)."""
 
 from __future__ import annotations
 
+import time
 from datetime import date
 
 import pytest
@@ -332,10 +333,105 @@ def test_rollback_and_orphan_cleanup(spark, tmp_path):
     with open(os.path.join(orphan_dir, "part-0.parquet"), "wb") as f:
         f.write(b"junk")
     n_before = t.read().count()
-    assert t.remove_orphan_files() == 1
+    # default grace period protects just-written files (they could be an
+    # in-flight writer's uncommitted output) — the fresh orphan survives
+    assert t.remove_orphan_files() == 0
+    assert os.path.exists(orphan_dir)
+    # an explicit future cutoff (no live writers) removes it
+    future_ms = int(time.time() * 1000) + 60_000
+    assert t.remove_orphan_files(older_than_ms=future_ms) == 1
     assert not os.path.exists(orphan_dir)
     assert t.read().count() == n_before          # referenced files untouched
     assert t.read(version=2).count() == 3        # all snapshots still readable
+
+
+def test_add_column_rejects_name_resurrection(spark, tmp_path):
+    """Re-adding a dropped column name while files from the old era are
+    still live must fail: name-mapped reads would resurrect the stale
+    bytes instead of NULL. After a full rewrite (compact) the name is
+    free again and old rows correctly read NULL."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create_or_replace(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "id int, score double")
+    )
+    t.drop_column("score")
+    with pytest.raises(ValueError, match="resurrect"):
+        t.add_column("score", "double")
+    # a rewrite replaces every live file; the name becomes safe
+    t.compact(target_files=1)
+    t.add_column("score", "double")
+    assert {r["score"] for r in t.read().collect()} == {None}
+
+
+def test_append_rejects_lossy_cast(spark, tmp_path):
+    """An append frame whose column type cannot safely widen to the table
+    type must raise instead of silently writing NULLs (string→int) or
+    truncating (double→int)."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create_or_replace(spark.createDataFrame([(1, 5)], "id int, n int"))
+    with pytest.raises(ValueError, match="cast explicitly"):
+        t.append(spark.createDataFrame([(2, "oops")], "id int, n string"))
+    with pytest.raises(ValueError, match="cast explicitly"):
+        t.append(spark.createDataFrame([(2, 1.5)], "id int, n double"))
+    # safe widening is allowed: int column data into a long table column
+    t2 = SnapshotTable(spark, str(tmp_path / "t2"))
+    t2.create_or_replace(spark.createDataFrame([(1, 5)], "id int, n long"))
+    t2.append(spark.createDataFrame([(2, 7)], "id int, n int"))
+    assert {r["n"] for r in t2.read().collect()} == {5, 7}
+
+
+def test_append_concurrent_commit_rejected(spark, tmp_path):
+    """Two writers appending from the same base version: the second
+    commit must be rejected (it would silently drop the interleaved
+    writer's files from the published file union)."""
+    from iceberg_evaluation_spark.tables.snapshot_table import (
+        ConcurrentCommitError,
+    )
+
+    root = str(tmp_path / "t")
+    a = SnapshotTable(spark, root)
+    a.create_or_replace(spark.range(5).toDF("id"))
+
+    # writer B lands an append while writer A's append is "in flight";
+    # simulate by pre-computing A's base then letting B commit first
+    orig_commit = SnapshotTable._commit
+    b = SnapshotTable(spark, root)
+
+    interleaved = {"done": False}
+
+    def racing_commit(self, files, operation, summary, schema_json, expected_version=None):
+        if not interleaved["done"] and operation == "append":
+            interleaved["done"] = True
+            b.append(spark.range(10, 15).toDF("id"))
+        return orig_commit(self, files, operation, summary, schema_json, expected_version)
+
+    SnapshotTable._commit = racing_commit
+    try:
+        with pytest.raises(ConcurrentCommitError):
+            a.append(spark.range(5, 10).toDF("id"))
+    finally:
+        SnapshotTable._commit = orig_commit
+    # B's rows are intact; A's rejected append added nothing
+    assert sorted(r["id"] for r in b.read().collect()) == list(range(5)) + list(
+        range(10, 15)
+    )
+
+
+def test_zorder_bit_budget_auto_reduces(spark, tmp_path):
+    """bits*cols > 63 must not wrap into the sign bit: 5 columns at the
+    default 16 bits auto-reduce to 12 bits/column and still cluster."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    df = spark.range(1000).selectExpr(
+        "id", "id % 7 AS a", "id % 11 AS b", "id % 13 AS c", "id % 17 AS d"
+    )
+    t.create_or_replace(df, partitions=8)
+    t.compact(strategy="zorder", zorder_by=["id", "a", "b", "c", "d"], target_files=4)
+    assert t.read().count() == 1000
+    # Z-values must be non-negative for every row (no sign-bit flip)
+    from iceberg_evaluation_spark.tables.snapshot_table import SnapshotTable as ST
+
+    z = ST._zvalue(t.read(), ["id", "a", "b", "c", "d"], 16)
+    assert t.read().select(z.alias("z")).filter("z < 0").count() == 0
 
 
 def test_merge_after_schema_evolution(spark, tmp_path):
