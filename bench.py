@@ -19,11 +19,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # --threads N (or SPARK_GRAFT_THREADS): concurrent-query harness shape
+    # (the reference benches one thread per query). Sequential remains the
+    # default — clean per-query wall times for BENCH_DETAIL.
+    threads = int(os.environ.get("SPARK_GRAFT_THREADS", "1"))
+    argv = sys.argv[1:]
+    if "--threads" in argv:
+        threads = int(argv[argv.index("--threads") + 1])
+
     from iceberg_evaluation_spark.plans import REGISTRY
     from iceberg_evaluation_spark.plans.runner import run_benchmark
     from iceberg_evaluation_spark.session import get_spark
 
-    spark = get_spark(app_name="bench")
+    extra = {"spark.scheduler.mode": "FAIR"} if threads > 1 else None
+    spark = get_spark(app_name="bench", extra_conf=extra)
     # one trivial action per table: absorbs JVM/JIT/codegen warmup and
     # file-index setup so the first measured query isn't charged for it
     from iceberg_evaluation_spark.sources import TABLES, load_table
@@ -35,17 +44,34 @@ def main() -> None:
             pass
     names = sorted(REGISTRY)
     stats = run_benchmark(
-        spark, sf_dir, names=names, iterations=1, warmup=False, collect_rows=False
+        spark,
+        sf_dir,
+        names=names,
+        iterations=1,
+        warmup=False,
+        collect_rows=False,
+        max_workers=threads,
     )
 
     queries = {}
     failed = {}
+    verify_split = {}
     for name, s in stats.items():
         if s.error:
             failed[name] = s.error
-        else:
-            queries[name] = round(s.best_s, 3)
+            continue
+        queries[name] = round(s.best_s, 3)
+        if s.bare_s:
+            # registered query = operator + in-query verification harness
+            # (planted-corpus doubling, exact recount twins); run_s is the
+            # production operator alone, verify_s the harness overhead
+            run_s = round(s.best_bare_s, 3)
+            verify_split[name] = {
+                "run_s": run_s,
+                "verify_s": round(max(s.best_s - run_s, 0.0), 3),
+            }
     total = round(sum(queries.values()), 3)
+    verify_total = round(sum(v["verify_s"] for v in verify_split.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     detail = {
         "metric": "corpus_total_wall",
@@ -53,7 +79,12 @@ def main() -> None:
         "unit": "sec",
         "queries": queries,
         "sf": sf,
+        # operator-only view: total with verification harness cost removed
+        "verify_split": verify_split,
+        "operator_total": round(total - verify_total, 3),
     }
+    if threads > 1:
+        detail["threads"] = threads
     if failed:
         detail["failed"] = failed
     detail_path = os.path.join(

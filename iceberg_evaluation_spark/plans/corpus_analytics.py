@@ -502,7 +502,26 @@ GROUP BY event_type
 """
 
 
-@register("q54_sketch_stats", covers="A3 A1 A2 streaming-shape", oracle=_Q54_ORACLE)
+# Operator-only variant (bench `run_s`): the sketches a production job
+# runs — HLL + quantile sketch — without the exact countDistinct/
+# percentile twins the registered query adds to prove tolerance.
+def _q54_bare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("hll_users"),
+        F.expr("approx_percentile(value, array(0.5,0.9,0.99), 10000)").alias(
+            "pctl_sketch"
+        ),
+    )
+
+
+@register(
+    "q54_sketch_stats",
+    covers="A3 A1 A2 streaming-shape",
+    oracle=_Q54_ORACLE,
+    bare=_q54_bare,
+)
 def q54_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     probes = [0.5, 0.9, 0.99]

@@ -66,10 +66,19 @@ FROM c LEFT JOIN nbrs n ON n.vec_id = c.vec_id
 """
 
 
+# Operator-only variant (bench `run_s`): semantic dedup on the plain
+# embeddings corpus — no planted-copy doubling (that exists only so the
+# oracle can anchor must-drop pairs).
+def _q80_bare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return semantic_dedup(emb, threshold=0.95)
+
+
 @register(
     "q80_semantic_dedup",
     covers="dedup-semantic dedup-srp-lsh dedup-embedding-cosine J1 A1 W1",
     oracle=_Q80_ORACLE,
+    bare=_q80_bare,
 )
 def q80_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")

@@ -284,10 +284,18 @@ FROM documents
 """
 
 
+# Operator-only variant (bench `run_s`): the production MinHash-LSH
+# pipeline on the plain corpus — no planted copies, no recount harness.
+def _q36_bare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return minhash_near_duplicates(docs, "doc_id", "text", threshold=0.7)
+
+
 @register(
     "q36_minhash_neardup",
     covers="dedup-minhash-lsh J5 J6 A2",
     oracle=_Q36_ORACLE,
+    bare=_q36_bare,
 )
 def q36_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import _shingle_frame
@@ -369,10 +377,16 @@ FROM documents
 """
 
 
+def _q37_bare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash_near_duplicates(docs, "doc_id", "text", max_hamming=3)
+
+
 @register(
     "q37_simhash_neardup",
     covers="dedup-simhash J5 J6 A2",
     oracle=_Q37_ORACLE,
+    bare=_q37_bare,
 )
 def q37_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import simhash64

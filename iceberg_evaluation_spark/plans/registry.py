@@ -31,6 +31,11 @@ class Query:
     covers: str  # SURVEY §2 operator ids this query exercises
     spark: SparkQuery
     oracle: str | None  # DuckDB SQL or None → rows-only check
+    # Operator-only variant for queries whose registered form bundles
+    # in-query verification (planted-duplicate corpus doubling, exact
+    # recounts). The bench times it separately so perf comparisons see
+    # the production operator's cost, not operator + oracle harness.
+    bare: SparkQuery | None = None
 
 
 REGISTRY: dict[str, Query] = {}
@@ -43,13 +48,17 @@ REGISTRY: dict[str, Query] = {}
 PRIORITY: list[str] = []
 
 
-def register(name: str, covers: str, oracle: str | None):
+def register(
+    name: str, covers: str, oracle: str | None, bare: SparkQuery | None = None
+):
     """Decorator: add a (spark_fn, oracle_sql) pair to the registry."""
 
     def deco(fn: SparkQuery) -> SparkQuery:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name}")
-        REGISTRY[name] = Query(name=name, covers=covers, spark=fn, oracle=oracle)
+        REGISTRY[name] = Query(
+            name=name, covers=covers, spark=fn, oracle=oracle, bare=bare
+        )
         return fn
 
     return deco

@@ -3,6 +3,22 @@
 run an ordered query corpus, N iterations each, collect wall-clock and
 row counts. Swaps ``wr.athena.start_query_execution`` for direct DataFrame
 execution; "engine time" is wall time around the terminal action.
+
+Two harness shapes, matching the reference:
+
+- sequential (default): clean per-query wall times on one JVM — the
+  numbers BENCH_DETAIL.json records.
+- ``max_workers=N``: one thread per in-flight query, the reference's
+  ThreadPoolExecutor fan-out (benchmark_functions.py:87-95). Each thread
+  tags its jobs with a scheduler pool so a FAIR-mode session time-slices
+  executors across concurrent queries instead of FIFO head-of-line
+  blocking. Per-query wall times under concurrency include queueing —
+  use them for throughput, not per-query comparisons.
+
+Queries registered with a ``bare`` variant (operator-only, no in-query
+verification harness) get it timed separately into ``bare_s`` so perf
+tracking can separate the production operator's cost from the cost of
+proving it correct (doubled planted corpora, exact recount twins).
 """
 
 from __future__ import annotations
@@ -12,7 +28,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
 
-from .registry import REGISTRY
+from .registry import REGISTRY, Query
 
 __all__ = ["QueryStats", "run_benchmark"]
 
@@ -21,6 +37,7 @@ __all__ = ["QueryStats", "run_benchmark"]
 class QueryStats:
     name: str
     runs_s: list[float] = field(default_factory=list)
+    bare_s: list[float] = field(default_factory=list)  # operator-only variant
     rows: int = 0
     error: str | None = None
 
@@ -32,6 +49,44 @@ class QueryStats:
     def mean_s(self) -> float:
         return sum(self.runs_s) / len(self.runs_s) if self.runs_s else float("nan")
 
+    @property
+    def best_bare_s(self) -> float:
+        return min(self.bare_s) if self.bare_s else float("nan")
+
+
+def _time_noop(q_fn, spark: SparkSession, sf_dir: str) -> float:
+    """One timed run: build the plan and materialize EVERY column via the
+    noop sink — count() alone lets Catalyst prune computed columns and
+    understates narrow queries."""
+    t0 = time.perf_counter()
+    q_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def _run_one(
+    q: Query,
+    spark: SparkSession,
+    sf_dir: str,
+    iterations: int,
+    warmup: bool,
+    collect_rows: bool,
+) -> QueryStats:
+    stats = QueryStats(name=q.name)
+    try:
+        if warmup:
+            q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        # rows collected once, untimed
+        if collect_rows:
+            stats.rows = q.spark(spark, sf_dir).count()
+        for _ in range(iterations):
+            stats.runs_s.append(_time_noop(q.spark, spark, sf_dir))
+        if q.bare is not None:
+            for _ in range(iterations):
+                stats.bare_s.append(_time_noop(q.bare, spark, sf_dir))
+    except Exception as exc:  # noqa: BLE001
+        stats.error = f"{type(exc).__name__}: {exc}"
+    return stats
+
 
 def run_benchmark(
     spark: SparkSession,
@@ -40,29 +95,37 @@ def run_benchmark(
     iterations: int = 1,
     warmup: bool = True,
     collect_rows: bool = True,
+    max_workers: int | None = None,
 ) -> dict[str, QueryStats]:
     """Execute each registered query ``iterations`` times (plus an optional
     JIT/IO warmup run) and record wall seconds. Failures are captured per
     query, not raised — mirrors the reference's warning-not-abort policy
     (benchmark_functions.py:38-48)."""
-    out: dict[str, QueryStats] = {}
-    for name in names or sorted(REGISTRY):
-        q = REGISTRY[name]
-        stats = QueryStats(name=name)
+    names = list(names or sorted(REGISTRY))
+    if not max_workers or max_workers <= 1:
+        return {
+            n: _run_one(REGISTRY[n], spark, sf_dir, iterations, warmup, collect_rows)
+            for n in names
+        }
+
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    def task(name: str) -> tuple[str, QueryStats]:
+        # per-thread pool: with spark.scheduler.mode=FAIR the pools
+        # fair-share executor slots; under default FIFO this is a no-op
+        # tag. setLocalProperty is thread-local by design — this is the
+        # supported way to run concurrent actions on one session.
+        spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", f"bench-{threading.get_ident()}"
+        )
         try:
-            if warmup:
-                q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            # rows collected once, untimed; timed runs materialize EVERY
-            # column via the noop sink — count() alone lets Catalyst prune
-            # the computed columns and understates narrow queries
-            if collect_rows:
-                stats.rows = q.spark(spark, sf_dir).count()
-            for _ in range(iterations):
-                t0 = time.perf_counter()
-                df = q.spark(spark, sf_dir)
-                df.write.format("noop").mode("overwrite").save()
-                stats.runs_s.append(time.perf_counter() - t0)
-        except Exception as exc:  # noqa: BLE001
-            stats.error = f"{type(exc).__name__}: {exc}"
-        out[name] = stats
-    return out
+            return name, _run_one(
+                REGISTRY[name], spark, sf_dir, iterations, warmup, collect_rows
+            )
+        finally:
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
+
+    with ThreadPoolExecutor(max_workers=max_workers) as ex:
+        done = dict(ex.map(task, names))
+    return {n: done[n] for n in names}  # stable registration order
