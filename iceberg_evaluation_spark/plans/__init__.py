@@ -73,8 +73,9 @@ _registry.PRIORITY[:] = [
     "q85_zorder_compaction",
     "q86_incremental_scan",
     "q87_rollback",
-    "q36_minhash_neardup",
-    "q37_simhash_neardup",
+    # --- new this round: real BMP/WAV codecs, never driver-checked ---
+    "q91_bmp_decode",
+    "q92_wav_decode",
 ]
 
 __all__ = ["Query", "REGISTRY", "register", "all_queries", "all_oracles"]

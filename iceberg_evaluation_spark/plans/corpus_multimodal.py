@@ -15,7 +15,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.multimodal import attach_binary_payload, extract_image_features
+from ..operators.multimodal import (
+    attach_binary_payload,
+    attach_bmp_payload,
+    attach_wav_payload,
+    decode_bmp_features,
+    decode_wav_features,
+    extract_image_features,
+)
 from ..sources import load_table
 from .registry import register
 
@@ -104,3 +111,76 @@ def q46_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_luma", 6).alias("mean_luma"),
         F.round(F.element_at("feature", 1).cast("double"), 4).alias("f0"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q91/q92: REAL codecs under the oracle gate. The payloads are genuine
+#      file formats (uncompressed 24-bpp BMP; PCM16 mono RIFF/WAV) built
+#      by the engine, and the decode stage parses the actual headers and
+#      pixel/sample arrays with struct+numpy — no image/audio library.
+#      Image/audio content is deterministic from the id, so the oracle
+#      derives every decoded feature in closed form; both engines compute
+#      features as the SAME integer-sum / integer-denominator double
+#      division, making the comparison exact (no rounding tolerance).
+#      The BMP row gradient additionally pins the bottom-up row flip: a
+#      decoder that skips it reads the wrong top_left_luma.
+# ---------------------------------------------------------------------------
+_Q91_ORACLE = """
+WITH p AS (
+  SELECT doc_id AS media_id,
+         16 + (doc_id % 8) * 4 AS width,
+         8 + doc_id % 8 AS height
+  FROM documents
+), s AS (
+  SELECT media_id, width, height,
+         list_aggregate(list_transform(range(height),
+                                       y -> (media_id + y) % 256), 'sum') AS rowsum
+  FROM p
+)
+SELECT media_id, width, height,
+       CAST(rowsum * width * 3 AS DOUBLE) / (width * height * 3 * 255) AS mean_luma,
+       CAST(media_id % 256 AS DOUBLE) / 255 AS top_left_luma
+FROM s
+"""
+
+
+@register(
+    "q91_bmp_decode",
+    covers="multimodal-decode mapInPandas multimodal-binary",
+    oracle=_Q91_ORACLE,
+)
+def q91_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = attach_bmp_payload(docs, "media_id")
+    return decode_bmp_features(media)
+
+
+_Q92_ORACLE = """
+WITH p AS (
+  SELECT doc_id AS media_id, 64 + doc_id % 64 AS n_samples FROM documents
+), s AS (
+  SELECT media_id, n_samples,
+         list_aggregate(list_transform(range(n_samples),
+             i -> ((media_id * 37 + i * 101) % 2048 - 1024) ** 2), 'sum') AS ss
+  FROM p
+)
+SELECT media_id, 8000 AS sample_rate, n_samples,
+       sqrt(ss / n_samples) AS rms,
+       (media_id * 37) % 2048 - 1024 AS first_sample
+FROM s
+"""
+
+
+@register(
+    "q92_wav_decode",
+    covers="multimodal-decode mapInPandas multimodal-binary",
+    oracle=_Q92_ORACLE,
+)
+def q92_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = attach_wav_payload(docs, "media_id")
+    return decode_wav_features(media)

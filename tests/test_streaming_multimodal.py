@@ -116,10 +116,66 @@ def test_multimodal_frame_sampling(spark, sf_smoke):
 
 
 def test_multimodal_stub_gate(spark, sf_smoke):
+    # decode_stub=False is a real BMP codec; non-BMP payloads (here UTF-8
+    # text bytes) still hit the honest NotImplementedError plug-point
     docs = load_table(spark, sf_smoke, "documents").limit(2)
     media = attach_binary_payload(docs, "text", "doc_id")
-    with pytest.raises(Exception, match="NotImplementedError|real image decode"):
+    with pytest.raises(Exception, match="NotImplementedError|24-bpp BMP"):
         extract_image_features(media, decode_stub=False).collect()
+
+
+def test_bmp_codec_roundtrip(spark, sf_smoke):
+    """attach_bmp_payload writes REAL BMPs; decode_bmp_features parses the
+    headers back and the decoded values match the generation formulas,
+    including the bottom-up row flip (top_left_luma = id%256/255)."""
+    from iceberg_evaluation_spark.operators.multimodal import (
+        attach_bmp_payload,
+        decode_bmp_features,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents").limit(10)
+    media = attach_bmp_payload(docs, "doc_id")
+    got = {r["media_id"]: r for r in decode_bmp_features(media).collect()}
+    assert len(got) == 10
+    for mid, r in got.items():
+        w, h = 16 + (mid % 8) * 4, 8 + mid % 8
+        assert (r["width"], r["height"]) == (w, h)
+        rowsum = sum((mid + y) % 256 for y in range(h))
+        assert r["mean_luma"] == rowsum * w * 3 / (w * h * 3 * 255)
+        assert r["top_left_luma"] == (mid % 256) / 255
+
+    # the payload really is a parseable BMP file (magic + pixel offset)
+    one = media.limit(1).collect()[0]["payload"]
+    assert bytes(one[:2]) == b"BM"
+
+    # real-codec feature path through the generic extractor
+    feats = extract_image_features(media, dim=8, decode_stub=False).collect()
+    assert all(abs(sum(x * x for x in r["feature"]) - 1.0) < 1e-5 for r in feats)
+
+
+def test_wav_codec_roundtrip(spark, sf_smoke):
+    from iceberg_evaluation_spark.operators.multimodal import (
+        attach_wav_payload,
+        decode_wav_features,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents").limit(10)
+    media = attach_wav_payload(docs, "doc_id")
+    got = {r["media_id"]: r for r in decode_wav_features(media).collect()}
+    assert len(got) == 10
+    for mid, r in got.items():
+        n = 64 + mid % 64
+        assert (r["sample_rate"], r["n_samples"]) == (8000, n)
+        assert r["first_sample"] == (mid * 37) % 2048 - 1024
+        ss = sum(((mid * 37 + i * 101) % 2048 - 1024) ** 2 for i in range(n))
+        assert abs(r["rms"] - (ss / n) ** 0.5) < 1e-12
+
+    # corrupt payload is rejected, not silently decoded
+    from pyspark.sql import functions as SF
+
+    bad = media.withColumn("payload", SF.expr("substring(payload, 1, 10)"))
+    with pytest.raises(Exception, match="missing fmt/data|not a WAV"):
+        decode_wav_features(bad).collect()
 
 
 def test_multimodal_resize_composes(spark, sf_smoke):
