@@ -53,3 +53,72 @@ def test_streaming_queries_return_batch_results(spark, sf_smoke):
     for name in ("q75_streaming_dedup", "q76_streaming_window_totals"):
         df = REGISTRY[name].spark(spark, sf_smoke)
         assert df.count() == df.count() > 0
+
+
+def test_watermark_boundary_drop_vs_emit(spark, tmp_path):
+    """Pin the exact late-event boundary the streaming queries (q75/q76/
+    q84) rely on, measured across a checkpointed two-run replay: a late
+    row is dropped iff its WINDOW END <= the checkpointed watermark — a
+    row whose own timestamp is below the watermark still counts when its
+    window is open, and a row in an already-emitted window vanishes
+    without corrupting the emitted result."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    schema = "ts timestamp, user_id int"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, "ts string, user_id int").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "5 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def emitted():
+        return sorted(
+            (str(r["w"]["start"])[11:16], r["n"])
+            for r in spark.read.parquet(out).collect()
+        )
+
+    # run 1: max event time 10:59 → checkpointed watermark 10:49; the
+    # [10:00,10:05) window (end <= wm) is emitted and evicted
+    write_batch([("2024-01-01 10:00:00", 1), ("2024-01-01 10:59:00", 1)])
+    run_once()
+    assert emitted() == [("10:00", 1)]
+
+    # run 2 against watermark 10:49:
+    #   10:03 → window end 10:05 <= wm: DROPPED (window already emitted)
+    #   10:44 → window end 10:45 <= wm: DROPPED (never emitted at all)
+    #   10:45 → row ts BELOW wm but window [10:45,10:50) end > wm: KEPT
+    #   10:49 → row exactly AT wm, same window: KEPT
+    #   10:50 → above wm: KEPT
+    #   11:30 → advances wm to 11:20, flushing all windows ending <= 11:20
+    write_batch(
+        [
+            ("2024-01-01 10:03:00", 1),
+            ("2024-01-01 10:44:00", 1),
+            ("2024-01-01 10:45:00", 1),
+            ("2024-01-01 10:49:00", 1),
+            ("2024-01-01 10:50:00", 1),
+            ("2024-01-01 11:30:00", 1),
+        ]
+    )
+    run_once()
+    assert emitted() == [("10:00", 1), ("10:45", 2), ("10:50", 1), ("10:55", 1)]

@@ -156,3 +156,85 @@ def test_scd2_simple_equals_complex_for_inorder_batches(
     complex_ = run(scd2_complex, "complex")
     assert simple == complex_
     assert simple == _expected(batches)
+
+
+# ---------------------------------------------------------------------------
+# adversarial MERGE properties: NULL merge keys end-to-end (the
+# eqNullSafe file-pruning path), and the documented semantics of
+# duplicate source keys when cardinality validation is switched off
+# ---------------------------------------------------------------------------
+merge_key_st = st.sampled_from([None, 1, 2, 3])
+target_st = st.lists(
+    st.tuples(merge_key_st, st.integers(0, 99)),
+    min_size=1,
+    max_size=6,
+    unique_by=lambda r: r[0],
+)
+source_st = st.lists(
+    st.tuples(merge_key_st, st.integers(100, 199)),
+    min_size=1,
+    max_size=4,
+    unique_by=lambda r: r[0],
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(target=target_st, source=source_st)
+def test_merge_null_keys_property(spark, tmp_path_factory, target, source):
+    """For ANY target/source with NULL-able merge keys (target spread
+    across many files), MERGE must land exactly the model state: matched
+    keys (NULL matches NULL via eqNullSafe) updated, unmatched source
+    keys inserted, unmatched target rows untouched — never a duplicate,
+    never a stale carried row."""
+    from iceberg_evaluation_spark.tables.snapshot_table import (
+        MergeClause,
+        SnapshotTable,
+    )
+
+    table = SnapshotTable(spark, str(tmp_path_factory.mktemp("nullmerge") / "t"))
+    tdf = spark.createDataFrame(target, "k int, v int")
+    # one row per file: every key (incl. NULL) exercises file pruning
+    table.create_or_replace(tdf.repartition(len(target), "k"))
+    sdf = spark.createDataFrame(source, "k int, v int")
+    table.merge(sdf, on=["k"], clause=MergeClause(matched_update={"v": "s.v"}))
+
+    expect = dict(target)
+    expect.update(dict(source))
+    got = [(r["k"], r["v"]) for r in table.read().collect()]
+    assert len(got) == len(expect), f"duplicate or lost rows: {sorted(got, key=str)}"
+    assert dict(got) == expect
+
+
+def test_merge_duplicate_source_keys_unvalidated_semantics(spark, tmp_path_factory):
+    """validate_source_unique=True raises on duplicate source keys (the
+    Iceberg/Spark MERGE cardinality rule). With validation explicitly
+    off, the full-outer implementation multiplies the matched target row
+    (one output per matching source row) — pin that documented trade so
+    it can never silently change."""
+    import pytest
+
+    from iceberg_evaluation_spark.tables.snapshot_table import (
+        MergeClause,
+        SnapshotTable,
+    )
+
+    table = SnapshotTable(spark, str(tmp_path_factory.mktemp("dupsrc") / "t"))
+    table.create_or_replace(spark.createDataFrame([(1, 0), (2, 0)], "k int, v int"))
+    dup_src = spark.createDataFrame([(1, 10), (1, 11), (3, 12)], "k int, v int")
+
+    with pytest.raises(ValueError, match="duplicate keys"):
+        table.merge(dup_src, on=["k"], clause=MergeClause(matched_update={"v": "s.v"}))
+
+    table.merge(
+        dup_src,
+        on=["k"],
+        clause=MergeClause(matched_update={"v": "s.v"}),
+        validate_source_unique=False,
+    )
+    got = sorted((r["k"], r["v"]) for r in table.read().collect())
+    # k=1 duplicated (once per source row), k=2 untouched, k=3 inserted
+    assert got == [(1, 10), (1, 11), (2, 0), (3, 12)]
