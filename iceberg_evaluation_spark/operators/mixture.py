@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["mixture_resample", "leakage_safe_split"]
+__all__ = ["mixture_resample", "leakage_safe_split", "temperature_mixture_weights"]
 
 
 def mixture_resample(
@@ -105,3 +105,44 @@ def leakage_safe_split(
         .otherwise("test")
     )
     return clusters.withColumn("split", split)
+
+def temperature_mixture_weights(
+    sizes: DataFrame,
+    *,
+    group_col: str = "source",
+    size_col: str = "n_tokens",
+) -> DataFrame:
+    """Temperature-smoothed sampling weights per source (alpha = 0.5).
+
+    The standard multilingual/multi-source mixture design (mBERT, XLM-R,
+    PaLM data cards): raw proportions ``p_raw = n_i / N`` are flattened
+    to ``p_temp = n_i^alpha / sum_j n_j^alpha`` so small sources are
+    upsampled relative to bulk ones. ``alpha`` is fixed at 0.5 because
+    ``sqrt`` is IEEE-exact in every engine (an arbitrary ``pow(x, a)``
+    can differ in the last ulp across libm implementations, which would
+    poison a cross-engine hash check); 0.5 is also squarely inside the
+    range production recipes use (0.3-0.7).
+
+    Emits per group: the input size, ``p_raw``, ``p_temp`` (each rounded
+    to 6 dp) and ``boost = p_temp / p_raw`` (4 dp) — the factor by which
+    temperature sampling over/under-represents the source relative to
+    its natural share. Scale shape: one aggregate to a groups-count-sized
+    frame, scalars via a 1-row broadcast cross join; nothing here touches
+    row-level data, so this runs on the OUTPUT of a per-source count, not
+    the corpus.
+    """
+    tot = sizes.agg(
+        F.sum(size_col).cast("double").alias("_tn"),
+        F.sum(F.sqrt(F.col(size_col).cast("double"))).alias("_ta"),
+    )
+    p_raw = F.col(size_col).cast("double") / F.col("_tn")
+    p_temp = F.sqrt(F.col(size_col).cast("double")) / F.col("_ta")
+    return (
+        sizes.crossJoin(F.broadcast(tot))
+        .select(
+            *sizes.columns,
+            F.round(p_raw, 6).alias("p_raw"),
+            F.round(p_temp, 6).alias("p_temp"),
+            F.round(p_temp / p_raw, 4).alias("boost"),
+        )
+    )

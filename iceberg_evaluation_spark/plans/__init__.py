@@ -64,18 +64,23 @@ _registry.PRIORITY[:] = [
     "q68_rank_family",
     "q70_string_census",
     # --- code paths changed in round 3: need fresh verdicts ---
+    # (q46/q47/q48/q85 were candidates but their registered result paths
+    # are provably untouched by the round-3 commits — q46's stub default
+    # saw only a docstring change, and the snapshot-table hardening added
+    # guards none of these queries trigger; all four are r2-green. Their
+    # slots go to the four new pipeline operators instead.)
     "q69_neardup_clusters",
     "q90_leakage_safe_split",
-    "q46_multimodal_features",
     "q44_scd2_table_pipeline",
-    "q47_time_travel",
-    "q48_compaction",
-    "q85_zorder_compaction",
     "q86_incremental_scan",
     "q87_rollback",
-    # --- new this round: real BMP/WAV codecs, never driver-checked ---
+    # --- new this round: never driver-checked ---
     "q91_bmp_decode",
     "q92_wav_decode",
+    "q93_substring_span_dedup",
+    "q94_unigram_lm_score",
+    "q95_temperature_mixture",
+    "q96_stratified_sample",
 ]
 
 __all__ = ["Query", "REGISTRY", "register", "all_queries", "all_oracles"]

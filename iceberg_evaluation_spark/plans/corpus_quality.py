@@ -385,3 +385,191 @@ def q90_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     clusters = shared_neardup_clusters(spark, sf_dir)
     return leakage_safe_split(clusters, train_permille=800, val_permille=100)
+
+
+# ---------------------------------------------------------------------------
+# q93: exact substring-span dedup (Lee et al. 2021, "Deduplicating
+#      Training Data Makes Language Models Better") — per-document
+#      coverage by verbatim >= 8-token spans shared with OTHER docs.
+#      The suffix-array formulation becomes a hashed sliding-window
+#      inventory + gaps-and-islands interval union in a distributed
+#      engine (operators/span_dedup.py); every stage is exact and
+#      deterministic, so the oracle replays the whole pipeline.
+# ---------------------------------------------------------------------------
+_NTOK = f"(CASE WHEN {_NORM} = '' THEN 0 ELSE len({_TOKS}) END)"
+
+_Q93_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, {_NTOK} AS n_tokens, {_TOKS} AS t FROM documents
+), wl AS (
+  SELECT doc_id,
+         list_transform(range(0, greatest(n_tokens - 7, 0)),
+                        i -> struct_pack(pos := i, h := md5(array_to_string(t[i+1:i+8], ' ')))) AS ws
+  FROM base
+), w AS (
+  SELECT doc_id, u.pos AS pos, u.h AS h FROM wl, unnest(ws) AS s(u)
+), dh AS (
+  SELECT h FROM w GROUP BY h HAVING min(doc_id) <> max(doc_id)
+), dw AS (
+  SELECT doc_id, pos FROM w WHERE h IN (SELECT h FROM dh)
+), isl AS (
+  SELECT doc_id, pos,
+         max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+  FROM dw
+), cov AS (
+  SELECT doc_id,
+         count(*) AS n_dup_windows,
+         sum(greatest(0, pos + 8 - greatest(pos, coalesce(pe, pos)))) AS dup_tokens
+  FROM isl GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens,
+       CAST(greatest(b.n_tokens - 7, 0) AS BIGINT) AS n_windows,
+       CAST(coalesce(c.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       CAST(coalesce(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       round(CASE WHEN b.n_tokens > 0
+                  THEN CAST(coalesce(c.dup_tokens, 0) AS DOUBLE) / b.n_tokens
+                  ELSE 0.0 END, 4) AS dup_ratio
+FROM base b LEFT JOIN cov c USING (doc_id)
+"""
+
+
+@register(
+    "q93_substring_span_dedup",
+    covers="dedup-substring text-analysis A1 J5 W3",
+    oracle=_Q93_ORACLE,
+)
+def q93_substring_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.span_dedup import duplicated_span_metrics
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_span_metrics(docs, "text", "doc_id", k=8)
+
+
+# ---------------------------------------------------------------------------
+# q94: unigram-LM perplexity scoring — the deterministic stand-in for the
+#      KenLM perplexity filters of CCNet/Gopher/RedPajama. The model (top
+#      256 tokens by frequency, ties on token text, add-one smoothing) is
+#      fit on the corpus itself with a distributed sort+limit and then
+#      BROADCAST to the scoring join; log2 is the only float step and
+#      both engines take it over identical rational inputs.
+# ---------------------------------------------------------------------------
+_Q94_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, u AS token
+  FROM (SELECT doc_id, {_TOKS} AS t FROM documents WHERE {_NORM} <> ''), unnest(t) AS s(u)
+), counts AS (
+  SELECT token, count(*) AS c FROM tok GROUP BY token
+), vocab AS (
+  SELECT token, c FROM counts ORDER BY c DESC, token LIMIT 256
+), scal AS (
+  SELECT (SELECT count(*) FROM vocab) AS v, (SELECT CAST(sum(c) AS BIGINT) FROM counts) AS n
+), pd AS (
+  SELECT t.doc_id,
+         count(*) AS n_tokens,
+         sum(CASE WHEN vo.c IS NULL THEN 1 ELSE 0 END) AS n_oov,
+         round(-avg(log2(CAST(coalesce(vo.c, 0) + 1 AS DOUBLE) / (s.n + s.v + 1))), 4) AS nll_bits
+  FROM tok t LEFT JOIN vocab vo USING (token) CROSS JOIN scal s
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens,
+       CAST(n_oov AS BIGINT) AS n_oov,
+       round(CAST(n_oov AS DOUBLE) / n_tokens, 4) AS oov_ratio,
+       nll_bits,
+       round(power(2, nll_bits), 2) AS ppl
+FROM pd
+"""
+
+
+@register(
+    "q94_unigram_lm_score",
+    covers="text-analysis lm-score A1 A2 O2 J1",
+    oracle=_Q94_ORACLE,
+)
+def q94_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lm import unigram_lm_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_lm_score(docs, "text", "doc_id", vocab_size=256)
+
+
+# ---------------------------------------------------------------------------
+# q95: temperature-smoothed mixture weights (alpha = 0.5) — the data-
+#      mixture design step (mBERT/XLM-R/PaLM style): flatten per-source
+#      token shares so small sources are upsampled. Runs on the OUTPUT of
+#      a per-source aggregate; alpha is 0.5 because sqrt is IEEE-exact in
+#      every engine, keeping the cross-engine hash check float-safe.
+# ---------------------------------------------------------------------------
+_Q95_ORACLE = f"""
+WITH sz AS (
+  SELECT source, count(*) AS n_docs, CAST(sum({_NTOK}) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(sum(n_tokens) AS DOUBLE) AS tn,
+         sum(sqrt(CAST(n_tokens AS DOUBLE))) AS ta
+  FROM sz
+)
+SELECT source, n_docs, n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / t.tn, 6) AS p_raw,
+       round(sqrt(CAST(n_tokens AS DOUBLE)) / t.ta, 6) AS p_temp,
+       round((sqrt(CAST(n_tokens AS DOUBLE)) / t.ta) / (CAST(n_tokens AS DOUBLE) / t.tn), 4) AS boost
+FROM sz CROSS JOIN tot t
+"""
+
+
+@register(
+    "q95_temperature_mixture",
+    covers="mixture A1 A2 J9",
+    oracle=_Q95_ORACLE,
+)
+def q95_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mixture import temperature_mixture_weights
+    from ..operators.text_ops import _fan_out
+    from ..functions.text import token_count_ws
+
+    docs = load_table(spark, sf_dir, "documents")
+    sizes = (
+        _fan_out(docs)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count_ws("text")).cast("bigint").alias("n_tokens"),
+        )
+    )
+    return temperature_mixture_weights(sizes, group_col="source", size_col="n_tokens")
+
+
+# ---------------------------------------------------------------------------
+# q96: stratified exact-quota sample — ceil(20% * n) docs from every
+#      (source, lang) stratum, chosen by a salted-md5 deterministic
+#      permutation (the distributed equivalent of per-stratum reservoir
+#      sampling). One shuffle; both window functions share it.
+# ---------------------------------------------------------------------------
+_Q96_ORACLE = """
+WITH r AS (
+  SELECT doc_id, source, lang,
+         row_number() OVER (PARTITION BY source, lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR) || ':strat'), doc_id) AS sample_rank,
+         count(*) OVER (PARTITION BY source, lang) AS stratum_n
+  FROM documents
+)
+SELECT doc_id, source, lang,
+       CAST(sample_rank AS BIGINT) AS sample_rank,
+       CAST(stratum_n AS BIGINT) AS stratum_n
+FROM r
+WHERE sample_rank <= (stratum_n * 200 + 999) // 1000
+"""
+
+
+@register(
+    "q96_stratified_sample",
+    covers="P4 W1 W2 text-analysis",
+    oracle=_Q96_ORACLE,
+)
+def q96_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import stratified_exact_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    return stratified_exact_sample(
+        docs, ["source", "lang"], frac_permille=200, id_col="doc_id", salt="strat"
+    )

@@ -82,10 +82,12 @@ DESCRIPTIONS = [
     ("dedup-embedding-cosine", "Embedding-cosine near-dup pairs"),
     ("dedup-srp-lsh", "Blocked embedding near-dup (deterministic SRP-LSH)"),
     ("dedup-semantic", "SemDeDup-style semantic dedup (SRP-blocked keep-first)"),
+    ("dedup-substring", "Exact substring-span dedup (hashed k-token windows, Lee et al.)"),
     ("contamination", "Benchmark-contamination check (word-8-gram overlap)"),
     ("pii-redaction", "PII scrub (email/phone/IP count + redact)"),
     ("repetition", "Repetition filters (Gopher top-gram / dup-trigram fracs)"),
-    ("mixture", "Weighted mixture resampling (deterministic epoch upsampling)"),
+    ("mixture", "Mixture design: weighted resampling + temperature-smoothed weights"),
+    ("lm-score", "Unigram-LM perplexity scoring (broadcast top-V model)"),
     ("similarity-ann", "Brute-force cosine top-k (exact baseline)"),
     ("similarity-ivf", "IVF cosine top-k, k-means centroids (scale path)"),
     ("text-quality", "Quality scoring (length/punct/stopword)"),
