@@ -384,8 +384,12 @@ def ngram_jaccard_pairs(
     their shingles). Output: (id_a, id_b, jaccard).
     """
     sh = _shingle_frame(df, id_col, text_col, shingle_n)
-    sizes = sh.select("_id", F.size("_sh").alias("_n"))
-    inv = sh.select("_id", F.explode("_sh").alias("_g"))
+    # Set sizes ride ALONG the inverted index (8 bytes/posting) instead of
+    # joining back per pair: |A| and |B| are functionally dependent on the
+    # pair key, so min() in the pair aggregate recovers them for free and
+    # the two size joins (and their extra reads of the shingle exchange)
+    # disappear from the plan.
+    inv = sh.select("_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("_g"))
 
     if max_shingle_df is None:
         # |∩| falls straight out of the inverted index: shingles are
@@ -397,18 +401,14 @@ def ngram_jaccard_pairs(
             .join(inv.alias("y"), "_g")
             .filter(F.col("x._id") < F.col("y._id"))
             .groupBy(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
-            .agg(F.count(F.lit(1)).alias("_inter"))
+            .agg(
+                F.count(F.lit(1)).alias("_inter"),
+                F.min("x._n").alias("_na"),
+                F.min("y._n").alias("_nb"),
+            )
         )
         return (
-            inter.join(
-                sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")),
-                "id_a",
-            )
-            .join(
-                sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")),
-                "id_b",
-            )
-            .select(
+            inter.select(
                 "id_a",
                 "id_b",
                 F.round(
@@ -442,7 +442,11 @@ def ngram_jaccard_pairs(
         .join(inv_rare.alias("y"), "_g")
         .filter(F.col("x._id") < F.col("y._id"))
         .groupBy(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("_ir"))
+        .agg(
+            F.count(F.lit(1)).alias("_ir"),
+            F.min("x._n").alias("_na"),
+            F.min("y._n").alias("_nb"),
+        )
     )
     empty = F.array().cast("array<string>")
     inter = (
@@ -459,6 +463,8 @@ def ngram_jaccard_pairs(
         .select(
             "id_a",
             "id_b",
+            "_na",
+            "_nb",
             (
                 F.col("_ir")
                 + F.size(
@@ -471,13 +477,7 @@ def ngram_jaccard_pairs(
         )
     )
     return (
-        inter.join(
-            sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")), "id_a"
-        )
-        .join(
-            sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")), "id_b"
-        )
-        .select(
+        inter.select(
             "id_a",
             "id_b",
             F.round(
