@@ -1,10 +1,11 @@
 #!/usr/bin/env python
 """End-to-end training-data pipeline over the documents corpus:
 
-    quality filter → repetition filter → PII scrub → exact dedup →
+    quality filter → repetition filter → LM-perplexity filter →
+    PII scrub → exact dedup → substring-span dedup →
     contamination filter → chunk → near-dup chunk stats →
-    sequence packing → train/val/test split + source mixture
-    (+ semantic dedup on the embeddings table)
+    sequence packing → train/val/test split + temperature mixture +
+    stratified eval sample (+ semantic dedup on the embeddings table)
 
     python examples/training_data_pipeline.py [SF_DIR]
 
@@ -50,7 +51,17 @@ def main() -> None:
     docs_q = docs_q.join(rep_ok, "doc_id", "left_semi")
     n1b = docs_q.count()
 
-    # 1c. PII audit (this corpus is synthetic-clean; a production run
+    # 1c. LM-perplexity gate: drop the worst-scoring tail (top-256
+    # unigram model fit on the surviving docs, broadcast to the scorer)
+    from iceberg_evaluation_spark.operators.lm import unigram_lm_score
+
+    lm_ok = (
+        unigram_lm_score(docs_q).filter(F.col("nll_bits") <= 12.0).select("doc_id")
+    )
+    docs_q = docs_q.join(lm_ok, "doc_id", "left_semi")
+    n1c = docs_q.count()
+
+    # 1d. PII audit (this corpus is synthetic-clean; a production run
     # would substitute the redacted text for flagged docs)
     n_pii = pii_scrub(docs_q).filter(F.col("pii_found")).count()
 
@@ -58,6 +69,14 @@ def main() -> None:
     survivors = exact_dedup(docs_q, "text", "doc_id").select("doc_id")
     docs_d = docs_q.join(survivors, "doc_id", "left_semi")
     n2 = docs_d.count()
+
+    # 2a. substring-span audit: how much of the surviving corpus is
+    # covered by verbatim cross-document >= 8-token spans
+    from iceberg_evaluation_spark.operators.span_dedup import duplicated_span_metrics
+
+    span_cov = duplicated_span_metrics(docs_d).agg(
+        F.round(F.avg("dup_ratio"), 4).alias("mean_span_dup")
+    ).collect()[0]["mean_span_dup"]
 
     # 2b. contamination gate: drop training docs sharing any word-8-gram
     # with the held-out eval split (doc_id % 10 == 0)
@@ -96,17 +115,36 @@ def main() -> None:
     n_val = sum(v for (s, sp), v in split.items() if sp == "val")
     n_test = sum(v for (s, sp), v in split.items() if sp == "test")
 
+    # 6. mixture design + eval sampling on the surviving corpus
+    from iceberg_evaluation_spark.functions.text import token_count_ws
+    from iceberg_evaluation_spark.operators.mixture import temperature_mixture_weights
+    from iceberg_evaluation_spark.operators.sampling import stratified_exact_sample
+
+    sizes = docs_d.groupBy("source").agg(
+        F.sum(token_count_ws("text")).cast("bigint").alias("n_tokens")
+    )
+    weights = temperature_mixture_weights(sizes).orderBy(F.desc("boost"))
+    top_boost = weights.select("source", "boost").first()
+    n_eval_sample = stratified_exact_sample(
+        docs_d.select("doc_id", "source", "lang"), ["source", "lang"],
+        frac_permille=100, salt="heldout",
+    ).count()
+
     print(f"documents:            {n0}")
     print(f"after quality gate:   {n1}")
     print(f"after repetition gate:{n1b}")
+    print(f"after LM-ppl gate:    {n1c}")
     print(f"docs flagged for PII: {n_pii}")
     print(f"after exact dedup:    {n2}")
+    print(f"mean cross-doc span coverage: {span_cov}")
     print(f"train docs clean of eval 8-grams: {n2b}")
     print(f"embeddings kept by semantic dedup: {n_emb_kept}/{emb.count()}")
     print(f"chunks (32/24):       {n_chunks}")
     print(f"mean chunk dup ratio: {dup}")
     print(f"packs (256 tokens):   {n_packs}")
     print(f"split train/val/test: {n_train}/{n_val}/{n_test}")
+    print(f"most-boosted source:  {top_boost['source']} ({top_boost['boost']}x)")
+    print(f"stratified eval sample (10%): {n_eval_sample}")
     spark.stop()
 
 
