@@ -166,3 +166,39 @@ def test_repetition_metrics_all_jvm(spark, sf_correct):
     plan = _formatted_plan(spark, "q83_repetition_metrics", sf_correct)
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_stratified_sample_single_exchange(spark, sf_correct):
+    # row_number and the stratum count share one hash exchange on the
+    # strata key (plus the round-robin fan-out for the single-file scan);
+    # a second hash/range shuffle would mean the windows stopped sharing
+    # their partitioning
+    plan = _formatted_plan(spark, "q96_stratified_sample", sf_correct)
+    import re
+
+    hash_ex = len(re.findall(r"hashpartitioning", plan))
+    assert "rangepartitioning" not in plan
+    # both Window nodes list the same hashpartitioning requirement; the
+    # plan must contain exactly ONE Exchange detail header for them
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges == 1, f"expected 1 shuffle, plan has {n_exchanges}"
+    assert hash_ex >= 1
+
+
+def test_unigram_lm_model_broadcasts(spark, sf_correct):
+    # the fitted vocab must reach the scoring join as a BROADCAST (the
+    # model is V rows by contract) and the top-V selection must be a
+    # distributed sort+limit, never a single-partition global sort
+    plan = _formatted_plan(spark, "q94_unigram_lm_score", sf_correct)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_span_dedup_no_sort_merge_no_python(spark, sf_correct):
+    # the window-hash semi join and the doc-level joins stay hash/broadcast
+    # (nothing here is pre-sorted, a SortMergeJoin would add two sorts),
+    # and the whole operator is JVM-side
+    plan = _formatted_plan(spark, "q93_substring_span_dedup", sf_correct)
+    assert "InPandas" not in plan and "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
