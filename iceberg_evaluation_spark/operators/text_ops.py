@@ -41,12 +41,19 @@ def _fan_out(df: DataFrame) -> DataFrame:
     return df.repartition(p)
 
 
-def text_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def text_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Per-document quality metrics + a composite score in [0, 1].
 
     Components mirror the standard pretraining-data heuristics: length
     band, mean token length band, punctuation-density penalty, stopword
     presence. Deterministic, rational arithmetic where possible.
+    ``keep_cols`` passes input columns through (e.g. ``source`` for a
+    downstream per-source selection) without a join back on the id.
     """
     n_chars = F.length(F.col(text_col))
     n_tok = token_count_ws(text_col)
@@ -65,6 +72,7 @@ def text_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
     return _fan_out(df).select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         n_chars.alias("n_chars_obs"),
         n_tok.alias("n_tokens"),
         token_count_bpe(text_col).alias("n_bpe_tokens"),

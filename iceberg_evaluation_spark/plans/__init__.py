@@ -73,7 +73,9 @@ _registry.PRIORITY[:] = [
     "q90_leakage_safe_split",
     "q44_scd2_table_pipeline",
     "q86_incremental_scan",
-    "q87_rollback",
+    # (q87 also dropped: its path — append + rollback — is covered by the
+    # q44/q86 window slots and its own r2-green verdict; the slot goes to
+    # the new q97.)
     # --- new this round: never driver-checked ---
     "q91_bmp_decode",
     "q92_wav_decode",
@@ -81,6 +83,7 @@ _registry.PRIORITY[:] = [
     "q94_unigram_lm_score",
     "q95_temperature_mixture",
     "q96_stratified_sample",
+    "q97_budget_selection",
 ]
 
 __all__ = ["Query", "REGISTRY", "register", "all_queries", "all_oracles"]

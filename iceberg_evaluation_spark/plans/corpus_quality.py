@@ -573,3 +573,80 @@ def q96_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_exact_sample(
         docs, ["source", "lang"], frac_permille=200, id_col="doc_id", salt="strat"
     )
+
+
+# ---------------------------------------------------------------------------
+# q97: budget-constrained corpus selection — the capstone of the mixture
+#      family: q95's temperature weights become per-source token QUOTAS
+#      (half the corpus's tokens as the budget), and each quota is filled
+#      with the source's best documents first (quality desc, id tiebreak)
+#      via a running token sum. Every step is deterministic — integer
+#      token counts, one sqrt, one floor — so the oracle replays the
+#      whole pipeline including the quality model.
+# ---------------------------------------------------------------------------
+_Q97_PUNCT = r"'[^A-Za-z0-9\s]'"
+_Q97_SW = "('the','a','and','of','to','in','is','it','that','for')"
+
+_Q97_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id, source,
+         length(text) AS nc,
+         {_NTOK} AS n_tokens,
+         CASE WHEN {_NTOK} = 0 THEN 0.0
+              ELSE CAST(length(replace({_NORM}, ' ', '')) AS DOUBLE) / {_NTOK} END AS mtl,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE CAST(len(regexp_extract_all(text, {_Q97_PUNCT})) AS DOUBLE) / length(text) END AS pr,
+         CASE WHEN {_NTOK} = 0 THEN 0.0
+              ELSE CAST(len(list_filter({_TOKS}, t -> t IN {_Q97_SW})) AS DOUBLE) / {_NTOK} END AS swr
+  FROM documents
+), q AS (
+  SELECT doc_id, source, n_tokens,
+         round(CAST(CASE WHEN nc BETWEEN 64 AND 4096 THEN 0.25 ELSE 0.0 END
+             + CASE WHEN mtl >= 3 AND mtl <= 12 THEN 0.25 ELSE 0.0 END
+             + CASE WHEN pr <= 0.2 THEN 0.25 ELSE 0.0 END
+             + CASE WHEN swr >= 0.02 THEN 0.25 ELSE 0.0 END AS DOUBLE), 2) AS quality_score
+  FROM m
+), sz AS (
+  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS gtok FROM q GROUP BY source
+), tot AS (
+  SELECT sum(sqrt(CAST(gtok AS DOUBLE))) AS ta,
+         CAST(sum(gtok) AS BIGINT) * 500 // 1000 AS budget
+  FROM sz
+), quo AS (
+  SELECT source,
+         CAST(floor(round(sqrt(CAST(gtok AS DOUBLE)) / t.ta, 6) * t.budget) AS BIGINT) AS quota
+  FROM sz CROSS JOIN tot t
+), r AS (
+  SELECT doc_id, source, n_tokens, quality_score,
+         CAST(sum(n_tokens) OVER (PARTITION BY source
+                                  ORDER BY quality_score DESC, doc_id ASC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+  FROM q
+)
+SELECT r.doc_id, r.source, r.n_tokens, r.quality_score, r.cum_tokens, qo.quota
+FROM r JOIN quo qo ON r.source = qo.source
+WHERE r.cum_tokens <= qo.quota
+"""
+
+
+@register(
+    "q97_budget_selection",
+    covers="mixture text-quality W3 A1 J1 J9",
+    oracle=_Q97_ORACLE,
+)
+def q97_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.selection import budget_constrained_selection
+    from ..operators.text_ops import text_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text_quality(docs, keep_cols=("source",)).select(
+        "doc_id", "source", "n_tokens", "quality_score"
+    )
+    return budget_constrained_selection(
+        scored,
+        budget_frac_permille=500,
+        group_col="source",
+        token_col="n_tokens",
+        quality_col="quality_score",
+        id_col="doc_id",
+    )

@@ -156,3 +156,49 @@ def test_stratified_sample_tiny_stratum_rounds_up(spark):
     )
     out = stratified_exact_sample(df, ["source", "lang"], frac_permille=10).collect()
     assert len(out) == 1 and out[0]["stratum_n"] == 1
+
+
+# ------------------------------------------------- budget selection
+def test_budget_selection_closed_form(spark):
+    from iceberg_evaluation_spark.operators.selection import (
+        budget_constrained_selection,
+    )
+
+    # two sources, 100 tokens total, budget 50%: ta = sqrt(80)+sqrt(20),
+    # quota_a = floor(p_a * 50), filled best-first until the prefix sum
+    # would exceed the quota
+    rows = [
+        # (doc_id, source, n_tokens, quality_score)
+        (1, "a", 30, 0.75),
+        (2, "a", 30, 0.50),
+        (3, "a", 20, 1.00),
+        (4, "b", 12, 1.00),
+        (5, "b", 8, 0.25),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, source string, n_tokens int, quality_score double"
+    )
+    out = {r["doc_id"]: r for r in budget_constrained_selection(df).collect()}
+    ta = math.sqrt(80) + math.sqrt(20)
+    qa = math.floor(round(math.sqrt(80) / ta, 6) * 50)   # 33
+    qb = math.floor(round(math.sqrt(20) / ta, 6) * 50)   # 16
+    assert qa == 33 and qb == 16
+    # source a order: doc3 (q=1.0, cum 20), doc1 (0.75, cum 50 > 33 -> cut)
+    assert set(out) == {3, 4}
+    assert out[3]["cum_tokens"] == 20 and out[3]["quota"] == 33
+    # source b order: doc4 (cum 12 <= 16), doc5 (cum 20 > 16 -> cut)
+    assert out[4]["cum_tokens"] == 12 and out[4]["quota"] == 16
+
+
+def test_budget_selection_full_budget_keeps_everything(spark):
+    from iceberg_evaluation_spark.operators.selection import (
+        budget_constrained_selection,
+    )
+
+    rows = [(i, "s", 10, 0.5) for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, source string, n_tokens int, quality_score double"
+    )
+    # one source: p_temp = 1.0, budget = all tokens -> nothing cut
+    out = budget_constrained_selection(df, budget_frac_permille=1000).collect()
+    assert len(out) == 5 and all(r["quota"] == 50 for r in out)
