@@ -62,3 +62,34 @@ def test_scd2_empty_update_batch_is_noop(spark):
     before = sorted(map(tuple, t.read().collect()))
     scd2_complex(t, feed.limit(0))
     assert sorted(map(tuple, t.read().collect())) == before
+
+
+def test_round3_pipeline_ops_on_empty(spark):
+    from iceberg_evaluation_spark.operators.lm import unigram_lm_score
+    from iceberg_evaluation_spark.operators.sampling import stratified_exact_sample
+    from iceberg_evaluation_spark.operators.selection import (
+        budget_constrained_selection,
+    )
+    from iceberg_evaluation_spark.operators.span_dedup import duplicated_span_metrics
+
+    docs = spark.createDataFrame([], "doc_id bigint, text string")
+    assert duplicated_span_metrics(docs).count() == 0
+    assert unigram_lm_score(docs).count() == 0
+
+    strat = spark.createDataFrame([], "doc_id bigint, source string, lang string")
+    assert stratified_exact_sample(strat, ["source", "lang"]).count() == 0
+
+    scored = spark.createDataFrame(
+        [], "doc_id bigint, source string, n_tokens int, quality_score double"
+    )
+    assert budget_constrained_selection(scored).count() == 0
+
+
+def test_temperature_weights_single_group(spark):
+    from iceberg_evaluation_spark.operators.mixture import (
+        temperature_mixture_weights,
+    )
+
+    one = spark.createDataFrame([("only", 42)], "source string, n_tokens bigint")
+    row = temperature_mixture_weights(one).collect()[0]
+    assert row["p_raw"] == 1.0 and row["p_temp"] == 1.0 and row["boost"] == 1.0
