@@ -32,6 +32,7 @@ def stratified_exact_sample(
     frac_permille: int = 200,
     id_col: str = "doc_id",
     salt: str = "strat",
+    shards: int = 1,
 ) -> DataFrame:
     """Exactly ``ceil(n * frac_permille / 1000)`` rows per stratum.
 
@@ -41,20 +42,46 @@ def stratified_exact_sample(
     Quota arithmetic is pure integers — ``(n * frac + 999) div 1000`` —
     to keep ceil() off doubles.
 
-    One hot stratum does serialize onto one task (window functions
-    partition by stratum); if a stratum can exceed a task's memory,
-    pre-split it with a salted sub-stratum key and take quotas per
-    sub-stratum — exactness per SUB-stratum still sums to the parent
-    quota when the fraction divides evenly, which is the documented
-    trade.
+    One hot stratum serializes onto one task (window functions partition
+    by stratum). ``shards`` > 1 is the scale path for that case: each
+    stratum is pre-split into ``shards`` deterministic md5 sub-strata
+    and the quota is taken per sub-stratum. The sample stays an exact
+    simple random sample per sub-stratum; the total kept per stratum is
+    between the parent ceil quota and quota + shards - 1 (each shard
+    rounds up independently) — the documented trade for never putting a
+    whole hot stratum through one task. ``sample_rank``/``stratum_n``
+    then describe the sub-stratum, so the fraction is still invertible.
     """
     if not 0 <= frac_permille <= 1000:
         raise ValueError("frac_permille must be in [0, 1000]")
+    if shards < 1:
+        raise ValueError("shards must be >= 1")
     order = F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt)))
-    w = Window.partitionBy(*strata).orderBy(order.asc(), F.col(id_col).asc())
-    wn = Window.partitionBy(*strata)
-    ranked = df.select(
-        *df.columns,
+    keys: list = list(strata)
+    work = df
+    if shards > 1:
+        shard = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.col(id_col).cast("string"), F.lit(salt + "#shard")
+                        )
+                    ),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % shards
+        )
+        work = df.withColumn("_shard", shard)
+        keys = keys + ["_shard"]
+    w = Window.partitionBy(*keys).orderBy(order.asc(), F.col(id_col).asc())
+    wn = Window.partitionBy(*keys)
+    ranked = work.select(
+        *work.columns,
         F.row_number().over(w).alias("sample_rank"),
         F.count(F.lit(1)).over(wn).alias("stratum_n"),
     )

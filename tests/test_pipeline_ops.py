@@ -202,3 +202,26 @@ def test_budget_selection_full_budget_keeps_everything(spark):
     # one source: p_temp = 1.0, budget = all tokens -> nothing cut
     out = budget_constrained_selection(df, budget_frac_permille=1000).collect()
     assert len(out) == 5 and all(r["quota"] == 50 for r in out)
+
+
+def test_stratified_sample_sharded_hot_stratum(spark):
+    # 1000-row hot stratum, 10% at 8 shards: kept count lands in
+    # [ceil-quota, quota + shards - 1] and the per-shard samples stay
+    # deterministic; shards=1 on the same input is the exact baseline
+    rows = [(i, "hot", "en") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, lang string")
+    base = stratified_exact_sample(df, ["source", "lang"], frac_permille=100)
+    assert base.count() == 100
+    shardy = stratified_exact_sample(
+        df, ["source", "lang"], frac_permille=100, shards=8
+    )
+    n = shardy.count()
+    assert 100 <= n <= 107
+    again = stratified_exact_sample(
+        df, ["source", "lang"], frac_permille=100, shards=8
+    )
+    assert sorted(r["doc_id"] for r in shardy.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+    # the internal shard key must not leak into the output schema
+    assert "_shard" not in shardy.columns
