@@ -400,6 +400,44 @@ class SnapshotTable:
             rows, "version INT, timestamp_ms LONG, operation STRING, n_files INT, summary STRING"
         )
 
+    def files_metadata(self, version: int | None = None) -> DataFrame:
+        """Per-data-file metrics of a snapshot (reference/Iceberg
+        ``SELECT * FROM t.$files``): relative path, parquet-footer row
+        count and on-disk size, plus the snapshot that first published
+        the file — the inputs file-pruning and compaction planning read.
+
+        Footer reads happen on the driver, bounded by the snapshot's
+        FILE count (manifest scale, exactly like Iceberg's own manifest
+        scans), never by data volume.
+        """
+        import pyarrow.parquet as pq
+
+        snap = self._read_snapshot(
+            self.current_version() if version is None else version
+        )
+        first_seen: dict[str, int] = {}
+        for s in self._snapshots():
+            for rel in s["files"]:
+                first_seen.setdefault(rel, s["version"])
+        rows = []
+        for rel in snap["files"]:
+            path = os.path.join(self.root, rel)
+            meta = pq.read_metadata(path)
+            rows.append(
+                (
+                    rel,
+                    int(meta.num_rows),
+                    int(os.path.getsize(path)),
+                    int(meta.num_row_groups),
+                    first_seen.get(rel, snap["version"]),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "file STRING, record_count LONG, file_size_bytes LONG,"
+            " n_row_groups INT, added_in_version INT",
+        )
+
     # ------------------------------------------------------------------ merge
     def merge(
         self,

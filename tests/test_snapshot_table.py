@@ -452,3 +452,20 @@ def test_merge_after_schema_evolution(spark, tmp_path):
     )
     got = {r["id"]: (r["v"], r["score"]) for r in t.read().collect()}
     assert got == {1: ("a", None), 2: ("b2", None), 3: ("c", None)}
+
+
+def test_files_metadata_matches_footers(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(spark, str(tmp_path / "filesmeta"))
+    t.create_or_replace(spark.range(100).select(F.col("id")), partitions=4)  # v1
+    t.append(spark.range(100, 150).select(F.col("id")))                      # v2
+    fm = t.files_metadata().collect()
+    assert sum(r["record_count"] for r in fm) == 150
+    assert len(fm) == len(set(r["file"] for r in fm))
+    assert all(r["file_size_bytes"] > 0 and r["n_row_groups"] >= 1 for r in fm)
+    # v1 files tagged 1, appended files tagged 2; time travel sees only v1
+    assert {r["added_in_version"] for r in fm} == {1, 2}
+    fm1 = t.files_metadata(version=1).collect()
+    assert sum(r["record_count"] for r in fm1) == 100
+    assert all(r["added_in_version"] == 1 for r in fm1)
