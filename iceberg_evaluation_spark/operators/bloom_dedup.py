@@ -1,0 +1,171 @@
+"""Bloom-prefiltered incremental dedup: drop incoming documents whose
+fingerprint already exists in a reference corpus.
+
+The production shape for continuously-ingested training data: the
+reference corpus's fingerprints are folded into a Bloom filter ONCE (a
+distributed bit-OR aggregation, driver state = ``num_bits / 64`` longs),
+the filter is applied to the incoming batch as a narrow prefilter, and
+only the survivors — incoming docs the filter *might* know — reach the
+exact anti-join that removes false positives.  Bloom filters have no
+false negatives, so the final output is exactly the anti-join result
+while the shuffle-side join sees only the prefiltered slice.  At 100 TB
+the reference side is billions of fingerprints: the filter (2^30 bits =
+128 MiB for ~1e9 keys at ~2% fp) broadcasts where the fingerprint set
+itself cannot.
+
+Reference parity: the reference has no incremental-dedup surface; this
+extends the M4/M7 dedup family (``src/data_curation/glue_jobs/
+pyspark_functions.py`` uses md5 keys the same way, :144-146 in
+``generate_tpcds.py``).
+
+Hashing is the engine-portable md5 trick used across the corpus
+(``conv(substr(md5(..), 1, 15), 16, 10)``): deterministic, identical in
+Spark and DuckDB, no JVM-private hash in the contract.  Two probe
+implementations, equal by construction (pinned in tests):
+
+- ``literal``: the filter words become an array literal in the plan and
+  each probe is ``element_at`` + bit-test — pure JVM, whole-stage
+  codegen, zero Python.  Right up to a few thousand words (plans embed
+  the array).
+- ``pandas``: the words ship as a broadcast numpy array and an
+  Arrow-batched ``pandas_udf`` does the bit-tests vectorized — the
+  scale path for multi-MiB filters.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "bloom_position_exprs",
+    "build_bloom_words",
+    "bloom_prefiltered_anti_join",
+]
+
+
+def bloom_position_exprs(fp_col: str, num_bits: int, num_hashes: int) -> list[Column]:
+    """The k bit positions of a fingerprint, as JVM-side columns.
+
+    ``pos_i = conv(substr(md5(fp || ':' || i), 1, 15), 16, 10) % num_bits``
+    — 60 bits of md5 per hash, independent across ``i`` by seed suffix.
+    """
+    if num_bits <= 0 or num_bits % 64:
+        raise ValueError("num_bits must be a positive multiple of 64")
+    return [
+        (
+            F.conv(
+                F.substring(F.md5(F.concat_ws(":", F.col(fp_col), F.lit(str(i)))), 1, 15),
+                16,
+                10,
+            ).cast("bigint")
+            % num_bits
+        )
+        for i in range(num_hashes)
+    ]
+
+
+def build_bloom_words(
+    df: DataFrame, fp_col: str, num_bits: int, num_hashes: int
+) -> list[int]:
+    """Fold ``df[fp_col]`` into a Bloom filter; return its 64-bit words.
+
+    Distributed: positions explode (×k) into ``(word_idx, bit)`` and a
+    hash aggregation bit-ORs them into at most ``num_bits / 64`` rows —
+    the only driver-side state.  Missing words (no bit set) are zero.
+    """
+    pos = df.select(
+        F.explode(F.array(*bloom_position_exprs(fp_col, num_bits, num_hashes))).alias(
+            "pos"
+        )
+    )
+    rows = (
+        pos.groupBy(F.expr("pos div 64").alias("w"))
+        .agg(F.expr("bit_or(shiftleft(1L, cast(pos % 64 AS INT)))").alias("bits"))
+        .collect()
+    )
+    words = [0] * (num_bits // 64)
+    for r in rows:
+        words[r["w"]] = r["bits"]
+    return words
+
+
+def _with_might_literal(
+    df: DataFrame, pos_cols: list[Column], words: list[int]
+) -> DataFrame:
+    """Add ``__might`` = every probe bit set — pure JVM.
+
+    The filter words ride in the plan as one array literal; each probe
+    stages its position then does ``element_at`` + unsigned-shift bit
+    test inside whole-stage codegen.
+    """
+    arr = F.array(*[F.lit(w).cast("bigint") for w in words])
+    staged = df.withColumn("__bloom_words", arr)
+    hit = F.lit(True)
+    for i, p in enumerate(pos_cols):
+        staged = staged.withColumn(f"__p{i}", p)
+        word = F.element_at("__bloom_words", F.expr(f"cast(__p{i} div 64 AS INT)") + 1)
+        staged = staged.withColumn(f"__w{i}", word)
+        # & 1, not % 2: an untouched shift (bit offset 0) keeps the word's
+        # sign, and Spark's % follows the sign (-1 % 2 = -1)
+        hit = hit & (
+            F.expr(f"shiftrightunsigned(__w{i}, cast(__p{i} % 64 AS INT)) & 1") == 1
+        )
+    return staged.withColumn("__might", hit).select(*df.columns, "__might")
+
+
+def bloom_prefiltered_anti_join(
+    incoming: DataFrame,
+    existing: DataFrame,
+    fp_col: str,
+    num_bits: int = 1 << 17,
+    num_hashes: int = 4,
+    probe: str = "auto",
+) -> DataFrame:
+    """Rows of ``incoming`` whose ``fp_col`` does not occur in ``existing``.
+
+    Exactly ``incoming ANTI JOIN existing ON fp`` (the oracle): rows the
+    filter does NOT know are definitely new (no false negatives) and
+    bypass the join entirely; only the bloom-positive candidates — true
+    duplicates plus the small false-positive slice — reach the exact
+    anti-join.  ``probe``: ``literal`` (array-literal JVM bit tests),
+    ``pandas`` (broadcast numpy + Arrow-batched udf; the scale path),
+    or ``auto`` (literal up to 4096 words).
+    """
+    words = build_bloom_words(existing, fp_col, num_bits, num_hashes)
+    pos_cols = bloom_position_exprs(fp_col, num_bits, num_hashes)
+    if probe == "auto":
+        probe = "literal" if len(words) <= 4096 else "pandas"
+
+    if probe == "literal":
+        tagged = _with_might_literal(incoming, pos_cols, words)
+    elif probe == "pandas":
+        from pyspark.sql.functions import pandas_udf
+
+        sc = incoming.sparkSession.sparkContext
+        bwords = sc.broadcast(np.array(words, dtype=np.uint64))
+
+        @pandas_udf("boolean")
+        def _might(pos: pd.Series) -> pd.Series:
+            if len(pos) == 0:
+                return pd.Series([], dtype=bool)
+            w = bwords.value
+            a = np.vstack(pos.to_numpy()).astype(np.int64)  # (n, k) positions
+            hits = (w[a >> 6] >> (a & 63).astype(np.uint64)) & np.uint64(1)
+            return pd.Series(hits.all(axis=1))
+
+        tagged = incoming.withColumn(
+            "__might", _might(F.array(*pos_cols))
+        ).select(*incoming.columns, "__might")
+    else:
+        raise ValueError(f"unknown probe mode {probe!r}")
+
+    keep = [c for c in incoming.columns]
+    definitely_new = tagged.filter(~F.col("__might")).select(*keep)
+    candidates = tagged.filter(F.col("__might")).select(*keep)
+    verified_new = candidates.join(
+        existing.select(fp_col).distinct(), on=fp_col, how="left_anti"
+    ).select(*keep)
+    return definitely_new.unionByName(verified_new)

@@ -650,3 +650,159 @@ def q97_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_col="quality_score",
         id_col="doc_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# q98: Bloom-prefiltered incremental dedup — the continuous-ingest shape:
+#      an incoming batch is deduped AGAINST the existing corpus, not
+#      against itself. Incoming = the doc_id % 3 = 0 slice (novel texts)
+#      PLUS planted re-ingests (doc_id % 7 = 1 docs re-badged with
+#      doc_id + 1000000 but identical text) — the planted rows MUST
+#      drop, the novel rows MUST survive, so both branches of the
+#      pipeline carry verified weight. The Bloom filter (distributed
+#      bit-OR build, driver state = num_bits/64 longs) prefilters the
+#      batch before the exact anti-join removes its false positives; no
+#      false negatives by construction, so the result is EXACTLY the
+#      anti-join and the oracle is plain SQL. At 100 TB the filter
+#      broadcasts where the reference fingerprint set cannot.
+# ---------------------------------------------------------------------------
+_Q98_ORACLE = f"""
+WITH inc AS (
+  SELECT doc_id, source, md5({_NORM}) AS fingerprint
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, source, md5({_NORM}) AS fingerprint
+  FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 7 = 1
+), ex AS (
+  SELECT DISTINCT md5({_NORM}) AS fingerprint
+  FROM documents WHERE doc_id % 3 <> 0
+)
+SELECT i.doc_id, i.source, i.fingerprint
+FROM inc i LEFT JOIN ex e USING (fingerprint)
+WHERE e.fingerprint IS NULL
+"""
+
+
+@register(
+    "q98_bloom_incremental_dedup",
+    covers="dedup-exact dedup-bloom J6 M7 P3 A1 U1",
+    oracle=_Q98_ORACLE,
+)
+def q98_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import fingerprint_md5
+    from ..operators.bloom_dedup import bloom_prefiltered_anti_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_fp = docs.select(
+        "doc_id", "source", fingerprint_md5("text").alias("fingerprint")
+    )
+    replayed = (
+        with_fp.filter((F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 7 == 1))
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+    )
+    incoming = with_fp.filter(F.col("doc_id") % 3 == 0).unionByName(replayed)
+    existing = with_fp.filter(F.col("doc_id") % 3 != 0).select("fingerprint")
+    return bloom_prefiltered_anti_join(
+        incoming, existing, "fingerprint", num_bits=1 << 17, num_hashes=4
+    )
+
+
+# ---------------------------------------------------------------------------
+# q99: TF-IDF keyword extraction — top-5 terms per source by smoothed
+#      tf*ln((N+1)/(df+1)). Ranking is on the ROUNDED score with the
+#      term as tiebreak, so the selected set is reproducible across
+#      engines (raw float ordering would expose libm ULP differences).
+#      The df/tf join stays on the token key (vocabulary-sized — no
+#      broadcast), the per-source top-k is one window.
+# ---------------------------------------------------------------------------
+_Q99_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, u AS term
+  FROM (SELECT doc_id, source, {_TOKS} AS t FROM documents WHERE {_NORM} <> ''),
+       unnest(t) AS s(u)
+), nd AS (
+  SELECT count(DISTINCT doc_id) AS n_docs FROM toks
+), dfx AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY term
+), tfx AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY source, term
+), sc AS (
+  SELECT t.source, t.term, t.tf, d.df,
+         round(t.tf * ln(CAST(n.n_docs + 1 AS DOUBLE) / (d.df + 1)), 4) AS tfidf
+  FROM tfx t JOIN dfx d USING (term) CROSS JOIN nd n
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY tfidf DESC, term ASC) AS rk
+  FROM sc
+)
+SELECT source, term, tf, df, tfidf, CAST(rk AS BIGINT) AS term_rank
+FROM r WHERE rk <= 5
+"""
+
+
+@register(
+    "q99_tfidf_keywords",
+    covers="text-analysis tfidf A1 A3 W1 J1 J9 O2",
+    oracle=_Q99_ORACLE,
+)
+def q99_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.keywords import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = tfidf_top_terms(docs, "text", "doc_id", "source", top_k=5)
+    return out.withColumn("term_rank", F.col("term_rank").cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# q100: DSIR-style importance weights (Xie et al. 2023) — hashed-bigram
+#       log-likelihood ratio of the target distribution (lang='en' docs)
+#       vs the raw corpus, add-one smoothed over 1024 buckets. The
+#       model is TWO count vectors fit in one hash aggregation and
+#       broadcast back (1024 rows regardless of corpus size); the only
+#       float steps are log2 + one round(4), same discipline as q94.
+# ---------------------------------------------------------------------------
+_Q100_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, (lang = 'en') AS tgt, {_TOKS} AS t
+  FROM documents WHERE {_NORM} <> ''
+), big AS (
+  SELECT doc_id, tgt,
+         list_transform(range(0, len(t) - 1), i -> t[i+1] || ' ' || t[i+2]) AS bl
+  FROM base WHERE len(t) >= 2
+), f AS (
+  SELECT doc_id, tgt,
+         CAST(CAST(('0x' || substr(md5(u), 1, 8)) AS BIGINT) % 1024 AS INT) AS bucket
+  FROM big, unnest(bl) AS s(u)
+), cnt AS (
+  SELECT bucket, count(*) AS c_raw,
+         sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS c_tgt
+  FROM f GROUP BY bucket
+), tot AS (
+  SELECT sum(c_raw) AS n_raw, sum(c_tgt) AS n_tgt FROM cnt
+), model AS (
+  SELECT bucket,
+         log2(CAST(c_tgt + 1 AS DOUBLE) / (t.n_tgt + 1024))
+       - log2(CAST(c_raw + 1 AS DOUBLE) / (t.n_raw + 1024)) AS lr
+  FROM cnt CROSS JOIN tot t
+)
+SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+       round(avg(m.lr), 4) AS dsir_score
+FROM f JOIN model m USING (bucket)
+GROUP BY f.doc_id
+"""
+
+
+@register(
+    "q100_dsir_importance",
+    covers="text-analysis dsir mixture A1 A2 J1 J9",
+    oracle=_Q100_ORACLE,
+)
+def q100_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dsir import dsir_importance_weights
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "__is_target", F.col("lang") == "en"
+    )
+    return dsir_importance_weights(
+        docs, "text", "doc_id", "__is_target", num_buckets=1024
+    )

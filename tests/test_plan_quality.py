@@ -202,3 +202,31 @@ def test_span_dedup_no_sort_merge_no_python(spark, sf_correct):
     plan = _formatted_plan(spark, "q93_substring_span_dedup", sf_correct)
     assert "InPandas" not in plan and "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_dedup_jvm_probe_and_anti_join(spark, sf_correct):
+    # the literal-probe path is pure JVM (codegen bit tests); the exact
+    # verification must plan as a real anti join, never a cartesian
+    plan = _formatted_plan(spark, "q98_bloom_incremental_dedup", sf_correct)
+    assert "InPandas" not in plan and "EvalPython" not in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_topk_window_no_python(spark, sf_correct):
+    # df/tf join keys on the token (vocabulary-sized — shuffle join is
+    # the right shape; broadcasting a 100 TB vocabulary is not), the
+    # 1-row N joins broadcast, and everything stays JVM-side
+    plan = _formatted_plan(spark, "q99_tfidf_keywords", sf_correct)
+    assert "InPandas" not in plan and "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_dsir_model_broadcasts(spark, sf_correct):
+    # the fitted bucket model is B rows by contract — it must reach the
+    # scoring join as a broadcast, and the operator has no Python stages
+    plan = _formatted_plan(spark, "q100_dsir_importance", sf_correct)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "InPandas" not in plan and "EvalPython" not in plan

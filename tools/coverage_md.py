@@ -83,11 +83,14 @@ DESCRIPTIONS = [
     ("dedup-srp-lsh", "Blocked embedding near-dup (deterministic SRP-LSH)"),
     ("dedup-semantic", "SemDeDup-style semantic dedup (SRP-blocked keep-first)"),
     ("dedup-substring", "Exact substring-span dedup (hashed k-token windows, Lee et al.)"),
+    ("dedup-bloom", "Bloom-prefiltered incremental dedup vs reference corpus"),
     ("contamination", "Benchmark-contamination check (word-8-gram overlap)"),
     ("pii-redaction", "PII scrub (email/phone/IP count + redact)"),
     ("repetition", "Repetition filters (Gopher top-gram / dup-trigram fracs)"),
     ("mixture", "Mixture design: weighted resampling + temperature-smoothed weights"),
     ("lm-score", "Unigram-LM perplexity scoring (broadcast top-V model)"),
+    ("tfidf", "TF-IDF keyword extraction (corpus df + per-group top-k)"),
+    ("dsir", "DSIR importance weights (hashed-bigram target/raw log-ratio)"),
     ("similarity-ann", "Brute-force cosine top-k (exact baseline)"),
     ("similarity-ivf", "IVF cosine top-k, k-means centroids (scale path)"),
     ("text-quality", "Quality scoring (length/punct/stopword)"),
