@@ -40,6 +40,19 @@ def main() -> None:
     docs = load_table(spark, sf_dir, "documents")
     n0 = docs.count()
 
+    # 0. incremental-ingest gate: a simulated new batch (one third of the
+    # corpus + replayed copies) is deduped AGAINST the already-ingested
+    # corpus via the Bloom-prefiltered anti-join before anything else runs
+    from iceberg_evaluation_spark.functions.text import fingerprint_md5
+    from iceberg_evaluation_spark.operators.bloom_dedup import (
+        bloom_prefiltered_anti_join,
+    )
+
+    fp = docs.select("doc_id", fingerprint_md5("text").alias("fingerprint"))
+    batch = fp.filter(F.col("doc_id") % 3 == 0)
+    corpus_fp = fp.filter(F.col("doc_id") % 3 != 0).select("fingerprint")
+    n_new = bloom_prefiltered_anti_join(batch, corpus_fp, "fingerprint").count()
+
     # 1. quality gate: keep docs scoring >= 0.5 on the heuristic panel
     quality = text_quality(docs)
     kept_ids = quality.filter(F.col("quality_score") >= 0.5).select("doc_id")
@@ -130,7 +143,24 @@ def main() -> None:
         frac_permille=100, salt="heldout",
     ).count()
 
+    # 7. corpus analysis + selection signals on the surviving corpus
+    from iceberg_evaluation_spark.operators.dsir import dsir_importance_weights
+    from iceberg_evaluation_spark.operators.keywords import tfidf_top_terms
+
+    top_terms = {
+        r["source"]: r["term"]
+        for r in tfidf_top_terms(docs_d, "text", "doc_id", "source", top_k=1).collect()
+    }
+    dsir = dsir_importance_weights(
+        docs_d.withColumn("__is_target", F.col("lang") == "en"),
+        "text",
+        "doc_id",
+        "__is_target",
+    )
+    n_dsir_pos = dsir.filter(F.col("dsir_score") > 0).count()
+
     print(f"documents:            {n0}")
+    print(f"novel docs in simulated ingest batch: {n_new}")
     print(f"after quality gate:   {n1}")
     print(f"after repetition gate:{n1b}")
     print(f"after LM-ppl gate:    {n1c}")
@@ -145,6 +175,8 @@ def main() -> None:
     print(f"split train/val/test: {n_train}/{n_val}/{n_test}")
     print(f"most-boosted source:  {top_boost['source']} ({top_boost['boost']}x)")
     print(f"stratified eval sample (10%): {n_eval_sample}")
+    print(f"top tf-idf term per source: {top_terms}")
+    print(f"docs weighted toward target by DSIR: {n_dsir_pos}")
     spark.stop()
 
 
