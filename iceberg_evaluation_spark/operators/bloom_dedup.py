@@ -25,11 +25,14 @@ implementations, equal by construction (pinned in tests):
 
 - ``literal``: the filter words become an array literal in the plan and
   each probe is ``element_at`` + bit-test — pure JVM, whole-stage
-  codegen, zero Python.  Right up to a few thousand words (plans embed
-  the array).
+  codegen, zero Python.  Only for small filters: the plan embeds the
+  array, and past a few hundred words the per-plan handling costs more
+  than the Arrow transfer it avoids (measured: 2048 words ≈ +4 s/run
+  at sf0.1).
 - ``pandas``: the words ship as a broadcast numpy array and an
   Arrow-batched ``pandas_udf`` does the bit-tests vectorized — the
-  scale path for multi-MiB filters.
+  scale path; at 100 TB the filter is MiBs-GiBs and broadcast is the
+  only option anyway.
 """
 
 from __future__ import annotations
@@ -132,12 +135,15 @@ def bloom_prefiltered_anti_join(
     duplicates plus the small false-positive slice — reach the exact
     anti-join.  ``probe``: ``literal`` (array-literal JVM bit tests),
     ``pandas`` (broadcast numpy + Arrow-batched udf; the scale path),
-    or ``auto`` (literal up to 4096 words).
+    or ``auto`` (literal up to 256 words — measured at sf0.1, a
+    2048-literal array costs ~4 s/run in plan/codegen handling while
+    the broadcast probe stays ~1 s warm at any filter size; the
+    cutover keeps the pure-JVM path only where it is actually free).
     """
     words = build_bloom_words(existing, fp_col, num_bits, num_hashes)
     pos_cols = bloom_position_exprs(fp_col, num_bits, num_hashes)
     if probe == "auto":
-        probe = "literal" if len(words) <= 4096 else "pandas"
+        probe = "literal" if len(words) <= 256 else "pandas"
 
     if probe == "literal":
         tagged = _with_might_literal(incoming, pos_cols, words)

@@ -465,7 +465,25 @@ FROM embeddings WHERE vec_id < 5
 """
 
 
-@register("q38_ivf_cosine_topk", covers="similarity-ivf J5 A2", oracle=_Q38_ORACLE)
+def _q38_bare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator-only IVF path: the registered form adds an exact
+    brute-force top-k twin to measure recall — that is verification
+    harness, not operator cost, so the bench times this variant
+    separately (BENCH_DETAIL ``verify_split``)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = ivf_cosine_topk(emb, queries, k=5, n_cells=16, nprobe=4)
+    return approx.groupBy("query_id").agg(F.count(F.lit(1)).alias("k_returned"))
+
+
+@register(
+    "q38_ivf_cosine_topk",
+    covers="similarity-ivf J5 A2",
+    oracle=_Q38_ORACLE,
+    bare=_q38_bare,
+)
 def q38_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import cosine_topk
 

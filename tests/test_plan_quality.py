@@ -204,11 +204,13 @@ def test_span_dedup_no_sort_merge_no_python(spark, sf_correct):
     assert "CartesianProduct" not in plan
 
 
-def test_bloom_dedup_jvm_probe_and_anti_join(spark, sf_correct):
-    # the literal-probe path is pure JVM (codegen bit tests); the exact
-    # verification must plan as a real anti join, never a cartesian
+def test_bloom_dedup_probe_and_anti_join(spark, sf_correct):
+    # at the registered 2^17-bit sizing the probe is the broadcast-numpy
+    # Arrow path (the scale shape — NEVER row-at-a-time Python); the
+    # exact verification must plan as a real anti join, not a cartesian
     plan = _formatted_plan(spark, "q98_bloom_incremental_dedup", sf_correct)
-    assert "InPandas" not in plan and "EvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
 
