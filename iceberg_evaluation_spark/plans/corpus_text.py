@@ -323,7 +323,11 @@ def q36_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage's wall time swing 12→46 s run-to-run under ambient load;
     # this form is ~4 s and stable. (A pair-anchored EXPLODE-side
     # shuffle of the wide arrays was worse still — 90 s.)
-    sh = _shingle_frame(corpus, "doc_id", "text", 3)
+    # the shingle frame feeds THREE consumers (sizes, the anchored side,
+    # and the probe side of the intersection join); checkpointing the
+    # one-row-per-doc array frame materializes the tokenize+shingle work
+    # once instead of three times — measured 8-19 s → ~5 s at sf0.1
+    sh = _shingle_frame(corpus, "doc_id", "text", 3).localCheckpoint()
     sizes = sh.select("_id", F.size("_sh").alias("_n"))
     inv = sh.select("_id", F.explode("_sh").alias("_g"))
     anchored = inv.join(
