@@ -93,3 +93,25 @@ def test_temperature_weights_single_group(spark):
     one = spark.createDataFrame([("only", 42)], "source string, n_tokens bigint")
     row = temperature_mixture_weights(one).collect()[0]
     assert row["p_raw"] == 1.0 and row["p_temp"] == 1.0 and row["boost"] == 1.0
+
+
+def test_round3b_ops_on_empty(spark):
+    from iceberg_evaluation_spark.operators.bloom_dedup import (
+        bloom_prefiltered_anti_join,
+    )
+    from iceberg_evaluation_spark.operators.dsir import dsir_importance_weights
+    from iceberg_evaluation_spark.operators.keywords import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [], "doc_id bigint, source string, tgt boolean, text string"
+    )
+    assert tfidf_top_terms(docs, "text", "doc_id", "source").count() == 0
+    assert dsir_importance_weights(docs, "text", "doc_id", "tgt").count() == 0
+
+    fps = spark.createDataFrame([], "id bigint, fp string")
+    # empty incoming AND empty existing (all-zero filter) in both modes
+    for probe in ("literal", "pandas"):
+        out = bloom_prefiltered_anti_join(
+            fps, fps.select("fp"), "fp", num_bits=256, num_hashes=3, probe=probe
+        )
+        assert out.count() == 0
