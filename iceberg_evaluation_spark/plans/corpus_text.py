@@ -886,9 +886,14 @@ def shared_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     if hit is not None and hit[0] is spark:
         return hit[1]
     docs = load_table(spark, sf_dir, "documents")
-    edges = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).select(
-        "id_a", "id_b"
-    )
+    # df cap = q33's registered cap: bounds the candidate join at scale
+    # (a df-d stop-shingle alone is d² candidate rows). Values are
+    # provably unchanged below the cap — candidates are verified against
+    # full arrays, and this corpus's max shingle df is 25 — so q69/q90
+    # oracles are unaffected; measured identical pair sets at sf0.1.
+    edges = ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.5, max_shingle_df=100
+    ).select("id_a", "id_b")
     cc = connected_components(docs.select(F.col("doc_id").alias("id")), edges)
     out = cc.select(F.col("node").alias("doc_id"), "cluster")
     _NEARDUP_CC_CACHE[sf_dir] = (spark, out)
