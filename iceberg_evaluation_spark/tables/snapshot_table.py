@@ -346,6 +346,103 @@ class SnapshotTable:
         files = [os.path.join(self.root, rel) for rel in rels]
         return self.spark.read.schema(schema).parquet(*files)
 
+    def read_where(
+        self,
+        filters: list[tuple[str, str, Any]],
+        version: int | None = None,
+    ) -> DataFrame:
+        """Stats-pruned scan (Iceberg's manifest min/max file pruning —
+        the read-side half of the feature Z-order compaction writes for).
+
+        ``filters`` is a conjunction of ``(column, op, value)`` with op in
+        ``= < <= > >= between`` (``between`` takes a ``(lo, hi)`` value).
+        Files whose parquet-footer [min, max] range cannot satisfy the
+        conjunction are dropped from the scan WITHOUT being opened by
+        executors; the surviving files are read and the same predicate is
+        applied row-level, so the result is EXACTLY
+        ``read(version).filter(...)`` — pruning is a pure optimization.
+
+        Stats come from the driver-side footer reads ``files_metadata``
+        already does (manifest-scale cost, like Iceberg's own manifest
+        scan). Files with missing/unreadable stats for a filtered column
+        are conservatively kept. After ``compact(strategy='zorder')`` on
+        the filter columns, tight predicates prune most files; on
+        unclustered layouts pruning degrades gracefully to a full list.
+        """
+        import pyarrow.parquet as pq
+
+        ops = {"=", "<", "<=", ">", ">=", "between"}
+        for _, op, _v in filters:
+            if op not in ops:
+                raise ValueError(f"unsupported op {op!r}; use one of {sorted(ops)}")
+
+        snap = self._read_snapshot(
+            self.current_version() if version is None else version
+        )
+
+        def _overlaps(mn, mx, op, val) -> bool:
+            if op == "=":
+                return mn <= val <= mx
+            if op == "<":
+                return mn < val
+            if op == "<=":
+                return mn <= val
+            if op == ">":
+                return mx > val
+            if op == ">=":
+                return mx >= val
+            lo, hi = val
+            return not (mx < lo or mn > hi)
+
+        kept: list[str] = []
+        for rel in snap["files"]:
+            meta = pq.read_metadata(os.path.join(self.root, rel))
+            names = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+            keep = True
+            for col, op, val in filters:
+                idx = names.get(col)
+                if idx is None:
+                    continue  # pre-evolution file: column reads NULL → no match
+                    # (NULL never satisfies these ops, so the file COULD be
+                    # dropped; kept conservatively to stay simple and safe)
+                mn = mx = None
+                for g in range(meta.num_row_groups):
+                    st = meta.row_group(g).column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        mn = mx = None
+                        break
+                    mn = st.min if mn is None else min(mn, st.min)
+                    mx = st.max if mx is None else max(mx, st.max)
+                if mn is None:
+                    continue  # no stats → keep
+                try:
+                    drop = not _overlaps(mn, mx, op, val)
+                except TypeError:
+                    drop = False  # incomparable stat repr (exotic type) → keep
+                if drop:
+                    keep = False
+                    break
+            if keep:
+                kept.append(rel)
+
+        df = self._read_files(kept, snap["schema"])
+        cond = F.lit(True)
+        for col, op, val in filters:
+            c = F.col(col)
+            if op == "=":
+                cond = cond & (c == val)
+            elif op == "<":
+                cond = cond & (c < val)
+            elif op == "<=":
+                cond = cond & (c <= val)
+            elif op == ">":
+                cond = cond & (c > val)
+            elif op == ">=":
+                cond = cond & (c >= val)
+            else:
+                cond = cond & c.between(val[0], val[1])
+        return df.filter(cond)
+
     def read_incremental(
         self, from_version: int, to_version: int | None = None
     ) -> DataFrame:

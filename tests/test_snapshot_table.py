@@ -469,3 +469,83 @@ def test_files_metadata_matches_footers(spark, tmp_path):
     fm1 = t.files_metadata(version=1).collect()
     assert sum(r["record_count"] for r in fm1) == 100
     assert all(r["added_in_version"] == 1 for r in fm1)
+
+
+def test_read_where_exact_and_prunes_after_zorder(spark, tmp_path):
+    """Stats-pruned scan: (a) result == full scan + filter for every
+    supported op, on both clustered and unclustered layouts; (b) after a
+    Z-order rewrite on the filter columns a tight predicate opens a
+    strict subset of the files."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, float(i % 97), float((i * 31) % 89)) for i in range(20000)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    t = SnapshotTable(spark, str(tmp_path / "rw"))
+    t.create_or_replace(df, partitions=8)
+
+    cases = [
+        [("x", "=", 5.0)],
+        [("x", "<", 3.0)],
+        [("x", ">=", 90.0), ("y", "<=", 10.0)],
+        [("x", "between", (10.0, 12.0))],
+        [("id", ">", 19990)],
+    ]
+
+    def check_exact(table):
+        for filters in cases:
+            got = sorted(map(tuple, table.read_where(filters).collect()))
+            cond = F.lit(True)
+            for col, op, val in filters:
+                c = F.col(col)
+                cond = cond & (
+                    c.between(*val) if op == "between"
+                    else c == val if op == "="
+                    else c < val if op == "<"
+                    else c <= val if op == "<="
+                    else c > val if op == ">"
+                    else c >= val
+                )
+            want = sorted(map(tuple, table.read().filter(cond).collect()))
+            assert got == want, filters
+
+    check_exact(t)  # unclustered: correct, possibly unpruned
+
+    t.compact(strategy="zorder", zorder_by=["x", "y"], target_files=16)
+    check_exact(t)
+
+    n_total = len(t._read_snapshot(t.current_version())["files"])
+    # count files the pruner keeps for a tight x predicate
+    import pyarrow.parquet as pq
+    import os as _os
+
+    snap = t._read_snapshot(t.current_version())
+    kept = 0
+    for rel in snap["files"]:
+        meta = pq.read_metadata(_os.path.join(t.root, rel))
+        idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}["x"]
+        mns = [meta.row_group(g).column(idx).statistics.min for g in range(meta.num_row_groups)]
+        mxs = [meta.row_group(g).column(idx).statistics.max for g in range(meta.num_row_groups)]
+        if min(mns) <= 3.0 and max(mxs) >= 3.0:
+            kept += 1
+    assert kept < n_total  # the zorder layout makes x=3.0 prunable
+
+
+def test_read_where_conservative_on_evolved_schema(spark, tmp_path):
+    """Files written before add_column lack the column: read_where on the
+    new column must keep them (they read NULL, never matching) without
+    crashing, and must equal the row-level filter."""
+    t = SnapshotTable(spark, str(tmp_path / "ev"))
+    t.create_or_replace(spark.createDataFrame([(1,), (2,)], "id long"))
+    t.add_column("v", "long")
+    t.append(spark.createDataFrame([(3, 30), (4, 40)], "id long, v long"))
+    got = sorted(r["id"] for r in t.read_where([("v", ">=", 40)]).collect())
+    assert got == [4]
+
+
+def test_read_where_rejects_unknown_op(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "op"))
+    t.create_or_replace(spark.createDataFrame([(1,)], "id long"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.read_where([("id", "!=", 1)])
