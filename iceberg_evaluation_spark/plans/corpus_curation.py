@@ -578,3 +578,50 @@ def q87_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_snapshots).cast("int").alias("n_snapshots"),
         F.lit(pre).cast("bigint").alias("n_rows_pre_rollback"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q101: stats-pruned scan (Iceberg manifest min/max file pruning) — the
+#       READ-side half of q85's Z-order story, under the correctness
+#       gate. The table is created hash-scattered, Z-order-rewritten on
+#       (o_custkey, o_totalprice), then scanned through read_where with
+#       a two-sided custkey band + totalprice floor: footer stats prune
+#       files driver-side, the surviving files get the identical
+#       row-level predicate, and the oracle replays the same filter over
+#       the raw orders table — any pruning unsoundness (a dropped file
+#       that held matching rows) hash-fails. File-count assertions live
+#       in tests/test_snapshot_table.py (data-layout dependent, not
+#       cross-engine); the driver checks RESULT exactness.
+# ---------------------------------------------------------------------------
+@register(
+    "q101_stats_pruned_scan",
+    covers="table-layer S5 M8 P3 A1 P5",
+    oracle=f"""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       {sql_sum('o_totalprice')} AS price_sum
+FROM orders
+WHERE o_custkey BETWEEN 100 AND 400 AND o_totalprice >= 50000
+""",
+)
+def q101_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..tables.snapshot_table import SnapshotTable
+
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    table = SnapshotTable(spark, tempfile.mkdtemp(prefix="pruned_"))
+    table.create_or_replace(src, partitions=16)
+    table.compact(
+        strategy="zorder", zorder_by=["o_custkey", "o_totalprice"], target_files=8
+    )
+    pruned = table.read_where(
+        [("o_custkey", "between", (100, 400)), ("o_totalprice", ">=", 50000)]
+    )
+    return pruned.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        exact_sum(F.col("o_totalprice")).alias("price_sum"),
+    )
