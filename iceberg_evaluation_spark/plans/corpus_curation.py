@@ -625,3 +625,71 @@ def q101_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o_orderkey").cast("bigint").alias("key_sum"),
         exact_sum(F.col("o_totalprice")).alias("price_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q102: merge-on-read curation pipeline (Iceberg v2 write.merge.mode=
+#       merge-on-read) — the write-amplification answer to the
+#       reference's failing 3 TB SCD2 case (BASELINE.md: Glue COW merge
+#       rewrites every touched file; MOR writes only changed rows plus
+#       an equality-delete file). Two MOR merges run against the table
+#       (an update wave, then a delete wave); the oracle replays both
+#       waves over raw orders, and the emitted rewritten_files=0 pins
+#       that no data file was rewritten on the write path. Read-side
+#       equality-delete semantics (sequence numbers, post-image
+#       survival) are pinned by tests/test_merge_on_read.py.
+# ---------------------------------------------------------------------------
+@register(
+    "q102_merge_on_read_pipeline",
+    covers="M2 M5-shape table-layer S5 A1 P5",
+    oracle=f"""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN o_orderkey % 5 = 0 THEN o_custkey + 1000000
+                     ELSE o_custkey END) AS BIGINT) AS custkey_sum,
+       {sql_sum('o_totalprice')} AS price_sum,
+       0 AS rewritten_files
+FROM orders WHERE o_orderkey % 7 <> 0
+""",
+)
+def q102_merge_on_read_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..tables.snapshot_table import MergeClause, SnapshotTable
+
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    table = SnapshotTable(spark, tempfile.mkdtemp(prefix="mor_"))
+    table.create_or_replace(src, partitions=8)
+
+    updates = src.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+        "o_custkey", F.col("o_custkey") + 1000000
+    )
+    table.merge(
+        updates,
+        on=["o_orderkey"],
+        clause=MergeClause(matched_update={"o_custkey": "s.o_custkey"}),
+        mode="merge-on-read",
+    )
+    deletes = src.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey")
+    table.merge(
+        deletes,
+        on=["o_orderkey"],
+        clause=MergeClause(
+            matched_update=None,
+            matched_delete_condition="true",
+            insert_when_not_matched=False,
+        ),
+        mode="merge-on-read",
+    )
+    rewritten = sum(
+        s["summary"].get("rewritten_files", 0)
+        for s in table._snapshots()
+        if s["operation"] == "merge"
+    )
+    return table.read().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("o_custkey").cast("bigint").alias("custkey_sum"),
+        exact_sum(F.col("o_totalprice")).alias("price_sum"),
+        F.lit(rewritten).cast("int").alias("rewritten_files"),
+    )

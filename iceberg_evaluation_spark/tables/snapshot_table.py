@@ -140,7 +140,9 @@ class SnapshotTable:
         return out
 
     def _commit(self, files: list[str], operation: str, summary: dict[str, Any],
-                schema_json: str, expected_version: int | None = None) -> int:
+                schema_json: str, expected_version: int | None = None,
+                delete_files: list[dict[str, Any]] | None = None,
+                file_seqs: dict[str, int] | None = None) -> int:
         """Write the snapshot and flip the pointer.
 
         ``expected_version`` is the optimistic-concurrency guard
@@ -149,6 +151,17 @@ class SnapshotTable:
         read; if another writer committed meanwhile, the commit is
         rejected instead of silently clobbering the interleaved snapshot
         — the caller retries against fresh state.
+
+        Merge-on-read state (Iceberg v2 sequence-number model):
+        ``delete_files`` is a list of ``{"file", "seq", "keys"}`` —
+        equality-delete files whose keys kill data rows with a STRICTLY
+        LOWER sequence number; ``file_seqs`` maps carried data files to
+        the sequence they were first committed at. Data files absent
+        from ``file_seqs`` (i.e. written by THIS commit) and delete
+        entries with ``seq=None`` get this commit's version as their
+        sequence. Commits that pass neither publish a delete-free
+        snapshot (create/replace, compaction — which materializes
+        deletes through the MOR-aware read).
         """
         os.makedirs(self._snap_dir, exist_ok=True)
         current = self.current_version() if self.exists() else 0
@@ -158,6 +171,11 @@ class SnapshotTable:
                 f"computed against v{expected_version}; retry on fresh state"
             )
         version = current + 1
+        seqs = {rel: int((file_seqs or {}).get(rel, version)) for rel in files}
+        dels = [
+            {**d, "seq": version if d.get("seq") is None else int(d["seq"])}
+            for d in (delete_files or [])
+        ]
         snap = {
             "version": version,
             "timestamp_ms": int(time.time() * 1000),
@@ -165,6 +183,8 @@ class SnapshotTable:
             "files": files,  # paths relative to root
             "summary": summary,
             "schema": schema_json,
+            "file_seqs": seqs,
+            "delete_files": dels,
         }
         tmp = self._snapshot_path(version) + ".tmp"
         with open(tmp, "w") as f:
@@ -248,6 +268,8 @@ class SnapshotTable:
             {"added_files": len(files)},
             prev["schema"],
             expected_version=base,
+            delete_files=prev.get("delete_files"),
+            file_seqs=prev.get("file_seqs"),
         )
 
     # ------------------------------------------------------- schema evolution
@@ -294,6 +316,8 @@ class SnapshotTable:
             {"column": name, "type": dtype},
             schema.json(),
             expected_version=base,
+            delete_files=snap.get("delete_files"),
+            file_seqs=snap.get("file_seqs"),
         )
 
     def drop_column(self, name: str) -> int:
@@ -314,6 +338,8 @@ class SnapshotTable:
             {"column": name},
             kept.json(),
             expected_version=base,
+            delete_files=snap.get("delete_files"),
+            file_seqs=snap.get("file_seqs"),
         )
 
     # ------------------------------------------------------------------ reads
@@ -331,7 +357,68 @@ class SnapshotTable:
         if version is None:
             version = self.current_version()
         snap = self._read_snapshot(version)
-        return self._read_files(snap["files"], snap["schema"])
+        return self._read_snapshot_df(snap)
+
+    def _read_snapshot_df(
+        self,
+        snap: dict[str, Any],
+        only_files: list[str] | None = None,
+        with_file_col: str | None = None,
+    ) -> DataFrame:
+        """Merge-on-read scan of a snapshot (optionally restricted to a
+        file subset): data rows ride with their file's sequence number
+        and equality-delete keys kill rows of STRICTLY LOWER sequence —
+        rows written by the same commit as a delete survive it (they are
+        the post-image). Delete-free snapshots take the plain multi-file
+        scan (zero overhead — the dominant path).
+
+        ``with_file_col`` attaches each row's source file path under the
+        given name via the per-scan ``_metadata.file_path`` column —
+        attached scan-side because ``input_file_name()`` cannot cross
+        the union+anti-join a delete-bearing snapshot reads through."""
+
+        def _tag(df: DataFrame, empty: bool) -> DataFrame:
+            if with_file_col is None:
+                return df
+            if empty:
+                return df.withColumn(with_file_col, F.lit(None).cast("string"))
+            return df.select("*", F.col("_metadata.file_path").alias(with_file_col))
+
+        rels = snap["files"] if only_files is None else only_files
+        dels = snap.get("delete_files") or []
+        if not dels:
+            return _tag(self._read_files(rels, snap["schema"]), empty=not rels)
+        seqs = snap.get("file_seqs") or {}
+        groups: dict[int, list[str]] = {}
+        for rel in rels:
+            groups.setdefault(int(seqs.get(rel, 0)), []).append(rel)
+        data = None
+        for seq in sorted(groups):
+            part = _tag(
+                self._read_files(groups[seq], snap["schema"]), empty=False
+            ).withColumn("__seq", F.lit(seq))
+            data = part if data is None else data.unionByName(part)
+        if data is None:
+            return _tag(self._read_files([], snap["schema"]), empty=True)
+        # one anti join per distinct delete-key set (merges on different
+        # keys produce differently-shaped delete files)
+        by_keys: dict[tuple[str, ...], list[dict[str, Any]]] = {}
+        for d in dels:
+            by_keys.setdefault(tuple(d["keys"]), []).append(d)
+        for keys, group in by_keys.items():
+            ddf = None
+            for d in group:
+                p = (
+                    self.spark.read.parquet(os.path.join(self.root, d["file"]))
+                    .select(*[F.col(k).alias(f"__d_{k}") for k in keys])
+                    .withColumn("__dseq", F.lit(int(d["seq"])))
+                )
+                ddf = p if ddf is None else ddf.unionByName(p)
+            cond = F.col("__seq") < F.col("__dseq")
+            for k in keys:
+                cond = cond & F.col(k).eqNullSafe(F.col(f"__d_{k}"))
+            data = data.join(ddf, cond, "left_anti")
+        return data.drop("__seq")
 
     def _read_files(self, rels: list[str], schema_json: str) -> DataFrame:
         """Scan data files under the SNAPSHOT's schema (Iceberg-style
@@ -425,7 +512,9 @@ class SnapshotTable:
             if keep:
                 kept.append(rel)
 
-        df = self._read_files(kept, snap["schema"])
+        # route through the MOR-aware scan: stats pruning only shrinks the
+        # data-file list; live equality-deletes must still apply
+        df = self._read_snapshot_df(snap, only_files=kept)
         cond = F.lit(True)
         for col, op, val in filters:
             c = F.col(col)
@@ -542,8 +631,9 @@ class SnapshotTable:
         on: list[str],
         clause: MergeClause,
         validate_source_unique: bool = True,
+        mode: str = "copy-on-write",
     ) -> int:
-        """MERGE INTO with copy-on-write file pruning.
+        """MERGE INTO with file pruning; copy-on-write or merge-on-read.
 
         Semantics mirror Iceberg/Spark ``MERGE INTO`` (reference
         pyspark_functions.py:119-135, athena_functions.py:230-303; the
@@ -554,11 +644,24 @@ class SnapshotTable:
         - NOT MATCHED (+ condition) → insert
         - duplicate source keys raise (Spark/Iceberg merge cardinality
           rule; SURVEY §7 "genuinely hard" #1)
+
+        ``mode='copy-on-write'`` (default, Iceberg ``write.merge.mode``)
+        rewrites every file containing a matched key — read-optimal.
+        ``mode='merge-on-read'`` writes only the CHANGED rows plus an
+        equality-delete file (key columns; Iceberg v2 sequence-number
+        semantics: a delete kills rows of strictly lower sequence, so
+        the post-image rows committed alongside it survive). Write
+        amplification drops from rows-per-touched-file to rows-changed —
+        the mode that keeps the reference's failing 3 TB SCD2 case
+        writable — at the cost of an anti join on read until
+        ``compact()`` materializes the deletes. Both modes produce
+        byte-identical table contents (pinned in tests).
         """
+        if mode not in ("copy-on-write", "merge-on-read"):
+            raise ValueError(f"unknown merge mode {mode!r}")
         base_version = self.current_version()  # optimistic-concurrency basis
-        target_all = self.read(version=base_version).withColumn(
-            "__file", F.input_file_name()
-        )
+        prev = self._read_snapshot(base_version)
+        target_all = self._read_snapshot_df(prev, with_file_col="__file")
         src = source
 
         if validate_source_unique:
@@ -600,15 +703,40 @@ class SnapshotTable:
             return "data/" + uri[idx + len(marker):] if idx >= 0 else uri
 
         touched_set = {_to_rel(r["__file"]) for r in touched_rows}
-        prev = self._read_snapshot(base_version)
         untouched_rel = [rel for rel in prev["files"] if rel not in touched_set]
         touched_rel = [rel for rel in prev["files"] if rel in touched_set]
 
+        # touched files are read MOR-aware: raw bytes may contain rows an
+        # earlier merge-on-read delete already killed — matching (or
+        # rewriting) those would resurrect them
         if touched_rel:
-            touched_abs = [os.path.join(self.root, rel) for rel in touched_rel]
-            target_touched = self.spark.read.parquet(*touched_abs)
+            target_touched = self._read_snapshot_df(prev, only_files=touched_rel)
         else:
-            target_touched = self.read().limit(0)
+            target_touched = self.read(version=base_version).limit(0)
+
+        if mode == "merge-on-read":
+            delete_keys, new_rows = self._apply_merge_mor(
+                target_touched, src, on, clause
+            )
+            del_files = self._write_files(delete_keys)
+            new_files = self._write_files(new_rows)
+            carried_dels = list(prev.get("delete_files") or [])
+            new_dels = [{"file": rel, "seq": None, "keys": list(on)} for rel in del_files]
+            return self._commit(
+                prev["files"] + new_files,
+                "merge",
+                {
+                    "mode": "merge-on-read",
+                    "rewritten_files": 0,
+                    "carried_files": len(prev["files"]),
+                    "added_files": len(new_files),
+                    "added_delete_files": len(del_files),
+                },
+                prev["schema"],
+                expected_version=base_version,
+                delete_files=carried_dels + new_dels,
+                file_seqs=prev.get("file_seqs"),
+            )
 
         merged = self._apply_merge(target_touched, src, on, clause)
 
@@ -623,8 +751,76 @@ class SnapshotTable:
             },
             prev["schema"],
             expected_version=base_version,
+            # carried UNTOUCHED files may still have live equality-deletes
+            # against them; rewritten files take this commit's sequence,
+            # putting them out of every existing delete's reach
+            delete_files=prev.get("delete_files"),
+            file_seqs=prev.get("file_seqs"),
         )
         return version
+
+    def _apply_merge_mor(
+        self, target: DataFrame, source: DataFrame, on: list[str], clause: MergeClause
+    ) -> tuple[DataFrame, DataFrame]:
+        """Merge-on-read delta: ``(delete_keys, new_rows)``.
+
+        Same clause semantics as :meth:`_apply_merge`, expressed as a
+        delta instead of a rewrite: every matched row that is deleted OR
+        updated contributes its key to the equality-delete frame; the
+        update post-images and the inserts are the new data rows. Rows
+        that match nothing are never read into the output — that is the
+        write-amplification win.
+        """
+        t_cols = target.columns
+        t = target.withColumn("__t_present", F.lit(True)).alias("t")
+        s = source.withColumn("__s_present", F.lit(True)).alias("s")
+        cond = None
+        for k in on:
+            c = F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+            cond = c if cond is None else (cond & c)
+        joined = t.join(s, cond, "full_outer")
+        has_t = F.col("t.__t_present").isNotNull()
+        has_s = F.col("s.__s_present").isNotNull()
+
+        matched = has_t & has_s
+        delete_cond = (
+            matched & F.expr(clause.matched_delete_condition)
+            if clause.matched_delete_condition
+            else F.lit(False)
+        )
+        if clause.matched_update is None:
+            update_cond = F.lit(False)
+        else:
+            update_cond = matched & ~delete_cond
+            if clause.matched_update_condition:
+                update_cond = update_cond & F.expr(clause.matched_update_condition)
+
+        insert_cond = (~has_t) & has_s
+        if clause.insert_condition:
+            insert_cond = insert_cond & F.expr(clause.insert_condition)
+        if not clause.insert_when_not_matched:
+            insert_cond = F.lit(False)
+
+        delete_keys = joined.filter(delete_cond | update_cond).select(
+            *[F.col(f"t.{k}").alias(k) for k in on]
+        )
+        out_cols = []
+        for c in t_cols:
+            upd = (
+                F.expr(clause.matched_update[c])
+                if clause.matched_update and c in clause.matched_update
+                else F.col(f"t.{c}")
+            )
+            ins_src = (
+                F.expr(clause.insert_values[c])
+                if clause.insert_values and c in clause.insert_values
+                else (F.col(f"s.{c}") if c in source.columns else F.lit(None))
+            )
+            out_cols.append(
+                F.when(update_cond, upd).otherwise(ins_src).alias(c)
+            )
+        new_rows = joined.filter(update_cond | insert_cond).select(*out_cols)
+        return delete_keys, new_rows
 
     def _apply_merge(
         self, target: DataFrame, source: DataFrame, on: list[str], clause: MergeClause
@@ -811,6 +1007,8 @@ class SnapshotTable:
             {"to_version": version},
             snap["schema"],
             expected_version=base,
+            delete_files=snap.get("delete_files"),
+            file_seqs=snap.get("file_seqs"),
         )
 
     def remove_orphan_files(self, older_than_ms: int | None = None) -> int:
@@ -829,6 +1027,9 @@ class SnapshotTable:
         if older_than_ms is None:
             older_than_ms = int(time.time() * 1000) - 10 * 60 * 1000
         referenced = {rel for s in self._snapshots() for rel in s["files"]}
+        referenced |= {
+            d["file"] for s in self._snapshots() for d in s.get("delete_files") or []
+        }
         removed = 0
         if not os.path.isdir(self._data_dir):
             return 0
@@ -858,9 +1059,15 @@ class SnapshotTable:
         keep = snaps[-keep_last:]
         drop = snaps[:-keep_last]
         referenced = {rel for s in keep for rel in s["files"]}
+        referenced |= {
+            d["file"] for s in keep for d in s.get("delete_files") or []
+        }
         removed = 0
         for s in drop:
-            for rel in s["files"]:
+            dead = list(s["files"]) + [
+                d["file"] for d in s.get("delete_files") or []
+            ]
+            for rel in dead:
                 if rel not in referenced:
                     path = os.path.join(self.root, rel)
                     if os.path.exists(path):

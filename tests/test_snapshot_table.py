@@ -399,11 +399,13 @@ def test_append_concurrent_commit_rejected(spark, tmp_path):
 
     interleaved = {"done": False}
 
-    def racing_commit(self, files, operation, summary, schema_json, expected_version=None):
+    def racing_commit(self, files, operation, summary, schema_json,
+                      expected_version=None, **kwargs):
         if not interleaved["done"] and operation == "append":
             interleaved["done"] = True
             b.append(spark.range(10, 15).toDF("id"))
-        return orig_commit(self, files, operation, summary, schema_json, expected_version)
+        return orig_commit(self, files, operation, summary, schema_json,
+                           expected_version, **kwargs)
 
     SnapshotTable._commit = racing_commit
     try:
