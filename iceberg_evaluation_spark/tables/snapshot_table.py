@@ -718,7 +718,11 @@ class SnapshotTable:
             delete_keys, new_rows = self._apply_merge_mor(
                 target_touched, src, on, clause
             )
-            del_files = self._write_files(delete_keys)
+            # delete keys are tiny next to the data they replace a rewrite
+            # of; coalesce (no shuffle) so a merge adds a handful of delete
+            # files, not one per join partition — each delete file is a
+            # separate scan on every subsequent read until compaction
+            del_files = self._write_files(delete_keys.coalesce(4))
             new_files = self._write_files(new_rows)
             carried_dels = list(prev.get("delete_files") or [])
             new_dels = [{"file": rel, "seq": None, "keys": list(on)} for rel in del_files]
