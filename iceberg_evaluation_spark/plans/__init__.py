@@ -85,10 +85,10 @@ _registry.PRIORITY[:] = [
     "q96_stratified_sample",
     "q97_budget_selection",
 ]
-# q98-q102 (bloom dedup / tf-idf / DSIR / stats-pruned scan / merge-on-read,
-# all new this round) don't fit the 50-slot window — it is exactly full with
-# the rotation above. All five are locally verified (strict oracle parity at
-# sf0.01 + vanilla-driver replica + property/unit tests) and are the first
-# candidates for round 4's window.
+# q98-q103 (bloom dedup / tf-idf / DSIR / stats-pruned scan / merge-on-read /
+# partitioned tables, all new this round) don't fit the 50-slot window — it
+# is exactly full with the rotation above. All six are locally verified
+# (strict oracle parity at sf0.01 + vanilla-driver replica + property/unit
+# tests) and are the first candidates for round 4's window.
 
 __all__ = ["Query", "REGISTRY", "register", "all_queries", "all_oracles"]

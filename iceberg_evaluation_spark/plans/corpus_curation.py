@@ -693,3 +693,48 @@ def q102_merge_on_read_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_sum(F.col("o_totalprice")).alias("price_sum"),
         F.lit(rewritten).cast("int").alias("rewritten_files"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q103: identity-partitioned snapshot table (the reference's tables
+#       partition on a date key — utils/metadata/store_sales.json:
+#       105-107). Orders are CTAS'd partitioned by order year; the
+#       scan-back goes through read_where, whose manifest partition
+#       pruning restricts the file list to the one year directory
+#       WITHOUT footer reads, then applies the same predicate row-level.
+#       Oracle replays the filter over raw orders — any pruning
+#       unsoundness or partition-value round-trip error (NULL dirs,
+#       typed parse) hash-fails. Layout/pruning internals are pinned by
+#       tests/test_partitioned_table.py.
+# ---------------------------------------------------------------------------
+@register(
+    "q103_partitioned_table_scan",
+    covers="table-layer S5 S6 P3 A1 P5",
+    oracle=f"""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(o_custkey) AS BIGINT) AS custkey_sum,
+       {sql_sum('o_totalprice')} AS price_sum,
+       CAST(min(o_orderdate) AS DATE) AS first_date
+FROM orders
+WHERE EXTRACT(year FROM o_orderdate) = 1994 AND o_totalprice >= 1000
+""",
+)
+def q103_partitioned_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..tables.snapshot_table import SnapshotTable
+
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    ).withColumn("o_year", F.year("o_orderdate"))
+    table = SnapshotTable(spark, tempfile.mkdtemp(prefix="part_"))
+    table.create_or_replace(src, partitions=2, partition_by=["o_year"])
+    pruned = table.read_where(
+        [("o_year", "=", 1994), ("o_totalprice", ">=", 1000)]
+    )
+    return pruned.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("o_custkey").cast("bigint").alias("custkey_sum"),
+        exact_sum(F.col("o_totalprice")).alias("price_sum"),
+        F.min("o_orderdate").alias("first_date"),
+    )

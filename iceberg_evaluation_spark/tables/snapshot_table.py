@@ -142,7 +142,8 @@ class SnapshotTable:
     def _commit(self, files: list[str], operation: str, summary: dict[str, Any],
                 schema_json: str, expected_version: int | None = None,
                 delete_files: list[dict[str, Any]] | None = None,
-                file_seqs: dict[str, int] | None = None) -> int:
+                file_seqs: dict[str, int] | None = None,
+                partition_by: list[str] | None = None) -> int:
         """Write the snapshot and flip the pointer.
 
         ``expected_version`` is the optimistic-concurrency guard
@@ -185,6 +186,7 @@ class SnapshotTable:
             "schema": schema_json,
             "file_seqs": seqs,
             "delete_files": dels,
+            "partition_by": list(partition_by or []),
         }
         tmp = self._snapshot_path(version) + ".tmp"
         with open(tmp, "w") as f:
@@ -197,27 +199,59 @@ class SnapshotTable:
         return version
 
     # ------------------------------------------------------------ data files
-    def _write_files(self, df: DataFrame, target_partitions: int | None = None) -> list[str]:
+    def _write_files(
+        self,
+        df: DataFrame,
+        target_partitions: int | None = None,
+        partition_by: list[str] | None = None,
+    ) -> list[str]:
         commit_dir = f"commit-{uuid.uuid4().hex[:12]}"
         out_path = os.path.join(self._data_dir, commit_dir)
-        writer = df if target_partitions is None else df.repartition(target_partitions)
-        writer.write.mode("overwrite").parquet(out_path)
+        if partition_by:
+            # co-locate rows of a partition before the partitioned write so
+            # each task emits files for few partition values, not all
+            writer = (
+                df.repartition(target_partitions, *partition_by)
+                if target_partitions is not None
+                else df.repartition(*partition_by)
+            ).write.partitionBy(*partition_by)
+        else:
+            w = df if target_partitions is None else df.repartition(target_partitions)
+            writer = w.write
+        writer.mode("overwrite").parquet(out_path)
         rels = []
-        for name in sorted(os.listdir(out_path)):
-            if name.endswith(".parquet"):
-                rels.append(os.path.join("data", commit_dir, name))
-        return rels
+        for dirpath, _, names in os.walk(out_path):
+            for name in names:
+                if name.endswith(".parquet"):
+                    rels.append(
+                        os.path.relpath(os.path.join(dirpath, name), self.root)
+                    )
+        return sorted(rels)
 
     def _abs_files(self, snap: dict[str, Any]) -> list[str]:
         return [os.path.join(self.root, rel) for rel in snap["files"]]
 
     # ----------------------------------------------------------------- writes
-    def create_or_replace(self, df: DataFrame, partitions: int | None = None) -> int:
+    def create_or_replace(
+        self,
+        df: DataFrame,
+        partitions: int | None = None,
+        partition_by: list[str] | None = None,
+    ) -> int:
         """CTAS / bulk-load (reference ``writeTo(...).createOrReplace()``,
-        pyspark_functions.py:30)."""
-        files = self._write_files(df, partitions)
+        pyspark_functions.py:30). ``partition_by`` declares identity
+        partitioning (the reference's tables partition on a date key,
+        ``utils/metadata/store_sales.json:105-107``): data lands under
+        ``k=v`` directories, the partition values ride in the manifest,
+        and partition predicates prune files without touching footers."""
+        if partition_by:
+            missing = [c for c in partition_by if c not in df.columns]
+            if missing:
+                raise ValueError(f"partition_by columns {missing} not in frame")
+        files = self._write_files(df, partitions, partition_by=partition_by)
         return self._commit(
-            files, "create_or_replace", {"added_files": len(files)}, df.schema.json()
+            files, "create_or_replace", {"added_files": len(files)}, df.schema.json(),
+            partition_by=partition_by
         )
 
     def append(self, df: DataFrame) -> int:
@@ -258,7 +292,9 @@ class SnapshotTable:
                 for f in schema.fields
             ]
         )
-        files = self._write_files(aligned)
+        files = self._write_files(
+            aligned, partition_by=prev.get("partition_by") or None
+        )
         # expected_version guards the read-modify-write on prev["files"]:
         # without it a concurrent append's files would be silently dropped
         # from the union this commit publishes.
@@ -270,6 +306,7 @@ class SnapshotTable:
             expected_version=base,
             delete_files=prev.get("delete_files"),
             file_seqs=prev.get("file_seqs"),
+            partition_by=prev.get("partition_by"),
         )
 
     # ------------------------------------------------------- schema evolution
@@ -318,6 +355,7 @@ class SnapshotTable:
             expected_version=base,
             delete_files=snap.get("delete_files"),
             file_seqs=snap.get("file_seqs"),
+            partition_by=snap.get("partition_by"),
         )
 
     def drop_column(self, name: str) -> int:
@@ -331,6 +369,11 @@ class SnapshotTable:
         schema = StructType.fromJson(json.loads(snap["schema"]))
         if name not in schema.fieldNames():
             raise ValueError(f"column {name!r} does not exist")
+        if name in (snap.get("partition_by") or []):
+            raise ValueError(
+                f"column {name!r} is a partition column; repartition the "
+                "table (create_or_replace) before dropping it"
+            )
         kept = StructType([f for f in schema.fields if f.name != name])
         return self._commit(
             snap["files"],
@@ -340,6 +383,7 @@ class SnapshotTable:
             expected_version=base,
             delete_files=snap.get("delete_files"),
             file_seqs=snap.get("file_seqs"),
+            partition_by=snap.get("partition_by"),
         )
 
     # ------------------------------------------------------------------ reads
@@ -420,18 +464,54 @@ class SnapshotTable:
             data = data.join(ddf, cond, "left_anti")
         return data.drop("__seq")
 
+    @staticmethod
+    def _is_partitioned_rel(rel: str) -> bool:
+        """A file written by a ``partitionBy`` commit sits under k=v dirs."""
+        return any("=" in seg for seg in rel.split(os.sep)[:-1])
+
     def _read_files(self, rels: list[str], schema_json: str) -> DataFrame:
         """Scan data files under the SNAPSHOT's schema (Iceberg-style
         schema projection): files written before an ``add_column`` lack
         the column and read as NULL; columns dropped from the schema are
-        projected away even though the bytes remain in old files."""
+        projected away even though the bytes remain in old files.
+
+        Directory-partitioned commits (``data/commit-x/k=v/…``) read with
+        ``basePath`` per commit dir so Spark reconstructs the partition
+        columns under the declared schema; each partitioned commit is its
+        own scan (basePath cannot span commit dirs), plain files stay one
+        multi-file scan. Unpartitioned commits of a partitioned table
+        (merge deltas) carry the partition columns IN the files, so both
+        layouts read under the same schema."""
         from pyspark.sql.types import StructType
 
         schema = StructType.fromJson(json.loads(schema_json))
         if not rels:
             return self.spark.createDataFrame([], schema)
-        files = [os.path.join(self.root, rel) for rel in rels]
-        return self.spark.read.schema(schema).parquet(*files)
+        cols = schema.fieldNames()
+        plain: list[str] = []
+        by_commit: dict[str, list[str]] = {}
+        for rel in rels:
+            if self._is_partitioned_rel(rel):
+                commit = os.sep.join(rel.split(os.sep)[:2])  # data/commit-x
+                by_commit.setdefault(commit, []).append(rel)
+            else:
+                plain.append(rel)
+        parts: list[DataFrame] = []
+        if plain:
+            files = [os.path.join(self.root, rel) for rel in plain]
+            parts.append(self.spark.read.schema(schema).parquet(*files))
+        for commit, group in sorted(by_commit.items()):
+            files = [os.path.join(self.root, rel) for rel in group]
+            parts.append(
+                self.spark.read.schema(schema)
+                .option("basePath", os.path.join(self.root, commit))
+                .parquet(*files)
+                .select(*cols)  # partition cols surface last; restore order
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def read_where(
         self,
@@ -481,12 +561,62 @@ class SnapshotTable:
             lo, hi = val
             return not (mx < lo or mn > hi)
 
+        part_by = snap.get("partition_by") or []
+        part_types: dict[str, str] = {}
+        if part_by:
+            from pyspark.sql.types import StructType
+
+            sch = StructType.fromJson(json.loads(snap["schema"]))
+            part_types = {
+                f.name: f.dataType.simpleString() for f in sch.fields
+                if f.name in part_by
+            }
+
+        def _partition_value(rel: str, col: str):
+            """(found, typed_value) for a dir-partitioned file's column."""
+            for seg in rel.split(os.sep)[:-1]:
+                if seg.startswith(f"{col}="):
+                    raw = seg[len(col) + 1:]
+                    if raw == "__HIVE_DEFAULT_PARTITION__":
+                        return True, None
+                    t = part_types.get(col, "string")
+                    try:
+                        if t in ("tinyint", "smallint", "int", "bigint"):
+                            return True, int(raw)
+                        if t in ("float", "double") or t.startswith("decimal"):
+                            return True, float(raw)
+                    except ValueError:
+                        return False, None
+                    return True, raw  # string-compare (dates sort lexically)
+            return False, None
+
         kept: list[str] = []
         for rel in snap["files"]:
-            meta = pq.read_metadata(os.path.join(self.root, rel))
-            names = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
             keep = True
+            meta = names = None  # footer loaded lazily — pruned files skip it
             for col, op, val in filters:
+                # manifest-style partition pruning: a dir-partitioned file
+                # holds exactly one value of each partition column — no
+                # footer read needed, and a NULL partition never matches
+                if col in part_by and self._is_partitioned_rel(rel):
+                    found, pv = _partition_value(rel, col)
+                    if found:
+                        if pv is None:
+                            keep = False
+                            break
+                        try:
+                            if not _overlaps(pv, pv, op, val):
+                                keep = False
+                                break
+                        except TypeError:
+                            pass  # incomparable → fall through to keep
+                        continue
+                if meta is None:
+                    meta = pq.read_metadata(os.path.join(self.root, rel))
+                    names = {
+                        meta.schema.column(i).name: i
+                        for i in range(meta.num_columns)
+                    }
                 idx = names.get(col)
                 if idx is None:
                     continue  # pre-evolution file: column reads NULL → no match
@@ -740,6 +870,7 @@ class SnapshotTable:
                 expected_version=base_version,
                 delete_files=carried_dels + new_dels,
                 file_seqs=prev.get("file_seqs"),
+                partition_by=prev.get("partition_by"),
             )
 
         merged = self._apply_merge(target_touched, src, on, clause)
@@ -760,6 +891,10 @@ class SnapshotTable:
             # putting them out of every existing delete's reach
             delete_files=prev.get("delete_files"),
             file_seqs=prev.get("file_seqs"),
+            # merge deltas write unpartitioned (the partition columns ride
+            # IN the files — same read schema, footer-stats prunable);
+            # compact() restores the directory layout
+            partition_by=prev.get("partition_by"),
         )
         return version
 
@@ -926,9 +1061,16 @@ class SnapshotTable:
             "strategy": strategy,
             "rewritten": len(snap["files"]),
         }
+        part_by = snap.get("partition_by") or None
         if strategy == "zorder":
             if not zorder_by:
                 raise ValueError("strategy='zorder' requires zorder_by columns")
+            if part_by:
+                raise ValueError(
+                    "zorder compaction of a partitioned table is not "
+                    "supported — binpack preserves the partition layout; "
+                    "use zorder on unpartitioned tables"
+                )
             zkey = self._zvalue(df, zorder_by, zorder_bits)
             arranged = (
                 df.withColumn("__z", zkey)
@@ -939,7 +1081,7 @@ class SnapshotTable:
             files = self._write_files(arranged)
             summary["zorder_by"] = list(zorder_by)
         elif strategy == "binpack":
-            files = self._write_files(df, target_partitions=n)
+            files = self._write_files(df, target_partitions=n, partition_by=part_by)
         else:
             raise ValueError(f"unknown compaction strategy {strategy!r}")
         summary["added"] = len(files)
@@ -949,6 +1091,7 @@ class SnapshotTable:
             summary,
             snap["schema"],
             expected_version=base_version,
+            partition_by=part_by,
         )
 
     @staticmethod
@@ -1013,6 +1156,7 @@ class SnapshotTable:
             expected_version=base,
             delete_files=snap.get("delete_files"),
             file_seqs=snap.get("file_seqs"),
+            partition_by=snap.get("partition_by"),
         )
 
     def remove_orphan_files(self, older_than_ms: int | None = None) -> int:
