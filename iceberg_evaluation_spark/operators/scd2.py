@@ -67,6 +67,7 @@ def scd2_simple(
     updates: DataFrame,
     keys: list[str] | None = None,
     ts_col: str = "extraction_timestamp",
+    mode: str = "copy-on-write",
 ) -> int:
     """M2: single in-order delta batch (reference pyspark_functions.py:40-137).
 
@@ -101,7 +102,10 @@ def scd2_simple(
     # last-write-wins semantics instead of silently keeping stale data
     update_all = {c: f"s.{c}" for c in new_rows.columns if c not in keys + [ts_col]}
     return table.merge(
-        source, on=keys + [ts_col], clause=MergeClause(matched_update=update_all)
+        source,
+        on=keys + [ts_col],
+        clause=MergeClause(matched_update=update_all),
+        mode=mode,
     )
 
 
@@ -110,6 +114,7 @@ def scd2_complex(
     updates: DataFrame,
     keys: list[str] | None = None,
     ts_col: str = "extraction_timestamp",
+    mode: str = "copy-on-write",
 ) -> int:
     """M3: multiple and/or late-arriving updates per key
     (reference pyspark_functions.py:142-251).
@@ -150,7 +155,10 @@ def scd2_complex(
     # for interval re-slicing plus last-write-wins on re-delivered versions
     update_all = {c: f"s.{c}" for c in t2.columns if c not in keys + [ts_col]}
     return table.merge(
-        t2, on=keys + [ts_col], clause=MergeClause(matched_update=update_all)
+        t2,
+        on=keys + [ts_col],
+        clause=MergeClause(matched_update=update_all),
+        mode=mode,
     )
 
 
@@ -172,6 +180,7 @@ def merge_delete_aware(
     keys: list[str],
     deleted_col: str = "record_deleted",
     changed_condition: str | None = None,
+    mode: str = "copy-on-write",
 ) -> int:
     """M5: delete-aware conditional MERGE (reference notebook cell 26):
     MATCHED AND s.deleted → DELETE; MATCHED [AND changed] → UPDATE all
@@ -188,6 +197,7 @@ def merge_delete_aware(
             insert_when_not_matched=True,
             insert_condition=f"NOT s.{deleted_col}",
         ),
+        mode=mode,
     )
 
 

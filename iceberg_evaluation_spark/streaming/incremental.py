@@ -32,6 +32,7 @@ def scd2_stream(
     ts_col: str = "extraction_timestamp",
     checkpoint_dir: str | None = None,
     trigger_seconds: int | None = None,
+    mode: str = "copy-on-write",
 ) -> StreamingQuery:
     """Apply SCD2-complex maintenance continuously from a streaming source.
 
@@ -45,7 +46,7 @@ def scd2_stream(
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        scd2_complex(table, batch_df, keys=keys, ts_col=ts_col)
+        scd2_complex(table, batch_df, keys=keys, ts_col=ts_col, mode=mode)
 
     writer = source.writeStream.foreachBatch(apply_batch).outputMode("update")
     if checkpoint_dir:

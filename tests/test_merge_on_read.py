@@ -201,3 +201,33 @@ def test_mor_equals_cow_randomized_sequences(spark, tmp_path):
                 live[k] = v  # ...an unmatched negative still INSERTS
         want = sorted(live.items())
         assert _rows(mor.read()) == _rows(cow.read()) == want, f"step {step}"
+
+
+def test_scd2_complex_mor_matches_golden_sequence(spark, tmp_path):
+    """The golden SCD2 fixture sequence (full load + 3 CDC batches incl.
+    the late arrival) applied through scd2_complex entirely in
+    merge-on-read mode must land on the same hand-written expected
+    table as the copy-on-write pipeline."""
+    from iceberg_evaluation_spark.operators.scd2 import bulk_insert, scd2_complex
+    from tests.test_scd2 import EXPECTED_U3, _actual, _df, TS
+
+    mor = SnapshotTable(spark, str(tmp_path / "mor"))
+    full = _df(
+        spark,
+        [("A", 1, TS("2022-01-01 00:00:00"), None),
+         ("B", 1, TS("2022-01-01 00:00:00"), None)],
+    )
+    bulk_insert(mor, full)
+    for rows in (
+        [("A", 3, TS("2022-03-01 00:00:00"), "U")],
+        [("C", 4, TS("2022-04-01 00:00:00"), "I")],
+        [("A", 2, TS("2022-02-01 00:00:00"), "U")],  # late arrival
+    ):
+        scd2_complex(mor, _df(spark, rows), mode="merge-on-read")
+    assert _actual(mor) == EXPECTED_U3
+    # the whole history was maintained without a single file rewrite
+    assert all(
+        s["summary"].get("rewritten_files", 0) == 0
+        for s in mor._snapshots()
+        if s["operation"] == "merge"
+    )
