@@ -714,9 +714,9 @@ def q102_merge_on_read_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum(o_custkey) AS BIGINT) AS custkey_sum,
        {sql_sum('o_totalprice')} AS price_sum,
-       CAST(min(o_orderdate) AS DATE) AS first_date
+       min(o_orderdate) AS first_date
 FROM orders
-WHERE EXTRACT(year FROM o_orderdate) = 1994 AND o_totalprice >= 1000
+WHERE EXTRACT(year FROM o_orderdate) = 1997 AND o_totalprice >= 1000
 """,
 )
 def q103_partitioned_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -730,7 +730,7 @@ def q103_partitioned_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = SnapshotTable(spark, tempfile.mkdtemp(prefix="part_"))
     table.create_or_replace(src, partitions=2, partition_by=["o_year"])
     pruned = table.read_where(
-        [("o_year", "=", 1994), ("o_totalprice", ">=", 1000)]
+        [("o_year", "=", 1997), ("o_totalprice", ">=", 1000)]
     )
     return pruned.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),

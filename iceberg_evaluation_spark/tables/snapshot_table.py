@@ -417,33 +417,25 @@ class SnapshotTable:
         scan (zero overhead — the dominant path).
 
         ``with_file_col`` attaches each row's source file path under the
-        given name via the per-scan ``_metadata.file_path`` column —
-        attached scan-side because ``input_file_name()`` cannot cross
-        the union+anti-join a delete-bearing snapshot reads through."""
-
-        def _tag(df: DataFrame, empty: bool) -> DataFrame:
-            if with_file_col is None:
-                return df
-            if empty:
-                return df.withColumn(with_file_col, F.lit(None).cast("string"))
-            return df.select("*", F.col("_metadata.file_path").alias(with_file_col))
-
+        given name (scan-side ``_metadata.file_path`` inside
+        ``_read_files`` — neither ``input_file_name()`` nor the metadata
+        column can be resolved above the unions these reads build)."""
         rels = snap["files"] if only_files is None else only_files
         dels = snap.get("delete_files") or []
         if not dels:
-            return _tag(self._read_files(rels, snap["schema"]), empty=not rels)
+            return self._read_files(rels, snap["schema"], file_col=with_file_col)
         seqs = snap.get("file_seqs") or {}
         groups: dict[int, list[str]] = {}
         for rel in rels:
             groups.setdefault(int(seqs.get(rel, 0)), []).append(rel)
         data = None
         for seq in sorted(groups):
-            part = _tag(
-                self._read_files(groups[seq], snap["schema"]), empty=False
+            part = self._read_files(
+                groups[seq], snap["schema"], file_col=with_file_col
             ).withColumn("__seq", F.lit(seq))
             data = part if data is None else data.unionByName(part)
         if data is None:
-            return _tag(self._read_files([], snap["schema"]), empty=True)
+            return self._read_files([], snap["schema"], file_col=with_file_col)
         # one anti join per distinct delete-key set (merges on different
         # keys produce differently-shaped delete files)
         by_keys: dict[tuple[str, ...], list[dict[str, Any]]] = {}
@@ -469,7 +461,9 @@ class SnapshotTable:
         """A file written by a ``partitionBy`` commit sits under k=v dirs."""
         return any("=" in seg for seg in rel.split(os.sep)[:-1])
 
-    def _read_files(self, rels: list[str], schema_json: str) -> DataFrame:
+    def _read_files(
+        self, rels: list[str], schema_json: str, file_col: str | None = None
+    ) -> DataFrame:
         """Scan data files under the SNAPSHOT's schema (Iceberg-style
         schema projection): files written before an ``add_column`` lack
         the column and read as NULL; columns dropped from the schema are
@@ -481,13 +475,23 @@ class SnapshotTable:
         own scan (basePath cannot span commit dirs), plain files stay one
         multi-file scan. Unpartitioned commits of a partitioned table
         (merge deltas) carry the partition columns IN the files, so both
-        layouts read under the same schema."""
+        layouts read under the same schema.
+
+        ``file_col`` attaches each row's source path via the per-scan
+        ``_metadata.file_path`` — attached HERE, scan-side, because the
+        metadata column cannot be resolved above a union."""
         from pyspark.sql.types import StructType
 
         schema = StructType.fromJson(json.loads(schema_json))
-        if not rels:
-            return self.spark.createDataFrame([], schema)
         cols = schema.fieldNames()
+        extra = (
+            [F.col("_metadata.file_path").alias(file_col)] if file_col else []
+        )
+        if not rels:
+            df = self.spark.createDataFrame([], schema)
+            if file_col:
+                df = df.withColumn(file_col, F.lit(None).cast("string"))
+            return df
         plain: list[str] = []
         by_commit: dict[str, list[str]] = {}
         for rel in rels:
@@ -499,14 +503,16 @@ class SnapshotTable:
         parts: list[DataFrame] = []
         if plain:
             files = [os.path.join(self.root, rel) for rel in plain]
-            parts.append(self.spark.read.schema(schema).parquet(*files))
+            parts.append(
+                self.spark.read.schema(schema).parquet(*files).select(*cols, *extra)
+            )
         for commit, group in sorted(by_commit.items()):
             files = [os.path.join(self.root, rel) for rel in group]
             parts.append(
                 self.spark.read.schema(schema)
                 .option("basePath", os.path.join(self.root, commit))
                 .parquet(*files)
-                .select(*cols)  # partition cols surface last; restore order
+                .select(*cols, *extra)  # partition cols surface last; restore order
             )
         out = parts[0]
         for p in parts[1:]:
