@@ -75,6 +75,11 @@ def test_partitioned_merge_both_modes_then_compact(spark, tmp_path):
                 mode=mode)
         got = set(map(tuple, t.read().collect()))
         assert got == exp, mode
+        # pruned scan with LIVE deletes (pre-compaction): partition
+        # pruning must compose with the equality-delete anti join
+        assert _rows(t.read_where([("k", "=", "a")])) == [
+            (1, "a", 11), (2, "a", 20)
+        ], mode
         # merge deltas are unpartitioned; binpack restores the layout
         t.compact(target_files=2)
         snap = t._read_snapshot(t.current_version())
