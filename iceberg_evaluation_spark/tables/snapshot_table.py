@@ -580,9 +580,14 @@ class SnapshotTable:
 
         def _partition_value(rel: str, col: str):
             """(found, typed_value) for a dir-partitioned file's column."""
+            from urllib.parse import unquote
+
             for seg in rel.split(os.sep)[:-1]:
                 if seg.startswith(f"{col}="):
-                    raw = seg[len(col) + 1:]
+                    # Spark percent-escapes special chars in partition dirs
+                    # (' ' → %20, '=' → %3D); compare the UNESCAPED value or
+                    # string partitions with those chars would wrongly prune
+                    raw = unquote(seg[len(col) + 1:])
                     if raw == "__HIVE_DEFAULT_PARTITION__":
                         return True, None
                     t = part_types.get(col, "string")

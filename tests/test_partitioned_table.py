@@ -122,3 +122,17 @@ def test_null_partition_value_roundtrip_and_pruning(spark, tmp_path):
     assert (5, None, 50) in _rows(t.read())
     # ...and equality pruning never returns it (NULL matches no value)
     assert all(r["k"] == "a" for r in t.read_where([("k", "=", "a")]).collect())
+
+
+def test_partition_values_with_special_chars(spark, tmp_path):
+    """Spark percent-escapes partition dir names (' ' → %20): pruning
+    must compare the UNESCAPED value or such files are wrongly pruned."""
+    t = SnapshotTable(spark, str(tmp_path / "esc"))
+    df = spark.createDataFrame(
+        [(1, "a b", 10), (2, "x=y", 20), (3, "plain", 30)],
+        "id bigint, k string, v bigint",
+    )
+    t.create_or_replace(df, partitions=1, partition_by=["k"])
+    assert _rows(t.read()) == _rows(df)
+    assert _rows(t.read_where([("k", "=", "a b")])) == [(1, "a b", 10)]
+    assert _rows(t.read_where([("k", "=", "x=y")])) == [(2, "x=y", 20)]
