@@ -374,6 +374,11 @@ class SnapshotTable:
                 f"column {name!r} is a partition column; repartition the "
                 "table (create_or_replace) before dropping it"
             )
+        if any(name in d["keys"] for d in snap.get("delete_files") or []):
+            raise ValueError(
+                f"column {name!r} keys live equality-delete files; "
+                "compact() to materialize the deletes before dropping it"
+            )
         kept = StructType([f for f in schema.fields if f.name != name])
         return self._commit(
             snap["files"],

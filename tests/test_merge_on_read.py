@@ -231,3 +231,22 @@ def test_scd2_complex_mor_matches_golden_sequence(spark, tmp_path):
         for s in mor._snapshots()
         if s["operation"] == "merge"
     )
+
+
+def test_drop_column_guarded_by_live_delete_keys(spark, tmp_path):
+    """Dropping a column that keys live equality-delete files would make
+    the read-side anti join unresolvable; compaction clears the way."""
+    import pytest as _pytest
+
+    mor = SnapshotTable(spark, str(tmp_path / "m"))
+    mor.create_or_replace(spark.createDataFrame([(1, 10)], "id bigint, v bigint"))
+    mor.merge(
+        spark.createDataFrame([(1, 11)], "id bigint, v bigint"),
+        on=["id"], clause=MergeClause(matched_update={"v": "s.v"}),
+        mode="merge-on-read",
+    )
+    with _pytest.raises(ValueError):
+        mor.drop_column("id")
+    mor.compact(target_files=1)  # materializes the deletes
+    mor.drop_column("id")
+    assert mor.read().columns == ["v"]
