@@ -56,22 +56,25 @@ class ConcurrentCommitError(RuntimeError):
     CAS). Retry the operation against the fresh table state."""
 
 
-# Numeric widening order (mirrors Spark's upcast precedence): a value can
-# move right without becoming NULL. Everything else must cast explicitly —
-# Spark's non-ANSI cast turns e.g. string→int failures into silent NULLs,
-# which is exactly the corruption an append must refuse.
-_NUMERIC_WIDENING = ["byte", "short", "integer", "long", "float", "double"]
+# Widening chains where every representable value survives the cast.
+# Integer→float/double is deliberately EXCLUDED: a long beyond 2^24 (float)
+# or 2^53 (double) silently rounds — precision loss, the exact corruption
+# an append must refuse. Everything else must cast explicitly — Spark's
+# non-ANSI cast turns e.g. string→int failures into silent NULLs.
+_INT_WIDENING = ["byte", "short", "integer", "long"]
+_FLOAT_WIDENING = ["float", "double"]
 
 
 def _cast_is_safe(src, dst) -> bool:
-    """True iff casting ``src`` to ``dst`` can never NULL-out or truncate
-    a representable value (Iceberg's type-promotion rules: int→long,
-    float→double, plus rendering any type to string)."""
+    """True iff casting ``src`` to ``dst`` can never NULL-out, truncate,
+    or round a representable value (Iceberg's type-promotion rules:
+    int→long, float→double, plus rendering any type to string)."""
     if src == dst:
         return True
     s, d = src.typeName(), dst.typeName()
-    if s in _NUMERIC_WIDENING and d in _NUMERIC_WIDENING:
-        return _NUMERIC_WIDENING.index(s) <= _NUMERIC_WIDENING.index(d)
+    for chain in (_INT_WIDENING, _FLOAT_WIDENING):
+        if s in chain and d in chain:
+            return chain.index(s) <= chain.index(d)
     if d == "string":
         return True  # any scalar renders losslessly
     if s == "date" and d == "timestamp":
@@ -188,10 +191,24 @@ class SnapshotTable:
             "delete_files": dels,
             "partition_by": list(partition_by or []),
         }
-        tmp = self._snapshot_path(version) + ".tmp"
+        # publish the manifest with an EXCLUSIVE atomic link, not a
+        # clobbering rename: two writers can both pass the version check
+        # above (check-then-act), and the loser must get
+        # ConcurrentCommitError rather than silently overwriting the
+        # winner's manifest. os.link fails with EEXIST if the winner's
+        # snapshot landed first — the filesystem is the arbiter.
+        tmp = self._snapshot_path(version) + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             json.dump(snap, f)
-        os.replace(tmp, self._snapshot_path(version))
+        try:
+            os.link(tmp, self._snapshot_path(version))
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"another writer committed v{version} concurrently; "
+                f"retry this {operation} on fresh state"
+            ) from None
+        finally:
+            os.remove(tmp)
         vtmp = self._version_file() + ".tmp"
         with open(vtmp, "w") as f:
             f.write(str(version))
@@ -345,6 +362,21 @@ class SnapshotTable:
                     "from that era are still in the current snapshot; re-adding "
                     "the name would resurrect stale values (name-mapped reads "
                     "have no field ids) — rewrite the table (compact) first"
+                )
+        # The history scan above goes blind once expire_snapshots has
+        # dropped the manifests that declared the column — the BYTES are
+        # the ground truth, so also check the surviving files' footers
+        # (manifest-scale driver cost, same as files_metadata).
+        import pyarrow.parquet as pq
+
+        for rel in snap["files"]:
+            fschema = pq.read_schema(os.path.join(self.root, rel))
+            if name in fschema.names:
+                raise ValueError(
+                    f"column {name!r} is physically present in live data "
+                    f"file {rel} (written under a since-expired schema); "
+                    "re-adding the name would resurrect stale values — "
+                    "rewrite the table (compact) first"
                 )
         schema = schema.add(name, _parse_datatype_string(dtype), True)
         return self._commit(
@@ -811,8 +843,14 @@ class SnapshotTable:
         src = source
 
         if validate_source_unique:
+            # aliased aggregate, NOT .count(): a merge key literally named
+            # "count" would make the filter reference ambiguous
             dup = (
-                src.groupBy(*on).count().filter(F.col("count") > 1).limit(1).collect()
+                src.groupBy(*on)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > 1)
+                .limit(1)
+                .collect()
             )
             if dup:
                 raise ValueError(
@@ -842,11 +880,19 @@ class SnapshotTable:
         # URIs look like file:///<root>/data/commit-x/part-*.parquet —
         # recover the root-relative path for an exact O(1) membership
         # test (an endswith scan would be O(files × touched) and can
-        # false-positive on basename collisions across commits)
+        # false-positive on basename collisions across commits).
+        # _metadata.file_path is URL-ENCODED ('k=a b' on disk surfaces as
+        # 'k=a%20b', a literal '%' is double-encoded) while prev["files"]
+        # holds literal on-disk relpaths — unquote ONCE to map between
+        # them, or partitioned files with special-char values are never
+        # seen as touched and the merge duplicates their rows
+        from urllib.parse import unquote
+
         def _to_rel(uri: str) -> str:
             marker = "/data/"
             idx = uri.rfind(marker)
-            return "data/" + uri[idx + len(marker):] if idx >= 0 else uri
+            rel = "data/" + uri[idx + len(marker):] if idx >= 0 else uri
+            return unquote(rel)
 
         touched_set = {_to_rel(r["__file"]) for r in touched_rows}
         untouched_rel = [rel for rel in prev["files"] if rel not in touched_set]
@@ -956,9 +1002,6 @@ class SnapshotTable:
         if not clause.insert_when_not_matched:
             insert_cond = F.lit(False)
 
-        delete_keys = joined.filter(delete_cond | update_cond).select(
-            *[F.col(f"t.{k}").alias(k) for k in on]
-        )
         out_cols = []
         for c in t_cols:
             upd = (
@@ -974,7 +1017,26 @@ class SnapshotTable:
             out_cols.append(
                 F.when(update_cond, upd).otherwise(ins_src).alias(c)
             )
-        new_rows = joined.filter(update_cond | insert_cond).select(*out_cols)
+        # ONE evaluation of the join, materialized at changed-rows size:
+        # delete keys and post-image rows both project from this frame.
+        # Two separate jobs over the uncached join would double the
+        # dominant cost AND could disagree if the source is
+        # nondeterministic — committing delete keys whose post-images
+        # were never written.
+        delta = (
+            joined.filter(delete_cond | update_cond | insert_cond)
+            .select(
+                *[F.col(f"t.{k}").alias(f"__k_{k}") for k in on],
+                (delete_cond | update_cond).alias("__is_del"),
+                (update_cond | insert_cond).alias("__is_new"),
+                *out_cols,
+            )
+            .localCheckpoint()
+        )
+        delete_keys = delta.filter(F.col("__is_del")).select(
+            *[F.col(f"__k_{k}").alias(k) for k in on]
+        )
+        new_rows = delta.filter(F.col("__is_new")).select(*t_cols)
         return delete_keys, new_rows
 
     def _apply_merge(
@@ -1197,13 +1259,12 @@ class SnapshotTable:
         removed = 0
         if not os.path.isdir(self._data_dir):
             return 0
-        for commit_dir in os.listdir(self._data_dir):
-            cpath = os.path.join(self._data_dir, commit_dir)
-            if not os.path.isdir(cpath):
-                continue
-            for name in os.listdir(cpath):
-                rel = os.path.join("data", commit_dir, name)
-                path = os.path.join(cpath, name)
+        # walk the FULL tree: partitioned commits nest files under k=v
+        # directories, which a single-level listdir never reaches
+        for dirpath, _, names in os.walk(self._data_dir, topdown=False):
+            for name in names:
+                path = os.path.join(dirpath, name)
+                rel = os.path.relpath(path, self.root)
                 if (
                     name.endswith(".parquet")
                     and rel not in referenced
@@ -1211,8 +1272,18 @@ class SnapshotTable:
                 ):
                     os.remove(path)
                     removed += 1
-            if not os.listdir(cpath):
-                os.rmdir(cpath)
+            # bottom-up: drop dirs that hold nothing but writer markers
+            # (_SUCCESS/.crc) once their parquet content is gone; the age
+            # guard keeps in-flight writers' directories safe
+            leftover = os.listdir(dirpath)
+            if (
+                dirpath != self._data_dir
+                and os.path.getmtime(dirpath) * 1000 < older_than_ms
+                and all(n == "_SUCCESS" or n.endswith(".crc") for n in leftover)
+            ):
+                for n in leftover:
+                    os.remove(os.path.join(dirpath, n))
+                os.rmdir(dirpath)
         return removed
 
     def expire_snapshots(self, keep_last: int = 1) -> int:

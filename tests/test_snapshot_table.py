@@ -551,3 +551,98 @@ def test_read_where_rejects_unknown_op(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         t.read_where([("id", "!=", 1)])
+
+
+def test_merge_touches_special_char_partition_files(spark, tmp_path):
+    """_metadata.file_path is URL-encoded; touched-file detection must
+    unquote it or files under 'k=a b' are never rewritten — stale rows
+    retained AND the source row re-inserted (duplicates)."""
+    from iceberg_evaluation_spark.tables.snapshot_table import MergeClause
+
+    t = SnapshotTable(spark, str(tmp_path / "sp"))
+    df = spark.createDataFrame(
+        [(1, "a b", 10), (2, "x=y", 20)], "id long, k string, v long"
+    )
+    t.create_or_replace(df, partitions=1, partition_by=["k"])
+    t.merge(
+        spark.createDataFrame([(1, "a b", 11)], "id long, k string, v long"),
+        on=["id"],
+        clause=MergeClause(matched_update={"v": "s.v"}),
+    )
+    rows = sorted(map(tuple, t.read().collect()))
+    assert rows == [(1, "a b", 11), (2, "x=y", 20)]  # updated, NO duplicate
+
+
+def test_add_column_resurrection_guard_survives_expiry(spark, tmp_path):
+    """drop_column → expire_snapshots (history gone) → add_column of the
+    same name must STILL refuse while pre-drop bytes are live."""
+    t = SnapshotTable(spark, str(tmp_path / "ex"))
+    t.create_or_replace(spark.createDataFrame([(1, 5)], "id long, x long"))
+    t.drop_column("x")
+    t.expire_snapshots(keep_last=1)  # v1 manifest (with x) is gone
+    with pytest.raises(ValueError):
+        t.add_column("x", "long")
+    t.compact(target_files=1)  # rewrites under the x-less schema
+    t.add_column("x", "long")  # now legal
+    assert t.read().collect()[0]["x"] is None
+
+
+def test_commit_exclusive_against_preexisting_snapshot(spark, tmp_path):
+    """The manifest publish is an exclusive link: if the next version's
+    snapshot file already exists (a concurrent winner), the commit
+    raises instead of clobbering it."""
+    import os
+
+    from iceberg_evaluation_spark.tables.snapshot_table import (
+        ConcurrentCommitError,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "cc"))
+    t.create_or_replace(spark.createDataFrame([(1,)], "id long"))
+    # fake a concurrent winner's manifest for v2 WITHOUT advancing VERSION
+    with open(os.path.join(t.root, "snapshots", "v00000002.json"), "w") as f:
+        f.write("{}")
+    with pytest.raises(ConcurrentCommitError):
+        t.append(spark.createDataFrame([(2,)], "id long"))
+
+
+def test_append_refuses_lossy_int_to_float(spark, tmp_path):
+    """long→float/double silently rounds past 2^24/2^53 — append must
+    refuse it like any other lossy cast."""
+    t = SnapshotTable(spark, str(tmp_path / "lf"))
+    t.create_or_replace(spark.createDataFrame([(1, 1.5)], "id long, v float"))
+    with pytest.raises(ValueError):
+        t.append(spark.createDataFrame([(2, 16777217)], "id long, v long"))
+
+
+def test_orphan_cleanup_reaches_partitioned_commits(spark, tmp_path):
+    """Unreferenced files under k=v subdirectories must be collected."""
+    import os
+
+    t = SnapshotTable(spark, str(tmp_path / "op"))
+    df = spark.createDataFrame([(1, "a", 10), (2, "b", 20)], "id long, k string, v long")
+    t.create_or_replace(df, partitions=1, partition_by=["k"])
+    # simulate a crashed partitioned write: files exist, no commit
+    orphan_rels = t._write_files(df, partition_by=["k"])
+    assert all("k=" in r for r in orphan_rels)
+    removed = t.remove_orphan_files(older_than_ms=2**62)
+    assert removed >= len(orphan_rels)
+    for rel in orphan_rels:
+        assert not os.path.exists(os.path.join(t.root, rel))
+    # referenced files untouched, table still reads
+    assert t.read().count() == 2
+
+
+def test_merge_key_named_count(spark, tmp_path):
+    """A merge key literally named 'count' must not trip the duplicate
+    validation's aggregate."""
+    from iceberg_evaluation_spark.tables.snapshot_table import MergeClause
+
+    t = SnapshotTable(spark, str(tmp_path / "cnt"))
+    t.create_or_replace(spark.createDataFrame([(1, 10)], "count long, v long"))
+    t.merge(
+        spark.createDataFrame([(1, 11)], "count long, v long"),
+        on=["count"],
+        clause=MergeClause(matched_update={"v": "s.v"}),
+    )
+    assert t.read().collect()[0]["v"] == 11
