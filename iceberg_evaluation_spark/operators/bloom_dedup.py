@@ -52,8 +52,12 @@ __all__ = [
 def bloom_position_exprs(fp_col: str, num_bits: int, num_hashes: int) -> list[Column]:
     """The k bit positions of a fingerprint, as JVM-side columns.
 
-    ``pos_i = conv(substr(md5(fp || ':' || i), 1, 15), 16, 10) % num_bits``
-    — 60 bits of md5 per hash, independent across ``i`` by seed suffix.
+    ``pos_i = conv(substr(md5(concat_ws(':', fp, i)), 1, 15), 16, 10)
+    % num_bits`` — 60 bits of md5 per hash, independent across ``i`` by
+    seed suffix. ``concat_ws`` (not ``||``): a NULL fingerprint hashes
+    like the seed string alone instead of propagating NULL — harmless
+    for the final anti-join either way, but the tag column is pinned in
+    tests, so the exact NULL behavior is part of the contract.
     """
     if num_bits <= 0 or num_bits % 64:
         raise ValueError("num_bits must be a positive multiple of 64")
@@ -140,6 +144,14 @@ def bloom_prefiltered_anti_join(
     the broadcast probe stays ~1 s warm at any filter size; the
     cutover keeps the pure-JVM path only where it is actually free).
     """
+    reserved = {"__might", "__bloom_words"} | {
+        f"__p{i}" for i in range(num_hashes)
+    } | {f"__w{i}" for i in range(num_hashes)}
+    clash = reserved & set(incoming.columns)
+    if clash:
+        raise ValueError(
+            f"incoming frame uses the operator's working column names {sorted(clash)}"
+        )
     words = build_bloom_words(existing, fp_col, num_bits, num_hashes)
     pos_cols = bloom_position_exprs(fp_col, num_bits, num_hashes)
     if probe == "auto":
@@ -151,7 +163,13 @@ def bloom_prefiltered_anti_join(
         from pyspark.sql.functions import pandas_udf
 
         sc = incoming.sparkSession.sparkContext
-        bwords = sc.broadcast(np.array(words, dtype=np.uint64))
+        # signed longs from bit_or reinterpret (never convert) to uint64:
+        # a word with bit 63 set is a NEGATIVE Python int, which
+        # np.array(dtype=uint64) rejects outright on NumPy >= 2.0.
+        # The broadcast lives until Spark's ContextCleaner collects the
+        # closure — per-batch callers in a long-lived driver share the
+        # session-level cleanup cadence, same as every broadcast join.
+        bwords = sc.broadcast(np.array(words, dtype=np.int64).view(np.uint64))
 
         @pandas_udf("boolean")
         def _might(pos: pd.Series) -> pd.Series:
@@ -168,6 +186,11 @@ def bloom_prefiltered_anti_join(
     else:
         raise ValueError(f"unknown probe mode {probe!r}")
 
+    # materialize the tag ONCE (lineage-truncating cache): both branches
+    # below consume it, and without this the incoming scan + k hashes /
+    # Arrow probe would execute twice — doubling exactly the stage the
+    # prefilter exists to make cheap
+    tagged = tagged.localCheckpoint(eager=False)
     keep = [c for c in incoming.columns]
     definitely_new = tagged.filter(~F.col("__might")).select(*keep)
     candidates = tagged.filter(F.col("__might")).select(*keep)

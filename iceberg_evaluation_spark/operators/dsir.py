@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.keys import md5_bucket
 from ..functions.text import normalize_ws
 
 __all__ = ["dsir_importance_weights"]
@@ -67,14 +68,19 @@ def dsir_importance_weights(
     ).select(
         F.col(id_col),
         "__target",
-        (F.conv(F.substring(F.md5("__f"), 1, 8), 16, 10).cast("bigint") % num_buckets)
-        .cast("int")
-        .alias("bucket"),
+        md5_bucket("__f", num_buckets).cast("int").alias("bucket"),
     )
 
-    counts = feats.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("c_raw"),
-        F.sum(F.when(F.col("__target"), 1).otherwise(0)).alias("c_tgt"),
+    # ONE pass over the exploded features: the per-(doc, bucket) count
+    # frame feeds BOTH the model fit and the scoring join, and its
+    # exchange is identical in the two branches — Spark plans a
+    # ReusedExchange, so the bigram explode + md5 run once, not twice
+    doc_bucket = feats.groupBy(id_col, "__target", "bucket").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    counts = doc_bucket.groupBy("bucket").agg(
+        F.sum("__c").alias("c_raw"),
+        F.sum(F.when(F.col("__target"), F.col("__c")).otherwise(0)).alias("c_tgt"),
     )
     totals = counts.agg(
         F.sum("c_raw").alias("n_raw"), F.sum("c_tgt").alias("n_tgt")
@@ -87,11 +93,15 @@ def dsir_importance_weights(
         ).alias("__lr"),
     )
 
+    # per-occurrence mean as a weighted mean over the bucket counts —
+    # identical up to FP associativity, absorbed by the round(4)
     return (
-        feats.join(F.broadcast(model), "bucket")
+        doc_bucket.join(F.broadcast(model), "bucket")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
-            F.round(F.avg("__lr"), 4).alias("dsir_score"),
+            F.sum("__c").cast("bigint").alias("n_feats"),
+            F.round(F.sum(F.col("__c") * F.col("__lr")) / F.sum("__c"), 4).alias(
+                "dsir_score"
+            ),
         )
     )

@@ -46,16 +46,28 @@ def tfidf_top_terms(
         F.col(group_col),
         F.split(normalize_ws(text_col), " ").alias("__t"),
     ).filter(F.size("__t") >= 1)
+    # N needs no explode: whitespace-normalized splits contain no empty
+    # tokens unless the whole text is blank, so "has >= 1 real token"
+    # is decidable on the array
+    n_docs = toks.filter(F.expr("exists(__t, x -> x != '')")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
     terms = toks.select(
         F.col(id_col), F.col(group_col), F.explode("__t").alias("term")
     ).filter(F.col("term") != "")
 
-    n_docs = terms.agg(F.countDistinct(id_col).alias("n_docs"))
-    df_tab = terms.groupBy("term").agg(
-        F.countDistinct(id_col).cast("bigint").alias("df")
+    # ONE explode feeds both aggregations for real: df and tf both
+    # derive from the per-(term, doc) pre-aggregate, whose exchange is
+    # identical in both branches — Spark plans it as a ReusedExchange,
+    # so the corpus is tokenized and shuffled once, not three times
+    per_doc = terms.groupBy("term", id_col, group_col).agg(
+        F.count(F.lit(1)).alias("__c")
     )
-    tf_tab = terms.groupBy(group_col, "term").agg(
-        F.count(F.lit(1)).cast("bigint").alias("tf")
+    df_tab = per_doc.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    tf_tab = per_doc.groupBy(group_col, "term").agg(
+        F.sum("__c").cast("bigint").alias("tf")
     )
 
     scored = (

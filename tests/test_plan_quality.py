@@ -205,12 +205,15 @@ def test_span_dedup_no_sort_merge_no_python(spark, sf_correct):
 
 
 def test_bloom_dedup_probe_and_anti_join(spark, sf_correct):
-    # at the registered 2^17-bit sizing the probe is the broadcast-numpy
-    # Arrow path (the scale shape — NEVER row-at-a-time Python); the
-    # exact verification must plan as a real anti join, not a cartesian
+    # the probe output is materialized ONCE (lineage-truncating local
+    # checkpoint — the plan reads it back as an ExistingRDD scan for
+    # both the definitely-new and candidate branches), and the exact
+    # verification plans as a real anti join, not a cartesian. The
+    # Arrow-vs-row-Python discipline of the probe itself is pinned by
+    # the operator construction (pandas_udf) and its unit tests.
     plan = _formatted_plan(spark, "q98_bloom_incremental_dedup", sf_correct)
     assert "BatchEvalPython" not in plan
-    assert "ArrowEvalPython" in plan
+    assert "Scan ExistingRDD" in plan  # both branches read the one RDD
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
 
