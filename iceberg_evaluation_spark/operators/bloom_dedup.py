@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "bloom_position_exprs",
     "build_bloom_words",
+    "bloom_might_tagged",
     "bloom_prefiltered_anti_join",
 ]
 
@@ -123,6 +124,50 @@ def _with_might_literal(
     return staged.withColumn("__might", hit).select(*df.columns, "__might")
 
 
+def bloom_might_tagged(
+    incoming: DataFrame,
+    words: list[int],
+    fp_col: str,
+    num_bits: int,
+    num_hashes: int,
+    probe: str = "auto",
+) -> DataFrame:
+    """``incoming`` plus a ``__might`` probe column — the pre-checkpoint
+    stage of :func:`bloom_prefiltered_anti_join`, exposed so plan tests
+    can pin the probe's execution shape (Arrow-batched, never
+    row-at-a-time) before the lineage-truncating cache hides it."""
+    pos_cols = bloom_position_exprs(fp_col, num_bits, num_hashes)
+    if probe == "auto":
+        probe = "literal" if len(words) <= 256 else "pandas"
+    if probe == "literal":
+        return _with_might_literal(incoming, pos_cols, words)
+    if probe != "pandas":
+        raise ValueError(f"unknown probe mode {probe!r}")
+    from pyspark.sql.functions import pandas_udf
+
+    sc = incoming.sparkSession.sparkContext
+    # signed longs from bit_or reinterpret (never convert) to uint64:
+    # a word with bit 63 set is a NEGATIVE Python int, which
+    # np.array(dtype=uint64) rejects outright on NumPy >= 2.0.
+    # The broadcast lives until Spark's ContextCleaner collects the
+    # closure — per-batch callers in a long-lived driver share the
+    # session-level cleanup cadence, same as every broadcast join.
+    bwords = sc.broadcast(np.array(words, dtype=np.int64).view(np.uint64))
+
+    @pandas_udf("boolean")
+    def _might(pos: pd.Series) -> pd.Series:
+        if len(pos) == 0:
+            return pd.Series([], dtype=bool)
+        w = bwords.value
+        a = np.vstack(pos.to_numpy()).astype(np.int64)  # (n, k) positions
+        hits = (w[a >> 6] >> (a & 63).astype(np.uint64)) & np.uint64(1)
+        return pd.Series(hits.all(axis=1))
+
+    return incoming.withColumn("__might", _might(F.array(*pos_cols))).select(
+        *incoming.columns, "__might"
+    )
+
+
 def bloom_prefiltered_anti_join(
     incoming: DataFrame,
     existing: DataFrame,
@@ -153,38 +198,9 @@ def bloom_prefiltered_anti_join(
             f"incoming frame uses the operator's working column names {sorted(clash)}"
         )
     words = build_bloom_words(existing, fp_col, num_bits, num_hashes)
-    pos_cols = bloom_position_exprs(fp_col, num_bits, num_hashes)
-    if probe == "auto":
-        probe = "literal" if len(words) <= 256 else "pandas"
-
-    if probe == "literal":
-        tagged = _with_might_literal(incoming, pos_cols, words)
-    elif probe == "pandas":
-        from pyspark.sql.functions import pandas_udf
-
-        sc = incoming.sparkSession.sparkContext
-        # signed longs from bit_or reinterpret (never convert) to uint64:
-        # a word with bit 63 set is a NEGATIVE Python int, which
-        # np.array(dtype=uint64) rejects outright on NumPy >= 2.0.
-        # The broadcast lives until Spark's ContextCleaner collects the
-        # closure — per-batch callers in a long-lived driver share the
-        # session-level cleanup cadence, same as every broadcast join.
-        bwords = sc.broadcast(np.array(words, dtype=np.int64).view(np.uint64))
-
-        @pandas_udf("boolean")
-        def _might(pos: pd.Series) -> pd.Series:
-            if len(pos) == 0:
-                return pd.Series([], dtype=bool)
-            w = bwords.value
-            a = np.vstack(pos.to_numpy()).astype(np.int64)  # (n, k) positions
-            hits = (w[a >> 6] >> (a & 63).astype(np.uint64)) & np.uint64(1)
-            return pd.Series(hits.all(axis=1))
-
-        tagged = incoming.withColumn(
-            "__might", _might(F.array(*pos_cols))
-        ).select(*incoming.columns, "__might")
-    else:
-        raise ValueError(f"unknown probe mode {probe!r}")
+    tagged = bloom_might_tagged(
+        incoming, words, fp_col, num_bits, num_hashes, probe=probe
+    )
 
     # materialize the tag ONCE (lineage-truncating cache): both branches
     # below consume it, and without this the incoming scan + k hashes /

@@ -208,14 +208,28 @@ def test_bloom_dedup_probe_and_anti_join(spark, sf_correct):
     # the probe output is materialized ONCE (lineage-truncating local
     # checkpoint — the plan reads it back as an ExistingRDD scan for
     # both the definitely-new and candidate branches), and the exact
-    # verification plans as a real anti join, not a cartesian. The
-    # Arrow-vs-row-Python discipline of the probe itself is pinned by
-    # the operator construction (pandas_udf) and its unit tests.
+    # verification plans as a real anti join, not a cartesian
     plan = _formatted_plan(spark, "q98_bloom_incremental_dedup", sf_correct)
-    assert "BatchEvalPython" not in plan
     assert "Scan ExistingRDD" in plan  # both branches read the one RDD
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+    # the checkpoint HIDES the probe from the final plan, so pin the
+    # Python discipline on the PRE-checkpoint stage directly: the scale
+    # probe must be Arrow-batched, never row-at-a-time
+    from iceberg_evaluation_spark.operators.bloom_dedup import (
+        bloom_might_tagged,
+    )
+    from iceberg_evaluation_spark.sources import load_table
+    from iceberg_evaluation_spark.functions.text import fingerprint_md5
+
+    inc = load_table(spark, sf_correct, "documents").select(
+        fingerprint_md5("text").alias("fp")
+    )
+    tagged = bloom_might_tagged(inc, [0] * 2048, "fp", 2048 * 64, 4, probe="pandas")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    probe_plan = tagged._jdf.queryExecution().explainString(mode)
+    assert "ArrowEvalPython" in probe_plan
+    assert "BatchEvalPython" not in probe_plan
 
 
 def test_tfidf_topk_window_no_python(spark, sf_correct):
