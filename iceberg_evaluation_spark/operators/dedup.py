@@ -364,6 +364,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     shingle_n: int = 3,
     max_shingle_df: int | None = None,
+    require_exact: bool = False,
 ) -> DataFrame:
     """ALL pairs with word-``n``-gram Jaccard ≥ threshold (> 0), exactly.
 
@@ -382,6 +383,14 @@ def ngram_jaccard_pairs(
     the cap is not generated (its docs are near-pure boilerplate; with
     cap c and threshold t such pairs need > c other docs sharing each of
     their shingles). Output: (id_a, id_b, jaccard).
+
+    ``require_exact=True`` turns the cap's exactness PRECONDITION into a
+    runtime check: callers that feed exact oracles (the shared q69/q90
+    cluster artifact) assume no shingle's df exceeds the cap — a
+    scale-dependent fact, not a property of the operator — so the
+    observed max df is computed (one extra small aggregate over the
+    inverted index) and a violation raises instead of silently missing
+    pairs at a larger scale factor.
     """
     sh = _shingle_frame(df, id_col, text_col, shingle_n)
     # Set sizes ride ALONG the inverted index (8 bytes/posting) instead of
@@ -427,6 +436,18 @@ def ngram_jaccard_pairs(
     # without ever self-joining a hot posting list or shuffling the full
     # shingle arrays. |∩| = rare_pair_count + |hot_a ∩ hot_b|.
     dfreq = inv.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+    if require_exact:
+        row = dfreq.agg(F.max("_df").alias("_m")).first()
+        observed = int(row["_m"] or 0)
+        if observed > max_shingle_df:
+            raise ValueError(
+                f"ngram_jaccard_pairs(require_exact=True): observed max "
+                f"shingle df {observed} exceeds max_shingle_df="
+                f"{max_shingle_df}; pairs whose every shared shingle is "
+                f"hotter than the cap would be silently missed. Raise the "
+                f"cap (exactness) or drop require_exact (documented "
+                f"boilerplate-recall contract)."
+            )
     inv_rare = inv.join(
         dfreq.filter(F.col("_df") <= max_shingle_df).select("_g"), "_g", "left_semi"
     )

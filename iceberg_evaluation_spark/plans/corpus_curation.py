@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from ..functions.keys import composite_pk
 from ..sources import load_table
 from ._exact import exact_sum, sql_sum
+from ._tmpdirs import scratch_dir
 from .registry import register
 
 #: SCD2 open-interval sentinel (reference pyspark_functions.py:314)
@@ -248,13 +249,11 @@ WINDOW w AS (PARTITION BY pk ORDER BY extraction_timestamp)
 """,
 )
 def q44_scd2_table_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from ..operators.scd2 import bulk_insert, scd2_complex
     from ..tables.snapshot_table import SnapshotTable
 
     base, batch1, batch2 = _cdc_feed(spark, sf_dir)
-    table = SnapshotTable(spark, tempfile.mkdtemp(prefix="scd2_pipeline_"))
+    table = SnapshotTable(spark, scratch_dir(prefix="scd2_pipeline_"))
     bulk_insert(table, base, partitions=spark.sparkContext.defaultParallelism)
     scd2_complex(table, batch1)
     scd2_complex(table, batch2)
@@ -291,12 +290,10 @@ FROM orders
 """,
 )
 def q47_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from ..tables.snapshot_table import SnapshotTable
 
     orders = load_table(spark, sf_dir, "orders")
-    table = SnapshotTable(spark, tempfile.mkdtemp(prefix="timetravel_"))
+    table = SnapshotTable(spark, scratch_dir(prefix="timetravel_"))
     table.create_or_replace(
         orders, partitions=spark.sparkContext.defaultParallelism
     )  # v1
@@ -339,12 +336,10 @@ FROM doubled
 """,
 )
 def q48_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from ..tables.snapshot_table import SnapshotTable
 
     keys = load_table(spark, sf_dir, "orders").select("o_orderkey")
-    table = SnapshotTable(spark, tempfile.mkdtemp(prefix="compact_"))
+    table = SnapshotTable(spark, scratch_dir(prefix="compact_"))
     table.create_or_replace(keys, partitions=16)
     table.append(keys.repartition(16))
     files_before = len(table._read_snapshot(table.current_version())["files"])
@@ -380,12 +375,10 @@ GROUP BY l_linestatus
 """,
 )
 def q49_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linestatus", "l_returnflag"
     )
-    out = tempfile.mkdtemp(prefix="part_sink_")
+    out = scratch_dir(prefix="part_sink_")
     li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
     # scan-back with a partition filter: Catalyst prunes to the one
     # l_returnflag=R directory (PartitionFilters in the plan)
@@ -420,8 +413,6 @@ GROUP BY o_orderstatus
 """,
 )
 def q50_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from ..sources import read_csv
 
     orders = load_table(spark, sf_dir, "orders").select(
@@ -429,7 +420,7 @@ def q50_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         F.to_date("o_orderdate").alias("o_orderdate"),
     )
-    out = tempfile.mkdtemp(prefix="csv_src_")
+    out = scratch_dir(prefix="csv_src_")
     orders.write.mode("overwrite").option("header", "true").csv(out)
     back = read_csv(
         spark,
@@ -469,14 +460,12 @@ FROM orders
 """,
 )
 def q85_zorder_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from ..tables.snapshot_table import SnapshotTable
 
     src = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
-    table = SnapshotTable(spark, tempfile.mkdtemp(prefix="zorder_"))
+    table = SnapshotTable(spark, scratch_dir(prefix="zorder_"))
     table.create_or_replace(src, partitions=16)
     files_before = len(table._read_snapshot(table.current_version())["files"])
     table.compact(
@@ -520,12 +509,10 @@ FROM orders WHERE o_orderkey % 3 = 2
 """,
 )
 def q86_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from ..tables.snapshot_table import SnapshotTable
 
     keys = load_table(spark, sf_dir, "orders").select("o_orderkey")
-    table = SnapshotTable(spark, tempfile.mkdtemp(prefix="incr_"))
+    table = SnapshotTable(spark, scratch_dir(prefix="incr_"))
     table.create_or_replace(keys.filter(F.col("o_orderkey") % 3 == 0))   # v1
     table.append(keys.filter(F.col("o_orderkey") % 3 == 1))              # v2
     table.add_column("chan", "string")                                   # v3
@@ -561,12 +548,10 @@ FROM orders WHERE o_orderkey % 2 = 0
 """,
 )
 def q87_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from ..tables.snapshot_table import SnapshotTable
 
     keys = load_table(spark, sf_dir, "orders").select("o_orderkey")
-    table = SnapshotTable(spark, tempfile.mkdtemp(prefix="rollback_"))
+    table = SnapshotTable(spark, scratch_dir(prefix="rollback_"))
     table.create_or_replace(keys.filter(F.col("o_orderkey") % 2 == 0))  # v1
     table.append(keys.filter(F.col("o_orderkey") % 2 == 1))             # v2
     table.rollback(1)                                                   # v3
@@ -605,14 +590,12 @@ WHERE o_custkey BETWEEN 100 AND 400 AND o_totalprice >= 50000
 """,
 )
 def q101_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from ..tables.snapshot_table import SnapshotTable
 
     src = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
-    table = SnapshotTable(spark, tempfile.mkdtemp(prefix="pruned_"))
+    table = SnapshotTable(spark, scratch_dir(prefix="pruned_"))
     table.create_or_replace(src, partitions=16)
     table.compact(
         strategy="zorder", zorder_by=["o_custkey", "o_totalprice"], target_files=8
@@ -652,14 +635,12 @@ FROM orders WHERE o_orderkey % 7 <> 0
 """,
 )
 def q102_merge_on_read_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from ..tables.snapshot_table import MergeClause, SnapshotTable
 
     src = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
-    table = SnapshotTable(spark, tempfile.mkdtemp(prefix="mor_"))
+    table = SnapshotTable(spark, scratch_dir(prefix="mor_"))
     table.create_or_replace(src, partitions=8)
 
     updates = src.filter(F.col("o_orderkey") % 5 == 0).withColumn(
@@ -720,14 +701,12 @@ WHERE EXTRACT(year FROM o_orderdate) = 1997 AND o_totalprice >= 1000
 """,
 )
 def q103_partitioned_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from ..tables.snapshot_table import SnapshotTable
 
     src = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
     ).withColumn("o_year", F.year("o_orderdate"))
-    table = SnapshotTable(spark, tempfile.mkdtemp(prefix="part_"))
+    table = SnapshotTable(spark, scratch_dir(prefix="part_"))
     table.create_or_replace(src, partitions=2, partition_by=["o_year"])
     pruned = table.read_where(
         [("o_year", "=", 1997), ("o_totalprice", ">=", 1000)]

@@ -21,7 +21,6 @@ drops is the natural Spark extension per SURVEY.md §2.10.
 from __future__ import annotations
 
 import os
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -32,6 +31,7 @@ from ..sources import load_table
 from ..sources.bucketed import read_bucketed, write_bucketed
 from ..tables.snapshot_table import MergeClause, SnapshotTable
 from ._exact import exact_sum, sql_sum
+from ._tmpdirs import scratch_dir
 from .registry import register
 
 _EV_COLS = ["event_id", "ts", "user_id", "event_type", "value"]
@@ -39,7 +39,7 @@ _EV_COLS = ["event_id", "ts", "user_id", "event_type", "value"]
 
 def _replay_dir(df: DataFrame, prefix: str, n_files: int = 4) -> str:
     """Materialize a DataFrame as an n-file parquet 'stream source' dir."""
-    out = tempfile.mkdtemp(prefix=prefix)
+    out = scratch_dir(prefix=prefix)
     df.repartition(n_files, "event_id").write.mode("overwrite").parquet(out)
     return out
 
@@ -51,7 +51,7 @@ def _run_stream(result: DataFrame, sink: str, output_mode: str) -> None:
         .queryName(sink)
         .outputMode(output_mode)
         .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix=f"{sink}_ckpt_")
+            "checkpointLocation", scratch_dir(prefix=f"{sink}_ckpt_")
         )
         .trigger(availableNow=True)
         .start()
@@ -199,7 +199,7 @@ GROUP BY o_orderpriority
 """,
 )
 def q78_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = tempfile.mkdtemp(prefix="q78_bucketed_")
+    base = scratch_dir(prefix="q78_bucketed_")
     tag = uuid.uuid4().hex[:8]
     ord_tbl, li_tbl = f"q78_orders_{tag}", f"q78_lineitem_{tag}"
     write_bucketed(
@@ -268,13 +268,13 @@ def q79_streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
         )
     )
-    src = tempfile.mkdtemp(prefix="q79_replay_")
+    src = scratch_dir(prefix="q79_replay_")
     # copies land in DIFFERENT files than their originals (partition by
     # doc_id), so redeliveries typically arrive in a later micro-batch
     # and the cross-batch merge path is genuinely exercised
     redelivered.repartition(4, "doc_id").write.mode("overwrite").parquet(src)
 
-    table = SnapshotTable(spark, tempfile.mkdtemp(prefix="q79_tbl_"))
+    table = SnapshotTable(spark, scratch_dir(prefix="q79_tbl_"))
 
     def ingest(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -309,7 +309,7 @@ def q79_streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (
         stream.writeStream.foreachBatch(ingest)
         .outputMode("update")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="q79_ckpt_"))
+        .option("checkpointLocation", scratch_dir(prefix="q79_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )

@@ -889,10 +889,14 @@ def shared_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # df cap = q33's registered cap: bounds the candidate join at scale
     # (a df-d stop-shingle alone is d² candidate rows). Values are
     # provably unchanged below the cap — candidates are verified against
-    # full arrays, and this corpus's max shingle df is 25 — so q69/q90
-    # oracles are unaffected; measured identical pair sets at sf0.1.
+    # full arrays — and require_exact CHECKS the below-cap precondition
+    # at runtime (observed max df vs cap) instead of assuming this
+    # corpus's measured max (25) holds at every scale factor: a larger
+    # corpus whose boilerplate crosses the cap fails loudly here rather
+    # than silently missing pairs in the q69/q90 oracles.
     edges = ngram_jaccard_pairs(
-        docs, "doc_id", "text", threshold=0.5, max_shingle_df=100
+        docs, "doc_id", "text", threshold=0.5, max_shingle_df=100,
+        require_exact=True,
     ).select("id_a", "id_b")
     cc = connected_components(docs.select(F.col("doc_id").alias("id")), edges)
     out = cc.select(F.col("node").alias("doc_id"), "cluster")

@@ -203,6 +203,47 @@ class SnapshotTable:
         try:
             os.link(tmp, self._snapshot_path(version))
         except FileExistsError:
+            # Two ways a v{version} manifest can already exist:
+            #   (a) a concurrent writer just won the race — its pointer
+            #       flip is imminent (or done);
+            #   (b) an EARLIER commit crashed between the manifest link
+            #       and the pointer flip, orphaning a completed manifest
+            #       while VERSION still reads version-1. Without repair,
+            #       every later commit recomputes the same version, hits
+            #       EEXIST again, and the table is unwritable forever.
+            # Both cases have the same safe repair: the existing manifest
+            # was linked from a fully-written tmp file, so it IS a
+            # completed commit — adopt it by advancing the pointer (a
+            # no-op if the concurrent winner already flipped it; exactly
+            # the flip the crashed writer owed otherwise), then surface
+            # ConcurrentCommitError so the caller recomputes on the
+            # now-fresh state.
+            existing: Any = None
+            try:
+                with open(self._snapshot_path(version)) as f:
+                    existing = json.load(f)
+            except (OSError, ValueError):
+                existing = None
+            complete = (
+                isinstance(existing, dict)
+                and existing.get("version") == version
+                and "files" in existing
+            )
+            if not complete:
+                # unreadable/corrupt/truncated manifest: quarantine it so
+                # the next retry can claim the version number (a real
+                # winner's manifest is always complete — it was linked
+                # from a fully-written tmp file)
+                os.replace(
+                    self._snapshot_path(version),
+                    self._snapshot_path(version) + ".orphan",
+                )
+            else:
+                if (not self.exists()) or self.current_version() < version:
+                    vtmp = self._version_file() + ".tmp"
+                    with open(vtmp, "w") as f:
+                        f.write(str(version))
+                    os.replace(vtmp, self._version_file())
             raise ConcurrentCommitError(
                 f"another writer committed v{version} concurrently; "
                 f"retry this {operation} on fresh state"
@@ -631,9 +672,22 @@ class SnapshotTable:
                     try:
                         if t in ("tinyint", "smallint", "int", "bigint"):
                             return True, int(raw)
-                        if t in ("float", "double") or t.startswith("decimal"):
+                        if t.startswith("decimal"):
+                            # NOT float(raw): a decimal beyond double
+                            # precision would round-trip inexactly and an
+                            # '=' filter could wrongly PRUNE a file that
+                            # holds matching rows. Decimal keeps the
+                            # comparison exact (and compares correctly
+                            # against int/float/Decimal filter values).
+                            import decimal
+
+                            return True, decimal.Decimal(raw)
+                        if t in ("float", "double"):
                             return True, float(raw)
-                    except ValueError:
+                    except (ValueError, ArithmeticError):
+                        # lossy/failed parse → report not-found so the
+                        # file falls through to the conservative
+                        # footer-stats path instead of being pruned
                         return False, None
                     return True, raw  # string-compare (dates sort lexically)
             return False, None

@@ -140,3 +140,37 @@ def test_jaccard_freq_cap_recall_edge_is_boilerplate_only(spark):
     # shingles are all above the cap); the content pair never drops
     dropped = set(uncapped) - set(capped)
     assert dropped and all(a < 100 for a, b in dropped)
+
+
+def test_ngram_jaccard_require_exact_checks_df_cap(spark):
+    """ADVICE r3: the df cap's exactness precondition (no shingle hotter
+    than the cap) is scale-dependent — require_exact must CHECK it at
+    runtime. Five identical docs make every shingle df=5; with cap=3 the
+    capped index generates no candidates at all (every shared shingle is
+    hot), which require_exact turns into a loud error instead of a
+    silently-empty pair set."""
+    import pytest
+
+    from iceberg_evaluation_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(5)],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="exceeds max_shingle_df"):
+        ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.5, max_shingle_df=3,
+            require_exact=True,
+        ).count()
+    # without the check: documented boilerplate-recall contract — the
+    # all-hot pairs are simply not generated
+    silent = ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.5, max_shingle_df=3
+    )
+    assert silent.count() == 0
+    # cap above the observed df: exact — all 10 identical pairs, J=1
+    ok = ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.5, max_shingle_df=5,
+        require_exact=True,
+    )
+    assert ok.count() == 10

@@ -646,3 +646,91 @@ def test_merge_key_named_count(spark, tmp_path):
         clause=MergeClause(matched_update={"v": "s.v"}),
     )
     assert t.read().collect()[0]["v"] == 11
+
+
+def test_commit_self_heals_orphan_manifest(spark, tmp_path):
+    """ADVICE r3: a crash between the manifest link and the VERSION flip
+    orphans a COMPLETED v(N+1) manifest while VERSION reads N. The next
+    commit must adopt the orphan (advance the pointer) and raise
+    ConcurrentCommitError ONCE — a retry on fresh state then succeeds —
+    instead of hitting FileExistsError forever."""
+    import json
+    import os
+    import shutil
+
+    from iceberg_evaluation_spark.tables.snapshot_table import (
+        ConcurrentCommitError,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "heal"))
+    t.create_or_replace(spark.createDataFrame([(1,)], "id long"))
+    # simulate the crashed committer: a COMPLETE v2 manifest (clone v1's
+    # and bump the version) with VERSION still at 1
+    snap_dir = os.path.join(t.root, "snapshots")
+    with open(os.path.join(snap_dir, "v00000001.json")) as f:
+        snap = json.load(f)
+    snap["version"] = 2
+    with open(os.path.join(snap_dir, "v00000002.json"), "w") as f:
+        json.dump(snap, f)
+    assert t.current_version() == 1
+
+    with pytest.raises(ConcurrentCommitError):
+        t.append(spark.createDataFrame([(2,)], "id long"))
+    # the orphan was adopted: pointer advanced, table readable
+    assert t.current_version() == 2
+    assert t.read().count() == 1
+    # retry on fresh state succeeds (v3), no permanent wedge
+    t.append(spark.createDataFrame([(2,)], "id long"))
+    assert t.current_version() == 3
+    assert t.read().count() == 2
+    # and a THIRD append works without any ConcurrentCommitError at all
+    t.append(spark.createDataFrame([(3,)], "id long"))
+    assert t.read().count() == 3
+
+
+def test_commit_quarantines_corrupt_orphan(spark, tmp_path):
+    """An incomplete/corrupt manifest at the next version (crash mid-write
+    fabrication, or the pre-existing-snapshot race test's '{}') is
+    quarantined — the retry can claim the version number."""
+    import os
+
+    from iceberg_evaluation_spark.tables.snapshot_table import (
+        ConcurrentCommitError,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "quar"))
+    t.create_or_replace(spark.createDataFrame([(1,)], "id long"))
+    bad = os.path.join(t.root, "snapshots", "v00000002.json")
+    with open(bad, "w") as f:
+        f.write("{}")
+    with pytest.raises(ConcurrentCommitError):
+        t.append(spark.createDataFrame([(2,)], "id long"))
+    assert os.path.exists(bad + ".orphan")
+    assert t.current_version() == 1  # '{}' was NOT adopted
+    t.append(spark.createDataFrame([(2,)], "id long"))
+    assert t.current_version() == 2
+    assert t.read().count() == 2
+
+
+def test_read_where_decimal_partition_beyond_double(spark, tmp_path):
+    """ADVICE r3: decimal partition values past double precision must not
+    be float-parsed — 2^60+1 and 2^60+2 collapse to the same double, so
+    an '=' filter parsed via float() could wrongly prune the file that
+    holds the matching rows (silent row loss)."""
+    from decimal import Decimal
+
+    big = 2**60 + 1  # float(big) == float(big+1): not double-representable
+    df = spark.createDataFrame(
+        [(1, Decimal(big)), (2, Decimal(big + 1))],
+        "id long, d decimal(38,0)",
+    )
+    t = SnapshotTable(spark, str(tmp_path / "decpart"))
+    t.create_or_replace(df, partition_by=["d"])
+    got = sorted(
+        r["id"] for r in t.read_where([("d", "=", Decimal(big))]).collect()
+    )
+    assert got == [1]
+    got2 = sorted(
+        r["id"] for r in t.read_where([("d", "=", Decimal(big + 1))]).collect()
+    )
+    assert got2 == [2]
