@@ -48,9 +48,14 @@ MEDIA_SCHEMA = (
     "media_id bigint, payload binary, media_type string,"
     " width int, height int, n_frames int"
 )
+# feature is array<double>, not array<float>: the extraction stage's
+# contract is exact verifiability (closed-form oracles reproduce every
+# component bit-for-bit); compact storage is a SEPARATE, explicit step —
+# the int8 quantization operator (corpus_text.py q57) — applied after
+# any exactness checks, which is the right order at 100 TB too.
 IMAGE_FEATURE_SCHEMA = (
     "media_id bigint, n_bytes int, digest string, mean_luma double,"
-    " feature array<float>"
+    " feature array<double>"
 )
 FRAME_SCHEMA = "media_id bigint, frame_idx int, frame_payload binary"
 BMP_FEATURE_SCHEMA = (
@@ -338,12 +343,34 @@ def extract_image_features(
             if h_raw > 0:
                 rows = rows[::-1]
             mean_luma = float(rows.astype(_np.int64).sum()) / (w * h * 3 * 255)
-            row_means = rows.astype(_np.float64).mean(axis=1) / 255.0
-            idx = _np.linspace(0, h - 1, dim)
-            feat = _np.interp(idx, _np.arange(h), row_means)
-            norm = float(_np.sqrt((feat * feat).sum())) or 1.0
+            row_means = [
+                float(s) / (w * 3 * 255)
+                for s in rows.astype(_np.int64).sum(axis=1)
+            ]
+            # explicit linear resample of per-row means to `dim` taps.
+            # Deliberately NOT np.interp/np.sum: every operation here is
+            # a fixed left-to-right IEEE double sequence (one multiply-
+            # add per tap, sequential norm accumulation) so an exact SQL
+            # twin can reproduce the values bit-for-bit — numpy's
+            # pairwise summation has no SQL equivalent.
+            step = (h - 1) / float(dim - 1)
+            feat = []
+            for i in range(dim):
+                x = i * step
+                lo = int(x)
+                if lo >= h - 1:
+                    feat.append(row_means[h - 1])
+                else:
+                    feat.append(
+                        (row_means[lo + 1] - row_means[lo]) * (x - lo)
+                        + row_means[lo]
+                    )
+            acc = 0.0
+            for v in feat:
+                acc += v * v
+            norm = acc ** 0.5 or 1.0
             digest = _hl.sha256(rows.tobytes()).hexdigest()[:16]
-            return digest, mean_luma, [float(x) for x in feat / norm]
+            return digest, mean_luma, [v / norm for v in feat]
 
         decode = fake_features if decode_stub else bmp_features
         for pdf in batches:

@@ -37,26 +37,79 @@ from .registry import register
 _EV_COLS = ["event_id", "ts", "user_id", "event_type", "value"]
 
 
-def _replay_dir(df: DataFrame, prefix: str, n_files: int = 4) -> str:
-    """Materialize a DataFrame as an n-file parquet 'stream source' dir."""
+# q84's bare (operator-only) variant reuses the last replay dir built for
+# the same (session, sf_dir) so BENCH_DETAIL's verify_split separates the
+# streaming JOIN's cost from the replay-harness write — the registered
+# query always rebuilds so its end-to-end time stays comparable.
+_REPLAY_MEMO: dict[tuple[int, str], str] = {}
+
+
+def _replay_dir(
+    df: DataFrame, prefix: str, n_files: int = 4, memo_key: str | None = None
+) -> str:
+    """Materialize a DataFrame as an n-file parquet 'stream source' dir.
+
+    ``n_files`` PINS the micro-batch count: with maxFilesPerTrigger=k the
+    replay runs exactly ceil(n_files/k) data batches regardless of the
+    ambient parquet layout of the source table — replay cost must not
+    track file-count drift in the testdata.
+    """
     out = scratch_dir(prefix=prefix)
     df.repartition(n_files, "event_id").write.mode("overwrite").parquet(out)
+    if memo_key is not None:
+        _REPLAY_MEMO[(id(df.sparkSession), memo_key)] = out
     return out
+
+
+def _stream_state_partitions(spark: SparkSession) -> str:
+    """Shuffle-partition count to PIN for stateful streaming runs.
+
+    A stream-stream join commits 4 state stores per state partition per
+    micro-batch; with tiny per-batch data the commit overhead dominates
+    (measured at sf0.1: 32 partitions → 10-13 s, 8 → ~3.2 s, and the
+    run-to-run swing collapses). State-partition count is a real scale
+    tunable — size it to state volume, not to the session's batch
+    shuffle width. Override: spark.ies.streaming.statePartitions.
+    """
+    return spark.conf.get("spark.ies.streaming.statePartitions", "8")
+
+
+class _pinned_shuffle_partitions:
+    """Temporarily pin spark.sql.shuffle.partitions for a stream run.
+
+    The state-partition count is frozen into the checkpoint at query
+    start from this conf, so the pin must cover .start(); it is restored
+    after the stream drains. (Session-global: under the opt-in threaded
+    bench a concurrently-planned batch query could briefly see the
+    pinned width — harmless for correctness, only plan width.)
+    """
+
+    def __init__(self, spark: SparkSession, n: str):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.n)
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
 
 
 def _run_stream(result: DataFrame, sink: str, output_mode: str) -> None:
     """Drain a streaming DataFrame into a memory sink, to completion."""
-    q = (
-        result.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode(output_mode)
-        .option(
-            "checkpointLocation", scratch_dir(prefix=f"{sink}_ckpt_")
+    spark = result.sparkSession
+    with _pinned_shuffle_partitions(spark, _stream_state_partitions(spark)):
+        q = (
+            result.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode(output_mode)
+            .option(
+                "checkpointLocation", scratch_dir(prefix=f"{sink}_ckpt_")
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+        q.awaitTermination(300)
 
 
 # ---------------------------------------------------------------------------
@@ -332,28 +385,17 @@ def q79_streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      real lateness horizon and state stays bounded by
 #      (delay + interval) × per-key arrival rate.
 # ---------------------------------------------------------------------------
-@register(
-    "q84_stream_stream_join",
-    covers="streaming J1 J7 J10 streaming-shape",
-    oracle="""
-SELECT a.user_id,
-       a.event_id AS view_id,
-       b.event_id AS purchase_id,
-       a.ts AS view_ts,
-       b.ts AS purchase_ts
-FROM events a JOIN events b
-  ON a.user_id = b.user_id
- AND a.event_type = 'view' AND b.event_type = 'purchase'
- AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
-""",
-)
-def q84_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q84(spark: SparkSession, sf_dir: str, fresh_replay: bool = True) -> DataFrame:
     # replay only the two event types the join consumes — the operator
     # under test is the stream-stream join, not a stream-side filter
     ev = load_table(spark, sf_dir, "events").select(*_EV_COLS).filter(
         F.col("event_type").isin("view", "purchase")
     )
-    src = _replay_dir(ev, "q84_replay_")
+    memo = _REPLAY_MEMO.get((id(spark), f"q84:{sf_dir}"))
+    if fresh_replay or memo is None or not os.path.isdir(memo):
+        src = _replay_dir(ev, "q84_replay_", memo_key=f"q84:{sf_dir}")
+    else:
+        src = memo
 
     def _src() -> DataFrame:
         return (
@@ -393,3 +435,28 @@ def q84_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = f"q84_sink_{uuid.uuid4().hex[:8]}"
     _run_stream(joined, sink, "append")
     return spark.table(sink)
+
+
+def _q84_bare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator-only: the streaming join over an already-built replay dir
+    (the registered run's, memoized) — verify_split's run_s is the join,
+    verify_s the replay-harness write."""
+    return _q84(spark, sf_dir, fresh_replay=False)
+
+
+register(
+    "q84_stream_stream_join",
+    covers="streaming J1 J7 J10 streaming-shape",
+    oracle="""
+SELECT a.user_id,
+       a.event_id AS view_id,
+       b.event_id AS purchase_id,
+       a.ts AS view_ts,
+       b.ts AS purchase_ts
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'view' AND b.event_type = 'purchase'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+""",
+    bare=_q84_bare,
+)(_q84)

@@ -50,8 +50,25 @@ class QueryStats:
         return sum(self.runs_s) / len(self.runs_s) if self.runs_s else float("nan")
 
     @property
+    def median_s(self) -> float:
+        """Median wall seconds — the round-over-round comparison metric:
+        best-of-N hides regressions behind one lucky run and single-run
+        numbers carry ±40% ambient swing (r3 BENCH_NOTES isolation
+        re-measurements); the median of N≥3 is robust to one outlier in
+        either direction."""
+        import statistics
+
+        return statistics.median(self.runs_s) if self.runs_s else float("nan")
+
+    @property
     def best_bare_s(self) -> float:
         return min(self.bare_s) if self.bare_s else float("nan")
+
+    @property
+    def median_bare_s(self) -> float:
+        import statistics
+
+        return statistics.median(self.bare_s) if self.bare_s else float("nan")
 
 
 def _time_noop(q_fn, spark: SparkSession, sf_dir: str) -> float:

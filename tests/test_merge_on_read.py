@@ -250,3 +250,100 @@ def test_drop_column_guarded_by_live_delete_keys(spark, tmp_path):
     mor.compact(target_files=1)  # materializes the deletes
     mor.drop_column("id")
     assert mor.read().columns == ["v"]
+
+
+def test_mor_compact_between_merges_interleaving(spark, tmp_path):
+    """r3 verdict #8: compaction between MOR merges materializes deletes
+    and re-sequences survivors; later merges' delete files must still
+    kill exactly the pre-compaction images and never the post-compaction
+    rewrites. COW twin is the oracle at every step."""
+    base = spark.createDataFrame(
+        [(i, i * 10) for i in range(50)], "id bigint, v bigint"
+    )
+    cow, mor = _pair(spark, tmp_path, base, partitions=4)
+    clause = MergeClause(matched_update={"v": "s.v"})
+
+    u1 = spark.createDataFrame([(i, -1) for i in range(0, 50, 5)], "id bigint, v bigint")
+    _merge_both(cow, mor, u1, ["id"], clause)
+    assert _rows(mor.read()) == _rows(cow.read())
+
+    mor.compact(target_files=2)  # deletes materialized, files re-sequenced
+    assert mor._read_snapshot(mor.current_version())["delete_files"] == []
+    assert _rows(mor.read()) == _rows(cow.read())
+
+    # post-compaction MOR merge: its delete file's seq must kill the
+    # COMPACTED rewrites (lower seq), not just original files
+    u2 = spark.createDataFrame([(i, -2) for i in range(0, 50, 3)], "id bigint, v bigint")
+    _merge_both(cow, mor, u2, ["id"], clause)
+    assert _rows(mor.read()) == _rows(cow.read())
+
+    # delete wave after the compaction boundary
+    del_clause = MergeClause(
+        matched_update=None, matched_delete_condition="true",
+        insert_when_not_matched=False,
+    )
+    d = spark.createDataFrame([(i, 0) for i in range(0, 50, 10)], "id bigint, v bigint")
+    _merge_both(cow, mor, d, ["id"], del_clause)
+    assert _rows(mor.read()) == _rows(cow.read())
+
+    # time travel across the compaction boundary still replays exactly
+    assert _rows(mor.read(version=2)) != _rows(mor.read(version=1))
+    assert len(_rows(mor.read(version=2))) == 50  # update wave, no loss
+
+
+def test_mor_delete_then_reinsert_same_key(spark, tmp_path):
+    """A key deleted at seq s and re-inserted at seq s' > s must SURVIVE
+    the earlier equality-delete (strictly-lower kill rule) — twice."""
+    base = spark.createDataFrame([(1, 10), (2, 20)], "id bigint, v bigint")
+    cow, mor = _pair(spark, tmp_path, base, partitions=1)
+    del_clause = MergeClause(
+        matched_update=None, matched_delete_condition="true",
+        insert_when_not_matched=False,
+    )
+    ins_clause = MergeClause(matched_update={"v": "s.v"})
+
+    for round_v in (100, 200):
+        d = spark.createDataFrame([(1, 0)], "id bigint, v bigint")
+        _merge_both(cow, mor, d, ["id"], del_clause)
+        assert _rows(mor.read()) == _rows(cow.read())
+        assert all(r[0] != 1 for r in _rows(mor.read()))
+        r = spark.createDataFrame([(1, round_v)], "id bigint, v bigint")
+        _merge_both(cow, mor, r, ["id"], ins_clause)
+        assert _rows(mor.read()) == _rows(cow.read())
+        assert (1, round_v) in _rows(mor.read())
+    # every intermediate version replays
+    for ver in range(1, mor.current_version() + 1):
+        assert _rows(mor.read(version=ver)) == _rows(cow.read(version=ver))
+
+
+def test_mor_reader_honors_sequence_numbers(spark, tmp_path):
+    """The seq-mutation red test: hand-lower a post-image file's sequence
+    below its own commit's delete file and the post-image MUST be killed
+    — proving the reader enforces strictly-lower-seq deletion rather
+    than, say, path-set difference or commit order."""
+    import json
+    import os
+
+    base = spark.createDataFrame([(1, 10), (2, 20)], "id bigint, v bigint")
+    mor = SnapshotTable(spark, str(tmp_path / "m"))
+    mor.create_or_replace(base, partitions=1)
+    src = spark.createDataFrame([(1, 11)], "id bigint, v bigint")
+    mor.merge(src, on=["id"], clause=MergeClause(matched_update={"v": "s.v"}),
+              mode="merge-on-read")
+    assert _rows(mor.read()) == [(1, 11), (2, 20)]
+
+    snap_path = mor._snapshot_path(mor.current_version())
+    with open(snap_path) as f:
+        snap = json.load(f)
+    # post-image file(s): committed at v2 (seq 2); the delete file killing
+    # id=1 also carries seq 2 — post-image survives ONLY via seq equality
+    assert snap["delete_files"] and snap["delete_files"][0]["seq"] == 2
+    mutated = dict(snap)
+    mutated["file_seqs"] = {
+        rel: (1 if seq == 2 else seq) for rel, seq in snap["file_seqs"].items()
+    }
+    os.remove(snap_path)
+    with open(snap_path, "w") as f:
+        json.dump(mutated, f)
+    # post-image now strictly lower than the delete seq → killed
+    assert _rows(mor.read()) == [(2, 20)]
