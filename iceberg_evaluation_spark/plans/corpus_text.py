@@ -959,3 +959,200 @@ def q72_blocked_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     corpus = emb.unionByName(planted)
     return srp_neardup_pairs(corpus, threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
+# q104: INCREMENTAL cross-run near-dup dedup (r3 verdict "next round" #4)
+#       — the 100 TB ingestion composition the one-shot LSH family lacks.
+#       Run 1 fingerprints the corpus ONCE into two persisted snapshot-
+#       table artifacts (raw-md5 fingerprints + capped MinHash band
+#       index); a reference-shape daily delta (update_tpcds.py:56-62)
+#       then dedups against the artifacts WITHOUT re-scanning the
+#       corpus: bloom-prefiltered exact anti-join, band-index bucket
+#       join, exact-Jaccard verify against only the candidate partners.
+#       New docs fold back into the artifacts, and the SAME delta is
+#       replayed as run 2 to prove state accumulation.
+#
+#       The delta plants three provable classes:
+#         %10=0 → raw-identical copy        → exact_dup (bloom path)
+#         %10=1 → text := md5(text)         → new (J vs any corpus doc
+#                 needs norm-equality: a 1-shingle doc can only reach
+#                 J ≥ 0.7 when the partner's shingle set is exactly its
+#                 own — i.e. normalized-text equality)
+#         %10=2 → spaces doubled            → near_dup (normalization
+#                 collapses runs: identical shingles → identical
+#                 signature → guaranteed band hit → J = 1; raw text
+#                 differs whenever the text contains a space)
+#       So dup-vs-new truth is EXACTLY raw/normalized text equality —
+#       fully SQL-derivable with no LSH probability anywhere — and the
+#       run-2 invariant n_new_2 = 0 pins that appended state is really
+#       consulted. capped_drops = 0 pins the build-time bucket cap as a
+#       no-op at this scale (the exactness precondition, checked where
+#       assumed); band_rows_final pins the append arithmetic (16 band
+#       rows per fingerprinted doc).
+# ---------------------------------------------------------------------------
+_Q104_EXISTS_RAW = (
+    "EXISTS (SELECT 1 FROM documents c WHERE c.text = d.text)"
+)
+_Q104_EXISTS_NORM = (
+    "EXISTS (SELECT 1 FROM documents c WHERE "
+    "trim(regexp_replace(lower(c.text), '\\s+', ' ', 'g')) = "
+    "trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g')))"
+)
+
+
+# operator-only variant (bench run_s): ONE incremental delta pass against
+# a memoized standing state — the production daily-ingest shape. The
+# registered query's extra cost (state build + a second replay run +
+# the append writes) is the verification harness, reported as verify_s.
+_Q104_STATE_CACHE: dict = {}
+
+
+def _q104_delta(docs):
+    return (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 2_000_000).alias("doc_id"), "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 1).select(
+                (F.col("doc_id") + 3_000_000).alias("doc_id"),
+                F.md5("text").alias("text"),
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 2).select(
+                (F.col("doc_id") + 4_000_000).alias("doc_id"),
+                F.regexp_replace("text", " ", "  ").alias("text"),
+            )
+        )
+    )
+
+
+def _q104_bare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.incremental_dedup import (
+        build_dedup_state,
+        incremental_neardup_dedup,
+    )
+    from ._tmpdirs import scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    key = (id(spark), sf_dir)
+    state = _Q104_STATE_CACHE.get(key)
+    if state is None:
+        state = build_dedup_state(
+            spark, docs, "doc_id", "text",
+            scratch_dir("q104b_fp_"), scratch_dir("q104b_bands_"),
+        )
+        _Q104_STATE_CACHE[key] = state
+    return incremental_neardup_dedup(
+        state, _q104_delta(docs), docs, "doc_id", "text", append_new=False
+    )
+
+
+@register(
+    "q104_incremental_crossrun_dedup",
+    covers="dedup-incremental dedup-minhash-lsh dedup-bloom table-layer S7 J5 J6 A2",
+    bare=_q104_bare,
+    oracle=f"""
+WITH delta AS (
+  SELECT doc_id + 2000000 AS doc_id, text
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id, md5(text) AS text
+  FROM documents WHERE doc_id % 10 = 1
+  UNION ALL
+  SELECT doc_id + 4000000 AS doc_id, replace(text, ' ', '  ') AS text
+  FROM documents WHERE doc_id % 10 = 2
+), cls AS (
+  SELECT d.doc_id,
+         {_Q104_EXISTS_RAW} AS is_exact,
+         {_Q104_EXISTS_NORM} AS is_norm
+  FROM delta d
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS corpus_docs,
+       CAST(count(*) AS BIGINT) AS delta_docs,
+       CAST(coalesce(sum(CASE WHEN is_exact THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_exact_dup,
+       CAST(coalesce(sum(CASE WHEN NOT is_exact AND is_norm THEN 1 ELSE 0 END), 0)
+         AS BIGINT) AS n_near_dup,
+       CAST(coalesce(sum(CASE WHEN NOT is_norm THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_new,
+       -- run 2 replays the SAME delta: run-1 'new' rows are now exact
+       -- (their fingerprints were appended), nothing is ever new twice
+       CAST(coalesce(sum(CASE WHEN is_exact OR NOT is_norm THEN 1 ELSE 0 END), 0)
+         AS BIGINT) AS n_exact_dup_2,
+       CAST(coalesce(sum(CASE WHEN NOT is_exact AND is_norm THEN 1 ELSE 0 END), 0)
+         AS BIGINT) AS n_near_dup_2,
+       CAST(0 AS BIGINT) AS n_new_2,
+       CAST(16 * ((SELECT count(*) FROM documents)
+                  + coalesce(sum(CASE WHEN NOT is_norm THEN 1 ELSE 0 END), 0))
+         AS BIGINT) AS band_rows_final,
+       CAST(0 AS BIGINT) AS capped_drops
+FROM cls
+""",
+)
+def q104_incremental_crossrun_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.incremental_dedup import (
+        build_dedup_state,
+        incremental_neardup_dedup,
+    )
+    from ._tmpdirs import scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    state = build_dedup_state(
+        spark, docs, "doc_id", "text",
+        scratch_dir("q104_fp_"), scratch_dir("q104_bands_"),
+    )
+
+    delta = _q104_delta(docs)
+
+    def counts(res: DataFrame) -> DataFrame:
+        return res.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("status") == "exact_dup", 1)), F.lit(0)
+            ).cast("bigint").alias("exact"),
+            F.coalesce(
+                F.sum(F.when(F.col("status") == "near_dup", 1)), F.lit(0)
+            ).cast("bigint").alias("near"),
+            F.coalesce(
+                F.sum(F.when(F.col("status") == "new", 1)), F.lit(0)
+            ).cast("bigint").alias("new"),
+        )
+
+    r1 = counts(
+        incremental_neardup_dedup(state, delta, docs, "doc_id", "text")
+    ).localCheckpoint()
+    # run 2: the standing corpus now includes run-1's ingested rows, so
+    # the partner lookup is corpus ∪ delta (superset is fine — verify
+    # joins only touch candidate ids from the band index). Delta-2 ids
+    # are shifted so the append in run 2 (a no-op: nothing is new) could
+    # never collide with run-1 rows.
+    delta2 = delta.select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    r2 = counts(
+        incremental_neardup_dedup(
+            state, delta2, docs.unionByName(delta), "doc_id", "text"
+        )
+    ).localCheckpoint()
+
+    band_rows = state.bands.read().count()
+    return (
+        docs.agg(F.count(F.lit(1)).cast("bigint").alias("corpus_docs"))
+        .crossJoin(delta.agg(F.count(F.lit(1)).cast("bigint").alias("delta_docs")))
+        .crossJoin(
+            r1.select(
+                F.col("exact").alias("n_exact_dup"),
+                F.col("near").alias("n_near_dup"),
+                F.col("new").alias("n_new"),
+            )
+        )
+        .crossJoin(
+            r2.select(
+                F.col("exact").alias("n_exact_dup_2"),
+                F.col("near").alias("n_near_dup_2"),
+                F.col("new").alias("n_new_2"),
+            )
+        )
+        .withColumn("band_rows_final", F.lit(band_rows).cast("bigint"))
+        .withColumn(
+            "capped_drops", F.lit(state.capped_drops).cast("bigint")
+        )
+    )

@@ -1,0 +1,98 @@
+"""Incremental cross-run near-dup dedup (operators/incremental_dedup).
+
+The contract: classify a delta against PERSISTED corpus fingerprints
+(exact via bloom+anti-join, near via the banded MinHash index + exact
+Jaccard verify) without re-scanning the corpus, and fold new docs back
+into the artifacts so the next run sees them."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from iceberg_evaluation_spark.operators.incremental_dedup import (
+    build_dedup_state,
+    incremental_neardup_dedup,
+)
+
+CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "pack my box with five dozen liquor jugs for the annual county fair"),
+    (3, "sphinx of black quartz judge my vow said the museum curator today"),
+]
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _state(spark, tmp_path, rows=CORPUS, **kw):
+    return build_dedup_state(
+        spark, _docs(spark, rows), "doc_id", "text",
+        str(tmp_path / "fp"), str(tmp_path / "bands"), **kw
+    )
+
+
+def test_classification_exact_near_new(spark, tmp_path):
+    state = _state(spark, tmp_path)
+    delta = _docs(spark, [
+        (101, CORPUS[0][1]),                      # raw-identical → exact
+        (102, CORPUS[1][1].replace(" ", "  ")),   # ws-jitter → near (J=1)
+        (103, "completely unrelated text about spark physical plans"),
+    ])
+    got = {r["id"]: r["status"] for r in incremental_neardup_dedup(
+        state, delta, _docs(spark, CORPUS), "doc_id", "text"
+    ).collect()}
+    assert got == {101: "exact_dup", 102: "near_dup", 103: "new"}
+
+
+def test_state_accumulates_across_runs(spark, tmp_path):
+    state = _state(spark, tmp_path)
+    v0 = state.fingerprints.current_version()
+    new_text = "brand new document that the corpus has never seen before at all"
+    d1 = _docs(spark, [(201, new_text)])
+    r1 = incremental_neardup_dedup(
+        state, d1, _docs(spark, CORPUS), "doc_id", "text"
+    ).collect()
+    assert r1 == [type(r1[0])(id=201, status="new")]
+    assert state.fingerprints.current_version() == v0 + 1
+    # run 2: the same text again → exact dup against RUN-1 state, not corpus
+    d2 = _docs(spark, [(301, new_text), (302, new_text.replace(" ", "   "))])
+    lookup = _docs(spark, CORPUS + [(201, new_text)])
+    got = {r["id"]: r["status"] for r in incremental_neardup_dedup(
+        state, d2, lookup, "doc_id", "text"
+    ).collect()}
+    assert got == {301: "exact_dup", 302: "near_dup"}
+
+
+def test_append_new_false_leaves_state_untouched(spark, tmp_path):
+    state = _state(spark, tmp_path)
+    vf = state.fingerprints.current_version()
+    vb = state.bands.current_version()
+    d = _docs(spark, [(401, "some fresh text never fingerprinted anywhere yet")])
+    out = incremental_neardup_dedup(
+        state, d, _docs(spark, CORPUS), "doc_id", "text", append_new=False
+    ).collect()
+    assert [(r["id"], r["status"]) for r in out] == [(401, "new")]
+    assert state.fingerprints.current_version() == vf
+    assert state.bands.current_version() == vb
+
+
+def test_build_cap_reports_drops(spark, tmp_path):
+    # 5 identical docs share every bucket; cap=2 keeps the 2 lowest ids
+    # per (band,bucket) and reports 16 bands x 3 dropped docs = 48 drops
+    rows = [(i, "same exact text in every single one of these documents") for i in range(5)]
+    state = _state(spark, tmp_path, rows=rows, max_bucket=2)
+    assert state.capped_drops == 16 * 3
+    assert state.bands.read().count() == 16 * 2
+
+
+def test_delta_only_cost_no_corpus_rescan(spark, tmp_path):
+    """The near stage must re-shingle only candidate partners: a delta
+    with NO band hits must produce an empty partner set (pinned by the
+    pruned-lookup join being empty, not by scanning all corpus text)."""
+    state = _state(spark, tmp_path)
+    d = _docs(spark, [(501, "zxqv wvut plmk okij uhyg tgrf")])
+    out = incremental_neardup_dedup(
+        state, d, _docs(spark, CORPUS), "doc_id", "text", append_new=False
+    ).collect()
+    assert [(r["id"], r["status"]) for r in out] == [(501, "new")]
