@@ -10,85 +10,76 @@ from . import corpus_multimodal  # noqa: E402,F401
 from . import corpus_scale  # noqa: E402,F401
 from . import corpus_quality  # noqa: E402,F401
 
-# The driver's per-round CORRECTNESS check covers only the FIRST 50 entries of
-# queries(). Round 2's window covered the 38 queries round 1 never reached,
-# the round-1 failures, and everything added in round 2 — leaving the 38
-# round-1-window queries (q02-q26, q30-q32, q34, q39, q51, q55-q56, q62,
-# q65-q66, q68, q70) with verdicts issued against round-1 code. This round
-# rotates exactly that complement to the front so every query's most recent
-# driver verdict is against HEAD, and fills the remaining 11 slots with the
-# queries whose code paths changed in round 3 (q69/q90 shared clustering,
-# q46 real codec, the snapshot-table queries touched by the ADVICE fixes,
-# q36/q37 verification split). Everything else was freshly verified green in
-# round 2 and remains covered locally by tests/test_oracle_parity.py.
+# The driver's per-round CORRECTNESS check covers only the FIRST 50 entries
+# of queries(). Round-4 window (r3 verdict "next round" #1): FRONT-LOAD the
+# six queries that have never received a driver verdict (q98-q103 — round
+# 3's window was exactly consumed rotating the stale round-1 set), then the
+# query added this round (q104), then every query whose code path round 4
+# touched (q84/q75/q76/q79 streaming state-partition pin; q46 real-codec
+# routing + feature schema; q69/q90 require_exact precondition check;
+# q44/q86 snapshot-table commit self-heal; q96/q97 selection sharding;
+# q33/q36/q37 dedup.py signature change; q91/q92 multimodal module edits).
+# The remaining slots backfill the round-2-era verdicts, preferring the
+# table/scale/multimodal queries whose scratch-dir allocation changed this
+# round. Left outside the window (r2-green, code untouched, locally green
+# in tests/test_oracle_parity.py at HEAD): q27 q52 q58 q59 q60 q61 q64 q67
+# q71 q73 q74.
 _registry.PRIORITY[:] = [
     # flagship stays first (driver entry() smoke-checks it anyway)
     "q01_pricing_summary",
-    # --- last driver-verified in round 1: rotate in for a HEAD verdict ---
-    "q02_top_brand_revenue",
-    "q03_above_nation_avg_balance",
-    "q04_running_revenue",
-    "q05_rank_parts_in_brand",
-    "q06_monthly_vs_flag_avg",
-    "q07_monthly_lag_lead",
-    "q08_rollup_grouping",
-    "q09_count_distinct_customers",
-    "q10_distinct_triple_counts",
-    "q11_intersect_customers",
-    "q12_except_customers",
-    "q13_union_channels",
-    "q14_exists_semi_join",
-    "q15_not_exists_anti_join",
-    "q16_full_outer_totals",
-    "q17_left_join_nation_counts",
-    "q18_cross_scalar_ratio",
-    "q19_interval_range_join",
-    "q20_having_thresholds",
-    "q21_stddev_quantity",
-    "q22_quarter_pivot",
-    "q23_scalar_function_census",
-    "q24_latest_order_per_customer",
-    "q25_event_hourly_windows",
-    "q26_or_of_ands_buckets",
-    "q30_text_quality",
-    "q31_language_id",
-    "q32_exact_dedup",
-    "q34_ann_cosine_topk",
-    "q39_rolling_fingerprint",
-    "q51_sql_path_view_scan",
-    "q55_exact_percentiles",
-    "q56_moving_week_revenue",
-    "q62_json_props",
-    "q65_native_pivot",
-    "q66_unpivot_metrics",
-    "q68_rank_family",
-    "q70_string_census",
-    # --- code paths changed in round 3: need fresh verdicts ---
-    # (q46/q47/q48/q85 were candidates but their registered result paths
-    # are provably untouched by the round-3 commits — q46's stub default
-    # saw only a docstring change, and the snapshot-table hardening added
-    # guards none of these queries trigger; all four are r2-green. Their
-    # slots go to the four new pipeline operators instead.)
+    # --- never driver-checked (r3 verdict's #1 ask) ---
+    "q98_bloom_incremental_dedup",
+    "q99_tfidf_keywords",
+    "q100_dsir_importance",
+    "q101_stats_pruned_scan",
+    "q102_merge_on_read_pipeline",
+    "q103_partitioned_table_scan",
+    # --- new this round ---
+    "q104_incremental_crossrun_dedup",
+    # --- code paths changed in round 4 ---
+    "q84_stream_stream_join",
+    "q46_multimodal_features",
+    "q75_streaming_dedup",
+    "q76_streaming_window_totals",
+    "q79_streaming_ingest_dedup",
     "q69_neardup_clusters",
     "q90_leakage_safe_split",
     "q44_scd2_table_pipeline",
     "q86_incremental_scan",
-    # (q87 also dropped: its path — append + rollback — is covered by the
-    # q44/q86 window slots and its own r2-green verdict; the slot goes to
-    # the new q97.)
-    # --- new this round: never driver-checked ---
+    "q97_budget_selection",
+    "q96_stratified_sample",
+    "q36_minhash_neardup",
+    "q37_simhash_neardup",
+    "q33_ngram_jaccard_pairs",
     "q91_bmp_decode",
     "q92_wav_decode",
-    "q93_substring_span_dedup",
-    "q94_unigram_lm_score",
-    "q95_temperature_mixture",
-    "q96_stratified_sample",
-    "q97_budget_selection",
+    # --- round-2-era verdicts, refreshed (scratch-dir/table-layer first) ---
+    "q47_time_travel",
+    "q48_compaction",
+    "q49_partitioned_sink",
+    "q50_csv_source",
+    "q85_zorder_compaction",
+    "q87_rollback",
+    "q40_scd2_rebuild",
+    "q41_latest_event_per_user",
+    "q42_composite_pk",
+    "q43_update_synthesis",
+    "q77_salted_skew_join",
+    "q78_bucketed_colocated_join",
+    "q45_multimodal_metadata",
+    "q35_embedding_neardup_pairs",
+    "q38_ivf_cosine_topk",
+    "q53_asof_join",
+    "q54_sketch_stats",
+    "q57_embedding_quantize",
+    "q63_dataset_split_mixture",
+    "q72_blocked_embedding_neardup",
+    "q80_semantic_dedup",
+    "q81_contamination_check",
+    "q82_pii_redaction",
+    "q83_repetition_metrics",
+    "q88_cube_grouping",
+    "q89_mixture_resample",
 ]
-# q98-q103 (bloom dedup / tf-idf / DSIR / stats-pruned scan / merge-on-read /
-# partitioned tables, all new this round) don't fit the 50-slot window — it
-# is exactly full with the rotation above. All six are locally verified
-# (strict oracle parity at sf0.01 + vanilla-driver replica + property/unit
-# tests) and are the first candidates for round 4's window.
 
 __all__ = ["Query", "REGISTRY", "register", "all_queries", "all_oracles"]

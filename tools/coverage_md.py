@@ -84,6 +84,10 @@ DESCRIPTIONS = [
     ("dedup-semantic", "SemDeDup-style semantic dedup (SRP-blocked keep-first)"),
     ("dedup-substring", "Exact substring-span dedup (hashed k-token windows, Lee et al.)"),
     ("dedup-bloom", "Bloom-prefiltered incremental dedup vs reference corpus"),
+    (
+        "dedup-incremental",
+        "Incremental cross-run near-dup dedup vs persisted fingerprint+band artifacts",
+    ),
     ("contamination", "Benchmark-contamination check (word-8-gram overlap)"),
     ("pii-redaction", "PII scrub (email/phone/IP count + redact)"),
     ("repetition", "Repetition filters (Gopher top-gram / dup-trigram fracs)"),
