@@ -221,3 +221,109 @@ def incremental_neardup_dedup(
         .unionByName(near.select("id", F.lit("near_dup").alias("status")))
         .unionByName(new.select("id", F.lit("new").alias("status")))
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding modality: the same cross-run story over SRP bands
+# ---------------------------------------------------------------------------
+def build_semantic_state(
+    spark: SparkSession,
+    corpus: DataFrame,
+    band_root: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int = 200,
+    **srp_kwargs,
+) -> SnapshotTable:
+    """Persist the corpus's SRP band signature (id, chunk, cval) once.
+
+    The bucket cap (keep-lowest-``max_bucket`` ids per (chunk, cval))
+    mirrors srp_neardup_pairs' build-time rule; the table IS the
+    standing similarity index every later delta probes.
+    """
+    from .similarity import srp_chunks
+
+    chunks = srp_chunks(corpus, id_col=id_col, vec_col=vec_col, **srp_kwargs)
+    w = Window.partitionBy("chunk", "cval").orderBy("_id")
+    capped = (
+        chunks.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_bucket)
+        .select(F.col("_id").alias("id"), "chunk", "cval")
+    )
+    table = SnapshotTable(spark, band_root)
+    table.create_or_replace(capped)
+    return table
+
+
+def incremental_semantic_dedup(
+    bands: SnapshotTable,
+    delta: DataFrame,
+    corpus_lookup: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    append_new: bool = True,
+    **srp_kwargs,
+) -> DataFrame:
+    """Classify delta vectors against the persisted SRP band index.
+
+    (id, status) with status in {'dup', 'new'}: dup iff some indexed
+    vector shares an SRP band AND verifies at exact double cosine ≥
+    ``threshold`` (partner vectors come from ``corpus_lookup`` via a
+    candidate semi-join — a pruned read, never a corpus re-scan).
+    New vectors' bands are appended so the next delta sees them.
+
+    Exact-duplicate recall is 1.0 by construction (identical vectors
+    share every band); near-dup recall is the SRP banding probability —
+    the same contract as the one-shot srp_neardup_pairs.
+    """
+    from .similarity import cosine, srp_chunks
+
+    d = delta.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    delta_chunks = srp_chunks(
+        d, id_col="id", vec_col="vec", **srp_kwargs
+    ).localCheckpoint(eager=False)
+    cand = (
+        delta_chunks.join(
+            bands.read().select(
+                F.col("id").alias("corpus_id"), "chunk", "cval"
+            ),
+            ["chunk", "cval"],
+        )
+        .select(F.col("_id").alias("id"), "corpus_id")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    partners = corpus_lookup.select(
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("pvec")
+    ).join(cand.select("corpus_id").distinct(), "corpus_id", "left_semi")
+    verified = (
+        cand.join(d.select("id", "vec"), "id")
+        .join(partners, "corpus_id")
+        .filter(
+            F.round(
+                cosine(
+                    F.col("vec").cast("array<double>"),
+                    F.col("pvec").cast("array<double>"),
+                ),
+                6,
+            )
+            >= threshold
+        )
+        .select("id")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    dup = d.join(verified, "id", "left_semi")
+    new = d.join(verified, "id", "left_anti")
+    if append_new:
+        new = new.localCheckpoint(eager=False)
+        new_chunks = delta_chunks.join(
+            new.select(F.col("id").alias("_id")), "_id", "left_semi"
+        ).select(F.col("_id").alias("id"), "chunk", "cval")
+        bands.append(new_chunks)
+    return dup.select("id", F.lit("dup").alias("status")).unionByName(
+        new.select("id", F.lit("new").alias("status"))
+    )

@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 __all__ = [
+    "srp_chunks",
     "cosine_topk",
     "cosine_pairs",
     "ivf_cosine_topk",
@@ -294,6 +295,75 @@ def semantic_dedup(
     )
 
 
+def srp_chunks(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bits: int = 64,
+    band_bits: int = 16,
+    quant_scale: int = 1_000_000,
+) -> DataFrame:
+    """(_id, chunk, cval): the deterministic integer SRP band signature.
+
+    Factored out of :func:`srp_neardup_pairs` so the INCREMENTAL path
+    (operators/incremental_dedup.py) can band a delta batch with the
+    exact same arithmetic the persisted corpus artifact was built with —
+    cross-run band equality is the whole contract. See
+    srp_neardup_pairs' docstring for why every stage is integer-exact
+    and engine-portable.
+    """
+    spark = df.sparkSession
+    base = df.select(
+        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
+    )
+
+    # ±1 hyperplane entries from md5 parity: first hex digit <= '7' → +1
+    sign_tbl = (
+        spark.range(n_bits * dim)
+        .select(
+            (F.col("id") / dim).cast("int").alias("bit"),
+            (F.col("id") % dim).cast("int").alias("pos"),
+        )
+        .withColumn(
+            "s",
+            F.when(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.lit("srp"), F.col("bit"), F.col("pos"))),
+                    1,
+                    1,
+                )
+                <= "7",
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        )
+    )
+
+    exploded = base.select(
+        "_id", F.posexplode("_v").alias("pos", "_val")
+    ).select(
+        "_id",
+        "pos",
+        F.round(F.col("_val") * quant_scale, 0).cast("bigint").alias("vq"),
+    )
+    proj = (
+        exploded.join(F.broadcast(sign_tbl), "pos")
+        .groupBy("_id", "bit")
+        .agg(F.sum(F.col("vq") * F.col("s")).alias("pr"))
+    )
+    return proj.groupBy(
+        "_id", (F.col("bit") / band_bits).cast("int").alias("chunk")
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("pr") >= 0,
+                F.pow(F.lit(2), F.col("bit") % band_bits).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).alias("cval")
+    )
+
+
 def srp_neardup_pairs(
     df: DataFrame,
     *,
@@ -336,55 +406,17 @@ def srp_neardup_pairs(
     checks); near-identical pairs match a band with probability
     ``1-(1-(1-θ/π)^band_bits)^bands``. Output: (id_a, id_b, cosine_sim).
     """
-    spark = df.sparkSession
-    bands = n_bits // band_bits
-
     base = df.select(
         F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
     )
-
-    # ±1 hyperplane entries from md5 parity: first hex digit <= '7' → +1
-    sign_tbl = (
-        spark.range(n_bits * dim)
-        .select(
-            (F.col("id") / dim).cast("int").alias("bit"),
-            (F.col("id") % dim).cast("int").alias("pos"),
-        )
-        .withColumn(
-            "s",
-            F.when(
-                F.substring(
-                    F.md5(F.concat_ws(":", F.lit("srp"), F.col("bit"), F.col("pos"))),
-                    1,
-                    1,
-                )
-                <= "7",
-                F.lit(1),
-            ).otherwise(F.lit(-1)),
-        )
-    )
-
-    exploded = base.select(
-        "_id", F.posexplode("_v").alias("pos", "_val")
-    ).select(
-        "_id",
-        "pos",
-        F.round(F.col("_val") * quant_scale, 0).cast("bigint").alias("vq"),
-    )
-    proj = (
-        exploded.join(F.broadcast(sign_tbl), "pos")
-        .groupBy("_id", "bit")
-        .agg(F.sum(F.col("vq") * F.col("s")).alias("pr"))
-    )
-    chunks = proj.groupBy(
-        "_id", (F.col("bit") / band_bits).cast("int").alias("chunk")
-    ).agg(
-        F.sum(
-            F.when(
-                F.col("pr") >= 0,
-                F.pow(F.lit(2), F.col("bit") % band_bits).cast("bigint"),
-            ).otherwise(F.lit(0).cast("bigint"))
-        ).alias("cval")
+    chunks = srp_chunks(
+        df,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+        n_bits=n_bits,
+        band_bits=band_bits,
+        quant_scale=quant_scale,
     )
     w = W.partitionBy("chunk", "cval").orderBy("_id")
     capped = chunks.withColumn("rn", F.row_number().over(w)).filter(

@@ -36,6 +36,7 @@ _registry.PRIORITY[:] = [
     "q103_partitioned_table_scan",
     # --- new this round ---
     "q104_incremental_crossrun_dedup",
+    "q105_incremental_semantic_ingest",
     # --- code paths changed in round 4 ---
     "q84_stream_stream_join",
     "q46_multimodal_features",
@@ -79,7 +80,7 @@ _registry.PRIORITY[:] = [
     "q82_pii_redaction",
     "q83_repetition_metrics",
     "q88_cube_grouping",
-    "q89_mixture_resample",
 ]
+# (q89_mixture_resample rotated out to fit q105 — r2-green, untouched.)
 
 __all__ = ["Query", "REGISTRY", "register", "all_queries", "all_oracles"]

@@ -1121,15 +1121,16 @@ def q104_incremental_crossrun_dedup(spark: SparkSession, sf_dir: str) -> DataFra
     r1 = counts(
         incremental_neardup_dedup(state, delta, docs, "doc_id", "text")
     ).localCheckpoint()
-    # run 2: the standing corpus now includes run-1's ingested rows, so
-    # the partner lookup is corpus ∪ delta (superset is fine — verify
-    # joins only touch candidate ids from the band index). Delta-2 ids
-    # are shifted so the append in run 2 (a no-op: nothing is new) could
-    # never collide with run-1 rows.
-    delta2 = delta.select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    # run 2 replays the SAME delta: the standing corpus now includes
+    # run-1's ingested rows, so the partner lookup is corpus ∪ delta
+    # (superset is fine — verify joins only touch candidate ids from the
+    # band index). append_new=False: the run-2 invariant is n_new_2 = 0,
+    # so there is nothing to fold back and the two empty append commits
+    # would be pure harness cost.
     r2 = counts(
         incremental_neardup_dedup(
-            state, delta2, docs.unionByName(delta), "doc_id", "text"
+            state, delta, docs.unionByName(delta), "doc_id", "text",
+            append_new=False,
         )
     ).localCheckpoint()
 
@@ -1154,5 +1155,156 @@ def q104_incremental_crossrun_dedup(spark: SparkSession, sf_dir: str) -> DataFra
         .withColumn("band_rows_final", F.lit(band_rows).cast("bigint"))
         .withColumn(
             "capped_drops", F.lit(state.capped_drops).cast("bigint")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q105: INCREMENTAL semantic ingest — q104's cross-run story for the
+#       EMBEDDING modality. The corpus's SRP band signature persists as
+#       a snapshot-table artifact (build_semantic_state); a delta batch
+#       (exact copies / negated / halved vectors) probes it, verifies
+#       candidates at exact double cosine, appends the new vectors'
+#       bands, and a second replay proves accumulation. Because every
+#       SRP stage is integer-deterministic and engine-portable (q72's
+#       contract), the oracle REPLAYS THE ENTIRE PIPELINE in SQL and
+#       checks the PER-ROW status of every delta vector — no counts, no
+#       planted-invariant shortcuts. status_2's closed form: a run-1
+#       dup keeps its partners; a run-1 new vector was appended and
+#       matches itself in every band, so it is dup in run 2 unless it is
+#       the zero vector (cosine 0 with everything, including itself).
+# ---------------------------------------------------------------------------
+_Q105_ORACLE = """
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+delta AS (
+  SELECT vec_id + 2000000 AS vec_id, v FROM c WHERE vec_id % 5 = 0
+  UNION ALL
+  SELECT vec_id + 3000000 AS vec_id, list_transform(v, x -> -x) AS v
+  FROM c WHERE vec_id % 5 = 1
+  UNION ALL
+  SELECT vec_id + 4000000 AS vec_id, list_transform(v, x -> x * 0.5) AS v
+  FROM c WHERE vec_id % 5 = 2
+),
+s AS (SELECT CAST(t1.b AS INT) AS bit, CAST(t2.p AS INT) AS pos,
+             CASE WHEN substr(md5(concat_ws(':', 'srp', CAST(t1.b AS INT), CAST(t2.p AS INT))), 1, 1) <= '7'
+                  THEN 1 ELSE -1 END AS s
+      FROM range(64) t1(b), range(64) t2(p)),
+exc AS (SELECT vec_id, CAST(t.pos AS INT) AS pos,
+               CAST(round(v[CAST(t.pos AS INT) + 1] * 1000000, 0) AS BIGINT) AS vq
+        FROM c, range(64) t(pos)),
+projc AS (SELECT vec_id, bit, sum(vq * s) AS pr FROM exc JOIN s USING (pos) GROUP BY 1, 2),
+chunksc AS (SELECT vec_id, bit // 16 AS chunk,
+                   sum(CASE WHEN pr >= 0 THEN CAST(power(2, bit % 16) AS BIGINT) ELSE 0 END) AS cval
+            FROM projc GROUP BY 1, 2),
+cappedc AS (SELECT vec_id, chunk, cval,
+                   row_number() OVER (PARTITION BY chunk, cval ORDER BY vec_id) AS rn
+            FROM chunksc),
+exd AS (SELECT vec_id, CAST(t.pos AS INT) AS pos,
+               CAST(round(v[CAST(t.pos AS INT) + 1] * 1000000, 0) AS BIGINT) AS vq
+        FROM delta, range(64) t(pos)),
+projd AS (SELECT vec_id, bit, sum(vq * s) AS pr FROM exd JOIN s USING (pos) GROUP BY 1, 2),
+chunksd AS (SELECT vec_id, bit // 16 AS chunk,
+                   sum(CASE WHEN pr >= 0 THEN CAST(power(2, bit % 16) AS BIGINT) ELSE 0 END) AS cval
+            FROM projd GROUP BY 1, 2),
+cand AS (SELECT DISTINCT d.vec_id AS id, cc.vec_id AS corpus_id
+         FROM chunksd d JOIN cappedc cc
+           ON d.chunk = cc.chunk AND d.cval = cc.cval
+         WHERE cc.rn <= 200),
+ver AS (SELECT DISTINCT cand.id
+        FROM cand
+        JOIN delta dv ON dv.vec_id = cand.id
+        JOIN c cv ON cv.vec_id = cand.corpus_id
+        WHERE round(list_cosine_similarity(dv.v, cv.v), 6) >= 0.95)
+SELECT d.vec_id,
+       CASE WHEN ver.id IS NOT NULL THEN 'dup' ELSE 'new' END AS status_1,
+       CASE WHEN ver.id IS NOT NULL
+                 OR len(list_filter(d.v, x -> x <> 0)) > 0
+            THEN 'dup' ELSE 'new' END AS status_2
+FROM delta d LEFT JOIN ver ON ver.id = d.vec_id
+"""
+
+
+# operator-only variant (bench run_s): ONE delta pass against a memoized
+# standing band index — the production ingest shape; the registered
+# query's state build + second replay is the verification harness.
+_Q105_STATE_CACHE: dict = {}
+
+
+def _q105_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+
+
+def _q105_delta(emb: DataFrame) -> DataFrame:
+    return (
+        emb.filter(F.col("vec_id") % 5 == 0)
+        .select((F.col("vec_id") + 2_000_000).alias("vec_id"), "embedding")
+        .unionByName(
+            emb.filter(F.col("vec_id") % 5 == 1).select(
+                (F.col("vec_id") + 3_000_000).alias("vec_id"),
+                F.transform("embedding", lambda x: -x).alias("embedding"),
+            )
+        )
+        .unionByName(
+            emb.filter(F.col("vec_id") % 5 == 2).select(
+                (F.col("vec_id") + 4_000_000).alias("vec_id"),
+                F.transform("embedding", lambda x: x * F.lit(0.5)).alias(
+                    "embedding"
+                ),
+            )
+        )
+    )
+
+
+def _q105_bare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.incremental_dedup import (
+        build_semantic_state,
+        incremental_semantic_dedup,
+    )
+    from ._tmpdirs import scratch_dir
+
+    emb = _q105_emb(spark, sf_dir)
+    key = (id(spark), sf_dir)
+    bands = _Q105_STATE_CACHE.get(key)
+    if bands is None:
+        bands = build_semantic_state(spark, emb, scratch_dir("q105b_bands_"))
+        _Q105_STATE_CACHE[key] = bands
+    return incremental_semantic_dedup(
+        bands, _q105_delta(emb), emb, threshold=0.95, append_new=False
+    )
+
+
+@register(
+    "q105_incremental_semantic_ingest",
+    covers="dedup-incremental dedup-srp-lsh dedup-embedding-cosine table-layer S7 J1 J5 J6",
+    oracle=_Q105_ORACLE,
+    bare=_q105_bare,
+)
+def q105_incremental_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.incremental_dedup import (
+        build_semantic_state,
+        incremental_semantic_dedup,
+    )
+    from ._tmpdirs import scratch_dir
+
+    emb = _q105_emb(spark, sf_dir)
+    delta = _q105_delta(emb)
+    bands = build_semantic_state(spark, emb, scratch_dir("q105_bands_"))
+    r1 = incremental_semantic_dedup(
+        bands, delta, emb, threshold=0.95, append_new=True
+    ).localCheckpoint()
+    r2 = incremental_semantic_dedup(
+        bands, delta, emb.unionByName(delta), threshold=0.95, append_new=False
+    ).localCheckpoint()
+    return (
+        delta.select("vec_id")
+        .join(
+            r1.select(F.col("id").alias("vec_id"), F.col("status").alias("status_1")),
+            "vec_id",
+        )
+        .join(
+            r2.select(F.col("id").alias("vec_id"), F.col("status").alias("status_2")),
+            "vec_id",
         )
     )

@@ -96,3 +96,39 @@ def test_delta_only_cost_no_corpus_rescan(spark, tmp_path):
         state, d, _docs(spark, CORPUS), "doc_id", "text", append_new=False
     ).collect()
     assert [(r["id"], r["status"]) for r in out] == [(501, "new")]
+
+
+def test_semantic_incremental_dedup(spark, tmp_path):
+    """Embedding modality: exact copies dup, fresh vectors new, appended
+    vectors found by the NEXT run (state accumulation)."""
+    from iceberg_evaluation_spark.operators.incremental_dedup import (
+        build_semantic_state,
+        incremental_semantic_dedup,
+    )
+
+    def vec(seed):
+        return [float(((seed * 31 + i * 7) % 13) - 6) for i in range(64)]
+
+    corpus = spark.createDataFrame(
+        [(i, vec(i)) for i in range(4)], "vec_id bigint, embedding array<double>"
+    )
+    bands = build_semantic_state(spark, corpus, str(tmp_path / "b"))
+    v0 = bands.current_version()
+    delta = spark.createDataFrame(
+        [(101, vec(2)), (102, vec(97))], "vec_id bigint, embedding array<double>"
+    )
+    got = {r["id"]: r["status"] for r in incremental_semantic_dedup(
+        bands, delta, corpus
+    ).collect()}
+    assert got == {101: "dup", 102: "new"}
+    assert bands.current_version() == v0 + 1  # 102's bands appended
+    # run 2: 102's vector re-sent under a new id → dup against run-1 state
+    d2 = spark.createDataFrame(
+        [(201, vec(97))], "vec_id bigint, embedding array<double>"
+    )
+    lookup = corpus.unionByName(delta)
+    got2 = {r["id"]: r["status"] for r in incremental_semantic_dedup(
+        bands, d2, lookup, append_new=False
+    ).collect()}
+    assert got2 == {201: "dup"}
+    assert bands.current_version() == v0 + 1  # append_new=False: untouched
