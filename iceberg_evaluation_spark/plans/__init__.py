@@ -37,6 +37,7 @@ _registry.PRIORITY[:] = [
     # --- new this round ---
     "q104_incremental_crossrun_dedup",
     "q105_incremental_semantic_ingest",
+    "q106_streaming_artifact_dedup",
     # --- code paths changed in round 4 ---
     "q84_stream_stream_join",
     "q46_multimodal_features",
@@ -79,8 +80,8 @@ _registry.PRIORITY[:] = [
     "q81_contamination_check",
     "q82_pii_redaction",
     "q83_repetition_metrics",
-    "q88_cube_grouping",
 ]
-# (q89_mixture_resample rotated out to fit q105 — r2-green, untouched.)
+# (q88_cube_grouping / q89_mixture_resample rotated out to fit q105/q106 —
+# r2-green, untouched, locally oracle-checked at HEAD.)
 
 __all__ = ["Query", "REGISTRY", "register", "all_queries", "all_oracles"]

@@ -460,3 +460,90 @@ FROM events a JOIN events b
 """,
     bare=_q84_bare,
 )(_q84)
+
+
+# ---------------------------------------------------------------------------
+# q106: STREAMING ingest classification against PERSISTED dedup artifacts
+#       — the deployment shape of q104: the corpus's fingerprint + band
+#       artifacts stand still while a delta REPLAYS AS A REAL STREAM
+#       (multi-file parquet source, maxFilesPerTrigger, availableNow);
+#       each micro-batch runs the incremental classifier in foreachBatch
+#       and appends its (id, status) verdicts to a snapshot-table sink.
+#       State writes are DISABLED during the stream (append_new=False):
+#       classification against a static artifact is batch-order-
+#       independent, so the per-row oracle is exact at ANY scale factor
+#       even when the delta contains duplicate texts (the fold-back
+#       path, which IS order-sensitive across batches, is q104's
+#       separately-verified job). Composition under test: Structured
+#       Streaming × table layer × bloom prefilter × LSH band index.
+# ---------------------------------------------------------------------------
+@register(
+    "q106_streaming_artifact_dedup",
+    covers="streaming dedup-incremental dedup-bloom table-layer S5 S7 J5 J6",
+    oracle="""
+WITH delta AS (
+  SELECT doc_id + 2000000 AS doc_id, text
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id, md5(text) AS text
+  FROM documents WHERE doc_id % 10 = 1
+  UNION ALL
+  SELECT doc_id + 4000000 AS doc_id, replace(text, ' ', '  ') AS text
+  FROM documents WHERE doc_id % 10 = 2
+)
+SELECT d.doc_id,
+       CASE WHEN EXISTS (SELECT 1 FROM documents c WHERE c.text = d.text)
+              THEN 'exact_dup'
+            WHEN EXISTS (SELECT 1 FROM documents c WHERE
+                   trim(regexp_replace(lower(c.text), '\\s+', ' ', 'g')) =
+                   trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g')))
+              THEN 'near_dup'
+            ELSE 'new' END AS status
+FROM delta d
+""",
+)
+def q106_streaming_artifact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.incremental_dedup import (
+        build_dedup_state,
+        incremental_neardup_dedup,
+    )
+    from .corpus_text import _q104_delta
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    state = build_dedup_state(
+        spark, docs, "doc_id", "text",
+        scratch_dir("q106_fp_"), scratch_dir("q106_bands_"),
+    )
+
+    delta = _q104_delta(docs)
+    src = scratch_dir(prefix="q106_replay_")
+    # 4 files pins the micro-batch count (2 per trigger → 2 data batches)
+    delta.repartition(4, "doc_id").write.mode("overwrite").parquet(src)
+
+    sink = SnapshotTable(spark, scratch_dir(prefix="q106_sink_"))
+
+    def classify(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = incremental_neardup_dedup(
+            state, batch_df, docs, "doc_id", "text", append_new=False
+        )
+        if not sink.exists():
+            sink.create_or_replace(out)
+        else:
+            sink.append(out)
+
+    stream = (
+        spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(classify)
+        .outputMode("update")
+        .option("checkpointLocation", scratch_dir(prefix="q106_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return sink.read().select(F.col("id").alias("doc_id"), "status")
