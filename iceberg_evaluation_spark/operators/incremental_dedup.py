@@ -206,13 +206,18 @@ def incremental_neardup_dedup(
     # ---- stage 3: fold survivors into the artifacts --------------------
     if append_new:
         new_c = new.localCheckpoint(eager=False)
-        state.fingerprints.append(new_c.select("id", "fp"))
-        sh_new = sh_delta.join(
-            new_c.select(F.col("id").alias("_id")), "_id", "left_semi"
-        )
-        state.bands.append(
-            _band_frame(sh_new).select(F.col("_id").alias("id"), "band", "bucket")
-        )
+        # an all-dup delta must not commit empty snapshot versions — a
+        # daily pipeline would otherwise grow two no-op versions per day
+        if not new_c.isEmpty():
+            state.fingerprints.append(new_c.select("id", "fp"))
+            sh_new = sh_delta.join(
+                new_c.select(F.col("id").alias("_id")), "_id", "left_semi"
+            )
+            state.bands.append(
+                _band_frame(sh_new).select(
+                    F.col("_id").alias("id"), "band", "bucket"
+                )
+            )
         new = new_c
 
     exact = d.join(not_exact.select("id"), "id", "left_anti")
@@ -320,10 +325,11 @@ def incremental_semantic_dedup(
     new = d.join(verified, "id", "left_anti")
     if append_new:
         new = new.localCheckpoint(eager=False)
-        new_chunks = delta_chunks.join(
-            new.select(F.col("id").alias("_id")), "_id", "left_semi"
-        ).select(F.col("_id").alias("id"), "chunk", "cval")
-        bands.append(new_chunks)
+        if not new.isEmpty():
+            new_chunks = delta_chunks.join(
+                new.select(F.col("id").alias("_id")), "_id", "left_semi"
+            ).select(F.col("_id").alias("id"), "chunk", "cval")
+            bands.append(new_chunks)
     return dup.select("id", F.lit("dup").alias("status")).unionByName(
         new.select("id", F.lit("new").alias("status"))
     )

@@ -132,3 +132,22 @@ def test_semantic_incremental_dedup(spark, tmp_path):
     ).collect()}
     assert got2 == {201: "dup"}
     assert bands.current_version() == v0 + 1  # append_new=False: untouched
+
+
+def test_all_dup_delta_commits_no_empty_versions(spark, tmp_path):
+    """An all-dup (or empty) delta must leave the artifact tables at
+    their current versions — no no-op snapshot growth in a daily loop."""
+    state = _state(spark, tmp_path)
+    vf, vb = state.fingerprints.current_version(), state.bands.current_version()
+    dup_only = _docs(spark, [(601, CORPUS[0][1])])
+    out = incremental_neardup_dedup(
+        state, dup_only, _docs(spark, CORPUS), "doc_id", "text"
+    ).collect()
+    assert [(r["id"], r["status"]) for r in out] == [(601, "exact_dup")]
+    assert state.fingerprints.current_version() == vf
+    assert state.bands.current_version() == vb
+    empty = _docs(spark, []).filter("doc_id > 0")
+    assert incremental_neardup_dedup(
+        state, empty, _docs(spark, CORPUS), "doc_id", "text"
+    ).count() == 0
+    assert state.fingerprints.current_version() == vf
