@@ -387,10 +387,11 @@ def ngram_jaccard_pairs(
     ``require_exact=True`` turns the cap's exactness PRECONDITION into a
     runtime check: callers that feed exact oracles (the shared q69/q90
     cluster artifact) assume no shingle's df exceeds the cap — a
-    scale-dependent fact, not a property of the operator — so the
-    observed max df is computed (one extra small aggregate over the
-    inverted index) and a violation raises instead of silently missing
-    pairs at a larger scale factor.
+    scale-dependent fact, not a property of the operator — so a 1-row
+    assert_true guard over the observed max df is broadcast onto the
+    result (executing inside the same job, no extra corpus pass) and a
+    violation raises at action time instead of silently missing pairs
+    at a larger scale factor.
     """
     sh = _shingle_frame(df, id_col, text_col, shingle_n)
     # Set sizes ride ALONG the inverted index (8 bytes/posting) instead of
@@ -437,17 +438,30 @@ def ngram_jaccard_pairs(
     # shingle arrays. |∩| = rare_pair_count + |hot_a ∩ hot_b|.
     dfreq = inv.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
     if require_exact:
-        row = dfreq.agg(F.max("_df").alias("_m")).first()
-        observed = int(row["_m"] or 0)
-        if observed > max_shingle_df:
-            raise ValueError(
-                f"ngram_jaccard_pairs(require_exact=True): observed max "
-                f"shingle df {observed} exceeds max_shingle_df="
-                f"{max_shingle_df}; pairs whose every shared shingle is "
-                f"hotter than the cap would be silently missed. Raise the "
-                f"cap (exactness) or drop require_exact (documented "
-                f"boilerplate-recall contract)."
-            )
+        # the precondition check must not cost a second corpus pass: a
+        # 1-row assert_true guard is broadcast-cross-joined onto the
+        # RESULT, so the max-df aggregate executes inside the same job
+        # (sharing the shingle exchange) and a violation raises at
+        # action time instead of silently missing pairs.
+        guard = dfreq.agg(F.max("_df").alias("_m")).select(
+            F.assert_true(
+                F.coalesce(F.col("_m"), F.lit(0)) <= F.lit(max_shingle_df),
+                F.concat(
+                    F.lit(
+                        "ngram_jaccard_pairs(require_exact=True): observed "
+                        "max shingle df "
+                    ),
+                    F.col("_m").cast("string"),
+                    F.lit(
+                        f" exceeds max_shingle_df={max_shingle_df}; pairs "
+                        "whose every shared shingle is hotter than the cap "
+                        "would be silently missed. Raise the cap "
+                        "(exactness) or drop require_exact (documented "
+                        "boilerplate-recall contract)."
+                    ),
+                ),
+            ).alias("_guard")
+        )
     inv_rare = inv.join(
         dfreq.filter(F.col("_df") <= max_shingle_df).select("_g"), "_g", "left_semi"
     )
@@ -497,7 +511,7 @@ def ngram_jaccard_pairs(
             ).alias("_inter"),
         )
     )
-    return (
+    out = (
         inter.select(
             "id_a",
             "id_b",
@@ -509,3 +523,18 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    if require_exact:
+        # The guard must survive Catalyst/AQE even when the RESULT is
+        # empty — which is exactly the all-shingles-hot failure mode —
+        # so no join placement works (empty-relation propagation skips
+        # the other side). Instead a schema-shaped ghost branch is
+        # UNIONED in: the assert evaluates when the runtime filter runs
+        # (isNotNull on the assert output is not foldable), contributes
+        # zero rows when the precondition holds, and raises otherwise.
+        ghost = guard.filter(F.col("_guard").isNotNull()).select(
+            F.lit(None).cast(out.schema["id_a"].dataType).alias("id_a"),
+            F.lit(None).cast(out.schema["id_b"].dataType).alias("id_b"),
+            F.lit(None).cast("double").alias("jaccard"),
+        )
+        out = out.unionByName(ghost)
+    return out

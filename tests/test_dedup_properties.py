@@ -157,7 +157,7 @@ def test_ngram_jaccard_require_exact_checks_df_cap(spark):
         [(i, "alpha beta gamma delta epsilon zeta") for i in range(5)],
         "doc_id long, text string",
     )
-    with pytest.raises(ValueError, match="exceeds max_shingle_df"):
+    with pytest.raises(Exception, match="exceeds max_shingle_df"):
         ngram_jaccard_pairs(
             docs, "doc_id", "text", threshold=0.5, max_shingle_df=3,
             require_exact=True,
