@@ -477,9 +477,68 @@ FROM events a JOIN events b
 #       separately-verified job). Composition under test: Structured
 #       Streaming × table layer × bloom prefilter × LSH band index.
 # ---------------------------------------------------------------------------
+# operator-only variant (bench run_s): the streaming classification over
+# a memoized state + replay dir — the continuously-running ingest shape;
+# the registered query's artifact build + replay-dir write is verify_s.
+_Q106_CACHE: dict = {}
+
+
+def _q106_bare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.incremental_dedup import (
+        build_dedup_state,
+        incremental_neardup_dedup,
+    )
+    from .corpus_text import _q104_delta
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    key = (id(spark), sf_dir)
+    hit = _Q106_CACHE.get(key)
+    if hit is None:
+        state = build_dedup_state(
+            spark, docs, "doc_id", "text",
+            scratch_dir("q106b_fp_"), scratch_dir("q106b_bands_"),
+        )
+        src = scratch_dir(prefix="q106b_replay_")
+        _q104_delta(docs).repartition(4, "doc_id").write.mode(
+            "overwrite"
+        ).parquet(src)
+        hit = (state, src)
+        _Q106_CACHE[key] = hit
+    state, src = hit
+
+    sink = SnapshotTable(spark, scratch_dir(prefix="q106b_sink_"))
+
+    def classify(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = incremental_neardup_dedup(
+            state, batch_df, docs, "doc_id", "text", append_new=False
+        )
+        if not sink.exists():
+            sink.create_or_replace(out)
+        else:
+            sink.append(out)
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(classify)
+        .outputMode("update")
+        .option("checkpointLocation", scratch_dir(prefix="q106b_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return sink.read().select(F.col("id").alias("doc_id"), "status")
+
+
 @register(
     "q106_streaming_artifact_dedup",
     covers="streaming dedup-incremental dedup-bloom table-layer S5 S7 J5 J6",
+    bare=_q106_bare,
     oracle="""
 WITH delta AS (
   SELECT doc_id + 2000000 AS doc_id, text

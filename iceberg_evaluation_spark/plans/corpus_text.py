@@ -1308,3 +1308,38 @@ def q105_incremental_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFr
             "vec_id",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q107: deterministic epoch shard shuffle — the training-data pipeline's
+#       last step: a seeded, engine-portable global permutation into
+#       balanced shards (shard = salted md5 mod n, position = a SECOND
+#       independent salted hash). One exchange + one window; writing
+#       partitioned by `shard` yields the file-per-shard layout trainers
+#       consume. The oracle replays the full permutation per row.
+# ---------------------------------------------------------------------------
+_Q107_HX = "substr(md5(CAST(doc_id AS VARCHAR) || ':{salt}'), 1, 12)"
+
+
+@register(
+    "q107_epoch_shard_shuffle",
+    covers="training-shuffle P4 W1 A1",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || {_Q107_HX.format(salt='shard#3')}) AS BIGINT) % 8 AS INT) AS shard,
+         md5(CAST(doc_id AS VARCHAR) || ':pos#3') AS ord
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS BIGINT) AS pos
+FROM s
+""",
+)
+def q107_epoch_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.shuffle_shards import epoch_shard_shuffle
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return epoch_shard_shuffle(docs, n_shards=8, epoch=3).select(
+        "doc_id", "shard", "pos"
+    )

@@ -270,3 +270,37 @@ def test_budget_selection_sharded_hot_source(spark):
     w_lines = [l for l in plan_sharded.splitlines() if "Window" in l]
     assert any("_shard" in l for l in w_lines), plan_sharded
     assert plan_sharded.count("Exchange") == plan_base.count("Exchange")
+
+
+def test_epoch_shard_shuffle_contract(spark):
+    """Deterministic, balanced, epoch-independent, one exchange."""
+    from iceberg_evaluation_spark.operators.shuffle_shards import (
+        epoch_shard_shuffle,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id bigint")
+    a = epoch_shard_shuffle(df, n_shards=8, epoch=0)
+    rows = a.collect()
+    # partition: every doc exactly once, pos is 1..n within each shard
+    assert len(rows) == 2000
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) == set(range(8))
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # balance: md5 uniformity keeps shards within 2x of each other here
+    sizes = [len(v) for v in by_shard.values()]
+    assert max(sizes) < 2 * min(sizes)
+    # determinism
+    again = {(r["doc_id"], r["shard"], r["pos"]) for r in epoch_shard_shuffle(
+        df, n_shards=8, epoch=0).collect()}
+    assert again == {(r["doc_id"], r["shard"], r["pos"]) for r in rows}
+    # epochs draw different permutations
+    other = {(r["doc_id"], r["shard"]) for r in epoch_shard_shuffle(
+        df, n_shards=8, epoch=1).collect()}
+    assert other != {(r["doc_id"], r["shard"]) for r in rows}
+    # one exchange: the shard hash-partitioning feeds the window directly
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE echoes the initial plan
+    assert final.count("Exchange") == 1, final[:1500]

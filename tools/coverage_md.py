@@ -84,6 +84,7 @@ DESCRIPTIONS = [
     ("dedup-semantic", "SemDeDup-style semantic dedup (SRP-blocked keep-first)"),
     ("dedup-substring", "Exact substring-span dedup (hashed k-token windows, Lee et al.)"),
     ("dedup-bloom", "Bloom-prefiltered incremental dedup vs reference corpus"),
+    ("training-shuffle", "Deterministic epoch shard shuffle (seeded global permutation)"),
     (
         "dedup-incremental",
         "Incremental cross-run near-dup dedup vs persisted fingerprint+band artifacts",
