@@ -39,6 +39,7 @@ _registry.PRIORITY[:] = [
     "q105_incremental_semantic_ingest",
     "q106_streaming_artifact_dedup",
     "q107_epoch_shard_shuffle",
+    "q108_incremental_rollup",
     # --- code paths changed in round 4 ---
     "q84_stream_stream_join",
     "q46_multimodal_features",
@@ -79,10 +80,9 @@ _registry.PRIORITY[:] = [
     "q72_blocked_embedding_neardup",
     "q80_semantic_dedup",
     "q81_contamination_check",
-    "q82_pii_redaction",
 ]
-# (q83_repetition_metrics / q88_cube_grouping / q89_mixture_resample rotated
-# out to fit q105/q106/q107 — r2-green, untouched, locally oracle-checked at
-# HEAD.)
+# (q82_pii_redaction / q83_repetition_metrics / q88_cube_grouping /
+# q89_mixture_resample rotated out to fit q105-q108 — r2-green, untouched,
+# locally oracle-checked at HEAD.)
 
 __all__ = ["Query", "REGISTRY", "register", "all_queries", "all_oracles"]

@@ -717,3 +717,63 @@ def q103_partitioned_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_sum(F.col("o_totalprice")).alias("price_sum"),
         F.min("o_orderdate").alias("first_date"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q108: incrementally-maintained materialized rollup — the query-
+#       acceleration composition (BASELINE's repeated-aggregate cost):
+#       a sum/count rollup table folds in ONLY the appended rows via the
+#       incremental append scan + a partial-aggregate MERGE, instead of
+#       re-aggregating the base per refresh. last_delta_rows pins the
+#       incremental cost receipt (= the FINAL wave's size — a refresh
+#       that rescanned the base would return the full count and
+#       hash-fail), and noop_refresh_rows = 0 pins that an up-to-date
+#       rollup costs nothing. Money sums ride the cents trick
+#       (plans/_exact.py) so the MERGE-folded totals are bit-exact.
+# ---------------------------------------------------------------------------
+@register(
+    "q108_incremental_rollup",
+    covers="table-layer S5 S7 M5-shape A1 A2 P5 incremental-view",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_price_cents,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_orderkey % 3 = 0)
+         AS last_delta_rows,
+       CAST(0 AS BIGINT) AS noop_refresh_rows
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def q108_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables.rollup import MaterializedRollup
+    from ..tables.snapshot_table import SnapshotTable
+    from ._exact import cents
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        cents(F.col("o_totalprice")).alias("price_cents"),
+    )
+    base = SnapshotTable(spark, scratch_dir(prefix="q108_base_"))
+    base.create_or_replace(orders.filter(F.col("o_orderkey") % 3 == 1))
+    roll = MaterializedRollup(
+        spark,
+        scratch_dir(prefix="q108_roll_"),
+        base,
+        group_cols=["o_orderpriority"],
+        sum_cols=["price_cents"],
+    )
+    roll.rebuild()
+    base.append(orders.filter(F.col("o_orderkey") % 3 == 2))
+    roll.refresh()
+    base.append(orders.filter(F.col("o_orderkey") % 3 == 0))
+    n3 = roll.refresh()
+    n_noop = roll.refresh()  # up to date: zero delta rows
+    return roll.read().select(
+        "o_orderpriority",
+        "n_rows",
+        F.col("sum_price_cents").cast("bigint").alias("sum_price_cents"),
+        F.lit(n3).cast("bigint").alias("last_delta_rows"),
+        F.lit(n_noop).cast("bigint").alias("noop_refresh_rows"),
+    )

@@ -734,3 +734,65 @@ def test_read_where_decimal_partition_beyond_double(spark, tmp_path):
         r["id"] for r in t.read_where([("d", "=", Decimal(big + 1))]).collect()
     )
     assert got2 == [2]
+
+
+def test_materialized_rollup_incremental_equals_full(spark, tmp_path):
+    """Rollup folded over appends must equal the from-scratch aggregate,
+    refresh must cost only the delta, and overwrite-class base snapshots
+    must raise (rebuild recovers) — Iceberg's incremental-scan contract
+    surfaced, not silently wrong."""
+    import pytest as _pytest
+
+    from iceberg_evaluation_spark.tables.rollup import MaterializedRollup
+
+    def rows(k0, k1):
+        return [(i, "g%d" % (i % 3), i * 10) for i in range(k0, k1)]
+
+    base = SnapshotTable(spark, str(tmp_path / "base"))
+    base.create_or_replace(
+        spark.createDataFrame(rows(0, 50), "id long, g string, v long")
+    )
+    roll = MaterializedRollup(
+        spark, str(tmp_path / "roll"), base, group_cols=["g"], sum_cols=["v"]
+    )
+    roll.rebuild()
+
+    def check():
+        got = sorted(
+            (r["g"], r["n_rows"], r["sum_v"]) for r in roll.read().collect()
+        )
+        from pyspark.sql import functions as F
+
+        exp = sorted(
+            (r["g"], r["n"], r["s"])
+            for r in base.read()
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+            .collect()
+        )
+        assert got == exp
+
+    check()
+    base.append(spark.createDataFrame(rows(50, 80), "id long, g string, v long"))
+    n = roll.refresh()
+    assert n == 30  # delta rows only
+    check()
+    assert roll.refresh() == 0  # up to date
+    # a new group appearing only in the delta inserts
+    base.append(
+        spark.createDataFrame([(1000, "brand_new", 7)], "id long, g string, v long")
+    )
+    assert roll.refresh() == 1
+    assert ("brand_new", 1, 7) in {
+        (r["g"], r["n_rows"], r["sum_v"]) for r in roll.read().collect()
+    }
+    # overwrite-class snapshot: refresh refuses, rebuild recovers
+    base.merge(
+        spark.createDataFrame([(0, "g0", 999)], "id long, g string, v long"),
+        on=["id"],
+        clause=MergeClause(matched_update={"v": "s.v"}),
+    )
+    with _pytest.raises(ValueError, match="append-only"):
+        roll.refresh()
+    roll.rebuild()
+    check()

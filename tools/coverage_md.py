@@ -112,6 +112,7 @@ DESCRIPTIONS = [
     ("skew", "Skew-mitigated salted join (deterministic salt)"),
     ("bucketing", "Bucketed tables / exchange-free co-located join"),
     ("table-layer", "Snapshot table end-to-end"),
+    ("incremental-view", "Incrementally-maintained materialized rollup (delta-cost refresh)"),
 ]
 
 PREAMBLE = """# COVERAGE — SURVEY.md §2 operator inventory → query corpus
