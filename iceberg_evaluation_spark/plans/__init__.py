@@ -40,6 +40,7 @@ _registry.PRIORITY[:] = [
     "q106_streaming_artifact_dedup",
     "q107_epoch_shard_shuffle",
     "q108_incremental_rollup",
+    "q109_streaming_sessionize",
     # --- code paths changed in round 4 ---
     "q84_stream_stream_join",
     "q46_multimodal_features",
@@ -79,10 +80,9 @@ _registry.PRIORITY[:] = [
     "q63_dataset_split_mixture",
     "q72_blocked_embedding_neardup",
     "q80_semantic_dedup",
-    "q81_contamination_check",
 ]
-# (q82_pii_redaction / q83_repetition_metrics / q88_cube_grouping /
-# q89_mixture_resample rotated out to fit q105-q108 — r2-green, untouched,
-# locally oracle-checked at HEAD.)
+# (q81_contamination_check / q82_pii_redaction / q83_repetition_metrics /
+# q88_cube_grouping / q89_mixture_resample rotated out to fit q105-q109 —
+# r2-green, untouched, locally oracle-checked at HEAD.)
 
 __all__ = ["Query", "REGISTRY", "register", "all_queries", "all_oracles"]

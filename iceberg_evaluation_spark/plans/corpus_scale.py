@@ -606,3 +606,88 @@ def q106_streaming_artifact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     q.awaitTermination(300)
     return sink.read().select(F.col("id").alias("doc_id"), "status")
+
+
+# ---------------------------------------------------------------------------
+# q109: STREAMING stateful sessionization (applyInPandasWithState) —
+#       the custom-stateful-operator surface (streaming/sessionize.py,
+#       previously pinned only by tests) under the driver's oracle gate.
+#       The events table replays as TWO time-ranged micro-batches
+#       (earlier half first — the second file is written after the
+#       first, so the file source's mtime ordering pins batch order),
+#       with per-user session state carried ACROSS the batch boundary.
+#       Determinism contract: timestamps are second-truncated up front
+#       (q27's ns-round-vs-truncate hazard rule), the watermark delay
+#       exceeds the corpus span (no late drops, no timeouts — replay
+#       exactness, same as q84), so the emitted set is exactly the
+#       GAP-CLOSED sessions: every session of a user except their final
+#       one, which stays open in state. The oracle derives that set from
+#       the q27 gaps-and-islands rebuild minus each user's last island.
+# ---------------------------------------------------------------------------
+@register(
+    "q109_streaming_sessionize",
+    covers="streaming W3 W5 A1 streaming-shape mapInPandas",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, date_trunc('second', ts) AS ts, value FROM events
+), flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('second', lag(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS session_idx
+  FROM flagged
+), sess AS (
+  SELECT user_id, session_idx,
+         CAST(count(*) AS BIGINT) AS n_events,
+         min(ts) AS session_start,
+         max(ts) AS session_end,
+         CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_s,
+         {sql_sum('value')} AS total_value
+  FROM numbered GROUP BY user_id, session_idx
+)
+SELECT user_id, n_events, session_start, session_end, duration_s, total_value
+FROM sess
+WHERE session_idx < (SELECT max(s2.session_idx) FROM sess s2
+                     WHERE s2.user_id = sess.user_id)
+""",
+)
+def q109_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.sessionize import sessionize_stream
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("second", "ts").alias("ts"), "value"
+    )
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    cutoff = (int(lo) + int(hi)) // 2
+    src = scratch_dir(prefix="q109_replay_")
+    # two sequential single-file writes: mtime order pins micro-batch
+    # order, so the later half arrives in batch 2 and sessions spanning
+    # the cutoff exercise genuine cross-batch state continuation
+    ev.filter(F.unix_micros("ts") <= cutoff).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    ev.filter(F.unix_micros("ts") > cutoff).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sessions = sessionize_stream(
+        stream, gap_seconds=1800, watermark="60 days"
+    )
+    sink = f"q109_sink_{uuid.uuid4().hex[:8]}"
+    _run_stream(sessions, sink, "append")
+    return spark.table(sink).select(
+        "user_id", "n_events", "session_start", "session_end",
+        "duration_s", "total_value",
+    )
