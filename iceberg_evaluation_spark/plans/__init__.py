@@ -41,6 +41,7 @@ _registry.PRIORITY[:] = [
     "q107_epoch_shard_shuffle",
     "q108_incremental_rollup",
     "q109_streaming_sessionize",
+    "q110_source_format_roundtrips",
     # --- code paths changed in round 4 ---
     "q84_stream_stream_join",
     "q46_multimodal_features",
@@ -75,13 +76,12 @@ _registry.PRIORITY[:] = [
     "q35_embedding_neardup_pairs",
     "q38_ivf_cosine_topk",
     "q53_asof_join",
-    "q54_sketch_stats",
+    "q80_semantic_dedup",
     "q57_embedding_quantize",
     "q63_dataset_split_mixture",
     "q72_blocked_embedding_neardup",
-    "q80_semantic_dedup",
 ]
-# (q81_contamination_check / q82_pii_redaction / q83_repetition_metrics /
+# (q54_sketch_stats / q81_contamination_check / q82_pii_redaction / q83_repetition_metrics /
 # q88_cube_grouping / q89_mixture_resample rotated out to fit q105-q109 —
 # r2-green, untouched, locally oracle-checked at HEAD.)
 

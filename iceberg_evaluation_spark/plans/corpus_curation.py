@@ -777,3 +777,92 @@ def q108_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n3).cast("bigint").alias("last_delta_rows"),
         F.lit(n_noop).cast("bigint").alias("noop_refresh_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q110: JSON + ORC source round-trips — S-family widening beyond the
+#       reference's parquet/CSV: documents round-trips through
+#       JSON-lines (schema-first read back, escaping-sensitive strings)
+#       and orders through ORC (ints, doubles, timestamps). The check is
+#       a per-row md5 fingerprint folded into a 48-bit integer sum over
+#       EVERY column — any value the round-trip corrupts (escaping,
+#       timestamp tz handling, double formatting) moves the sum. Doubles
+#       ride the cents cast and timestamps epoch micros so the
+#       fingerprint strings are engine-portable.
+# ---------------------------------------------------------------------------
+_Q110_DOC_FP = (
+    "CAST(('0x' || substr(md5(concat_ws('|', doc_id, text, lang, source, "
+    "n_chars)), 1, 8)) AS BIGINT)"
+)
+_Q110_ORD_FP = (
+    "CAST(('0x' || substr(md5(concat_ws('|', o_orderkey, o_custkey, "
+    "o_orderstatus, CAST(round(o_totalprice * 100, 0) AS BIGINT), "
+    "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S.%f'), "
+    "o_orderpriority)), 1, 8)) AS BIGINT)"
+)
+
+
+@register(
+    "q110_source_format_roundtrips",
+    covers="S1 S4 json-orc-source A2 P5",
+    oracle=f"""
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS json_rows,
+       (SELECT CAST(sum({_Q110_DOC_FP}) AS BIGINT) FROM documents) AS json_fp_sum,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders) AS orc_rows,
+       (SELECT CAST(sum({_Q110_ORD_FP}) AS BIGINT) FROM orders) AS orc_fp_sum
+""",
+)
+def q110_source_format_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    orders = load_table(spark, sf_dir, "orders")
+
+    json_dir = scratch_dir(prefix="q110_json_")
+    docs.write.mode("overwrite").json(json_dir)
+    docs_rt = spark.read.schema(docs.schema).json(json_dir)
+
+    orc_dir = scratch_dir(prefix="q110_orc_")
+    orders.write.mode("overwrite").orc(orc_dir)
+    orders_rt = spark.read.schema(orders.schema).orc(orc_dir)
+
+    doc_fp = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", "doc_id", "text", "lang", "source", "n_chars"
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    ord_fp = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("o_orderkey"),
+                    F.col("o_custkey"),
+                    F.col("o_orderstatus"),
+                    F.round(F.col("o_totalprice") * 100, 0).cast("bigint"),
+                    F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+                    F.col("o_orderpriority"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+
+    j = docs_rt.agg(
+        F.count(F.lit(1)).cast("bigint").alias("json_rows"),
+        F.sum(doc_fp).cast("bigint").alias("json_fp_sum"),
+    )
+    o = orders_rt.agg(
+        F.count(F.lit(1)).cast("bigint").alias("orc_rows"),
+        F.sum(ord_fp).cast("bigint").alias("orc_fp_sum"),
+    )
+    return j.crossJoin(o)

@@ -24,6 +24,7 @@ DESCRIPTIONS = [
     ("S1", "Parquet file scan"),
     ("S2", "Catalog/table-name scan (temp views + spark.sql)"),
     ("S4", "CSV source (explicit schema)"),
+    ("json-orc-source", "JSON-lines + ORC sources (schema-first, fingerprinted round-trip)"),
     ("S5", "CTAS / create-or-replace sink (snapshot table)"),
     ("S6", "Partitioned parquet sink + partition-pruned scan-back"),
     ("S7", "Append sink"),
