@@ -175,6 +175,7 @@ def bloom_prefiltered_anti_join(
     num_bits: int = 1 << 17,
     num_hashes: int = 4,
     probe: str = "auto",
+    words: list[int] | None = None,
 ) -> DataFrame:
     """Rows of ``incoming`` whose ``fp_col`` does not occur in ``existing``.
 
@@ -197,7 +198,11 @@ def bloom_prefiltered_anti_join(
         raise ValueError(
             f"incoming frame uses the operator's working column names {sorted(clash)}"
         )
-    words = build_bloom_words(existing, fp_col, num_bits, num_hashes)
+    if words is None:
+        words = build_bloom_words(existing, fp_col, num_bits, num_hashes)
+    # else: caller passes a prebuilt filter (num_bits/num_hashes must
+    # match the build) — a standing artifact's filter is rebuilt only
+    # when the artifact version changes, not per probe batch
     tagged = bloom_might_tagged(
         incoming, words, fp_col, num_bits, num_hashes, probe=probe
     )

@@ -77,6 +77,24 @@ class DedupState:
     fingerprints: SnapshotTable  # (id, fp) — raw-text md5
     bands: SnapshotTable         # (id, band, bucket) — capped LSH index
     capped_drops: int            # band rows dropped by the bucket cap
+    # bloom words cached per fingerprint-table version: a streaming
+    # ingest (q106) probes the SAME standing filter every micro-batch;
+    # rebuilding the distributed bit-OR per batch is pure waste. The
+    # cache invalidates itself when an append advances the version.
+    _bloom_cache: tuple[int, list[int]] | None = None
+
+    def bloom_words(self, num_bits: int, num_hashes: int) -> list[int]:
+        from .bloom_dedup import build_bloom_words
+
+        v = self.fingerprints.current_version()
+        if self._bloom_cache is None or self._bloom_cache[0] != v:
+            self._bloom_cache = (
+                v,
+                build_bloom_words(
+                    self.fingerprints.read(), "fp", num_bits, num_hashes
+                ),
+            )
+        return self._bloom_cache[1]
 
 
 def build_dedup_state(
@@ -160,7 +178,8 @@ def incremental_neardup_dedup(
     with_fp = d.withColumn("fp", F.md5("text"))
     existing_fp = state.fingerprints.read()
     not_exact = bloom_prefiltered_anti_join(
-        with_fp, existing_fp, "fp"
+        with_fp, existing_fp, "fp",
+        words=state.bloom_words(1 << 17, 4),
     ).localCheckpoint(eager=False)
 
     # ---- stage 2: near dups via the persisted band index --------------
