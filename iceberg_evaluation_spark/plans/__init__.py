@@ -42,6 +42,7 @@ _registry.PRIORITY[:] = [
     "q108_incremental_rollup",
     "q109_streaming_sessionize",
     "q110_source_format_roundtrips",
+    "q111_wds_shard_roundtrip",
     # --- code paths changed in round 4 ---
     "q84_stream_stream_join",
     "q46_multimodal_features",
@@ -78,10 +79,9 @@ _registry.PRIORITY[:] = [
     "q53_asof_join",
     "q80_semantic_dedup",
     "q57_embedding_quantize",
-    "q63_dataset_split_mixture",
     "q72_blocked_embedding_neardup",
 ]
-# (q54_sketch_stats / q81_contamination_check / q82_pii_redaction / q83_repetition_metrics /
+# (q54_sketch_stats / q63_dataset_split_mixture / q81_contamination_check / q82_pii_redaction / q83_repetition_metrics /
 # q88_cube_grouping / q89_mixture_resample rotated out to fit q105-q109 —
 # r2-green, untouched, locally oracle-checked at HEAD.)
 

@@ -205,3 +205,58 @@ def q92_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = attach_wav_payload(docs, "media_id")
     return decode_wav_features(media)
+
+
+# ---------------------------------------------------------------------------
+# q111: WebDataset tar-shard round-trip through the CUSTOM CONNECTOR
+#       (sources/wds.py, Spark 4 Python Data Source API) — the layout
+#       multimodal training corpora actually ship in. documents are
+#       written as 4 tar shards EXECUTOR-SIDE (foreachPartition, no
+#       driver collect), read back via spark.read.format("wds") with
+#       one input partition per shard, and verified with a per-row
+#       32-bit fingerprint sum over (id, decoded payload) plus the
+#       shard count — a connector that dropped, duplicated, or
+#       corrupted any member moves the sum.
+# ---------------------------------------------------------------------------
+@register(
+    "q111_wds_shard_roundtrip",
+    covers="wds-source multimodal-binary S1 A2",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(CAST(('0x' || substr(md5(concat_ws('|', doc_id, text)), 1, 8))
+                AS BIGINT)) AS BIGINT) AS fp_sum,
+       CAST(4 AS BIGINT) AS n_shards
+FROM documents
+""",
+)
+def q111_wds_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.wds import register_wds, write_wds_shards
+    from ._tmpdirs import scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    out = scratch_dir(prefix="q111_wds_")
+    write_wds_shards(
+        docs.repartition(4, "doc_id"), out, "doc_id", "payload"
+    )
+    register_wds(spark)
+    back = spark.read.format("wds").option("path", out).load()
+    fp = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", F.col("sample_id"), F.decode("payload", "UTF-8")
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_samples"),
+        F.sum(fp).cast("bigint").alias("fp_sum"),
+        F.countDistinct("shard").cast("bigint").alias("n_shards"),
+    )

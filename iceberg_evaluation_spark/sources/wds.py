@@ -1,0 +1,144 @@
+"""WebDataset-style tar-shard connector (Spark 4 Python Data Source API).
+
+Large multimodal training corpora ship as TAR SHARDS — each shard a tar
+file of per-sample members named ``<sample_id>.<ext>`` (WebDataset's
+layout, the de-facto standard for image/audio/video+text pairs). This
+module gives the engine a real custom connector for that layout:
+
+- :func:`write_wds_shards` — distributed shard writer: one tar per
+  partition, written executor-side via ``foreachPartition`` (no driver
+  collect), so shard count = partition count and the write scales with
+  the cluster.
+- :func:`wds_datasource` — a ``spark.read.format("wds")`` source built
+  on the Python Data Source API (pyspark.sql.datasource, Spark 4): one
+  input partition PER SHARD, so a 10k-shard corpus reads with 10k-way
+  parallelism and shard-level data skipping falls out of partition
+  pruning upstream.
+
+The DataSource classes are created INSIDE a factory function on
+purpose: cloudpickle serializes dynamically-defined classes BY VALUE,
+so Spark's Python workers can reconstruct them without this
+(non-installed) package on their import path — a module-level class
+would pickle by reference and fail under any foreign driver. All
+member imports live inside methods for the same reason.
+
+At 100 TB: payloads stay opaque ``binary`` (the multimodal column
+contract, operators/multimodal.py); decode happens downstream in
+Arrow-batched stages. The tar header walk is sequential per shard —
+exactly how WebDataset is consumed — and shards are immutable blobs,
+so object-store reads stream linearly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+__all__ = ["wds_datasource", "write_wds_shards", "register_wds"]
+
+
+def write_wds_shards(
+    df: DataFrame, out_dir: str, id_col: str, payload_col: str, ext: str = "txt"
+) -> None:
+    """Write (id, payload-bytes) rows as WebDataset tar shards.
+
+    One ``shard-NNNNN.tar`` per partition, written by the executor that
+    owns the partition. Repartition first to choose the shard count.
+    ``payload_col`` must be binary (encode strings upstream).
+    """
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_partition(rows) -> None:
+        import io
+        import os
+        import tarfile
+        import time
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"shard-{pid:05d}.tar")
+        tmp = path + ".tmp"
+        wrote = False
+        with tarfile.open(tmp, "w") as tf:
+            for row in rows:
+                data = bytes(row[1])
+                info = tarfile.TarInfo(name=f"{row[0]}.{ext}")
+                info.size = len(data)
+                info.mtime = 0  # deterministic shard bytes
+                tf.addfile(info, io.BytesIO(data))
+                wrote = True
+        if wrote:
+            os.replace(tmp, path)
+        else:
+            os.remove(tmp)  # no empty shards
+        _ = time  # keep linters quiet about the deterministic-mtime note
+
+    df.select(id_col, payload_col).foreachPartition(write_partition)
+
+
+def wds_datasource():
+    """The ``wds`` DataSource class (register with ``register_wds``).
+
+    Options: ``path`` (shard directory), ``ext`` (member extension,
+    default ``txt``). Schema: ``sample_id string, payload binary,
+    shard string`` — the id is the member basename stem, ``shard`` the
+    source tar's filename (lineage for reproducible splits).
+    """
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class _ShardPartition(InputPartition):
+        def __init__(self, path: str):
+            self.path = path
+
+    class _WdsReader(DataSourceReader):
+        def __init__(self, options):
+            self.path = options["path"]
+            self.ext = options.get("ext", "txt")
+
+        def partitions(self):
+            import os
+
+            shards = sorted(
+                os.path.join(self.path, n)
+                for n in os.listdir(self.path)
+                if n.endswith(".tar")
+            )
+            return [_ShardPartition(p) for p in shards]
+
+        def read(self, partition):
+            import os
+            import tarfile
+
+            suffix = "." + self.ext
+            shard_name = os.path.basename(partition.path)
+            with tarfile.open(partition.path, "r") as tf:
+                for member in tf:
+                    if not member.isfile() or not member.name.endswith(suffix):
+                        continue
+                    sample_id = os.path.basename(member.name)[: -len(suffix)]
+                    payload = tf.extractfile(member).read()
+                    yield (sample_id, payload, shard_name)
+
+    class WebDatasetSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "wds"
+
+        def schema(self) -> str:
+            return "sample_id string, payload binary, shard string"
+
+        def reader(self, schema):
+            return _WdsReader(self.options)
+
+    return WebDatasetSource
+
+
+def register_wds(spark) -> None:
+    """Idempotently register the ``wds`` format on a session."""
+    spark.dataSource.register(wds_datasource())

@@ -268,3 +268,42 @@ def test_stream_static_enrichment_matches_batch(spark, sf_smoke, tmp_path):
         for r in ev_batch.join(dim, ["user_id"], "left").collect()
     }
     assert got == want
+
+
+def test_wds_connector_roundtrip_and_partitioning(spark, sf_smoke, tmp_path):
+    """The WebDataset tar-shard connector: executor-side shard write,
+    one input partition per shard on read, exact payload round-trip,
+    deterministic shard bytes (mtime zeroed)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from iceberg_evaluation_spark.sources import load_table
+    from iceberg_evaluation_spark.sources.wds import (
+        register_wds,
+        write_wds_shards,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    out = str(tmp_path / "shards")
+    write_wds_shards(docs.repartition(3, "doc_id"), out, "doc_id", "payload")
+    shards = sorted(n for n in os.listdir(out) if n.endswith(".tar"))
+    assert len(shards) == 3 and not any(n.endswith(".tmp") for n in os.listdir(out))
+
+    register_wds(spark)
+    back = spark.read.format("wds").option("path", out).load()
+    # one scan partition per shard — WebDataset's parallelism contract
+    assert back.rdd.getNumPartitions() == 3
+    got = {
+        int(r["sample_id"]): bytes(r["payload"]).decode()
+        for r in back.collect()
+    }
+    exp = {r["doc_id"]: r["text"] for r in load_table(
+        spark, sf_smoke, "documents").select("doc_id", "text").collect()}
+    assert got == exp
+    # shard lineage column maps every sample to a real shard file
+    assert set(
+        r["shard"] for r in back.select("shard").distinct().collect()
+    ) == set(shards)

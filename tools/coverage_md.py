@@ -25,6 +25,7 @@ DESCRIPTIONS = [
     ("S2", "Catalog/table-name scan (temp views + spark.sql)"),
     ("S4", "CSV source (explicit schema)"),
     ("json-orc-source", "JSON-lines + ORC sources (schema-first, fingerprinted round-trip)"),
+    ("wds-source", "WebDataset tar-shard connector (custom Python Data Source, partition-per-shard)"),
     ("S5", "CTAS / create-or-replace sink (snapshot table)"),
     ("S6", "Partitioned parquet sink + partition-pruned scan-back"),
     ("S7", "Append sink"),
