@@ -159,6 +159,36 @@ def main() -> None:
     )
     n_dsir_pos = dsir.filter(F.col("dsir_score") > 0).count()
 
+    # 8. final assembly: deterministic epoch shuffle into shards, then
+    # export as WebDataset tar shards via the custom connector — the
+    # layout a multimodal trainer consumes; read back through the same
+    # connector as the delivery check
+    from iceberg_evaluation_spark.operators.shuffle_shards import (
+        epoch_shard_shuffle,
+    )
+    from iceberg_evaluation_spark.plans._tmpdirs import scratch_dir
+    from iceberg_evaluation_spark.sources.wds import (
+        register_wds,
+        write_wds_shards,
+    )
+
+    sharded = epoch_shard_shuffle(
+        docs_d.select("doc_id", "text"), n_shards=4, epoch=0
+    )
+    wds_dir = scratch_dir(prefix="pipeline_wds_")
+    write_wds_shards(
+        sharded.select(
+            "doc_id", F.encode("text", "UTF-8").alias("payload"), "shard"
+        ).repartition(4, "shard"),
+        wds_dir,
+        "doc_id",
+        "payload",
+    )
+    register_wds(spark)
+    n_delivered = (
+        spark.read.format("wds").option("path", wds_dir).load().count()
+    )
+
     print(f"documents:            {n0}")
     print(f"novel docs in simulated ingest batch: {n_new}")
     print(f"after quality gate:   {n1}")
@@ -177,6 +207,8 @@ def main() -> None:
     print(f"stratified eval sample (10%): {n_eval_sample}")
     print(f"top tf-idf term per source: {top_terms}")
     print(f"docs weighted toward target by DSIR: {n_dsir_pos}")
+    print(f"delivered via WebDataset shards: {n_delivered}")
+
     spark.stop()
 
 
