@@ -14,16 +14,18 @@ from . import corpus_quality  # noqa: E402,F401
 # of queries(). Round-4 window (r3 verdict "next round" #1): FRONT-LOAD the
 # six queries that have never received a driver verdict (q98-q103 — round
 # 3's window was exactly consumed rotating the stale round-1 set), then the
-# query added this round (q104), then every query whose code path round 4
-# touched (q84/q75/q76/q79 streaming state-partition pin; q46 real-codec
-# routing + feature schema; q69/q90 require_exact precondition check;
-# q44/q86 snapshot-table commit self-heal; q96/q97 selection sharding;
-# q33/q36/q37 dedup.py signature change; q91/q92 multimodal module edits).
-# The remaining slots backfill the round-2-era verdicts, preferring the
-# table/scale/multimodal queries whose scratch-dir allocation changed this
-# round. Left outside the window (r2-green, code untouched, locally green
-# in tests/test_oracle_parity.py at HEAD): q27 q52 q58 q59 q60 q61 q64 q67
-# q71 q73 q74.
+# eight queries ADDED this round (q104-q111: incremental text/embedding/
+# streaming ingest, epoch shard shuffle, incremental rollup, streaming
+# sessionize, JSON/ORC and WebDataset round-trips), then every query whose
+# code path round 4 touched (q84/q75/q76/q79 streaming state-partition pin;
+# q46 real-codec routing + feature schema; q69/q90 require_exact ghost
+# guard; q44/q86 snapshot-table commit self-heal; q96/q97 selection
+# sharding; q33/q36/q37 dedup.py signature change; q91/q92 multimodal
+# module edits; q72/q80 srp_chunks refactor). The remaining slots backfill
+# round-2-era verdicts, preferring the table/scale/multimodal queries whose
+# scratch-dir allocation changed this round. Everything outside the window
+# has a round-3 verdict at HEAD-equivalent code or is r2-green untouched,
+# and ALL 109 are locally green in tests/test_oracle_parity.py at HEAD.
 _registry.PRIORITY[:] = [
     # flagship stays first (driver entry() smoke-checks it anyway)
     "q01_pricing_summary",
