@@ -238,3 +238,58 @@ def test_merge_duplicate_source_keys_unvalidated_semantics(spark, tmp_path_facto
     got = sorted((r["k"], r["v"]) for r in table.read().collect())
     # k=1 duplicated (once per source row), k=2 untouched, k=3 inserted
     assert got == [(1, 10), (1, 11), (2, 0), (3, 12)]
+
+
+# ---------------------------------------------------------------------------
+# Incremental rollup: ANY sequence of appends folded batch-by-batch must
+# equal the from-scratch aggregate of the final table state.
+# ---------------------------------------------------------------------------
+rollup_batch_st = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c", "d"]),  # group
+        st.integers(min_value=-50, max_value=50),  # value (signed!)
+    ),
+    min_size=1,
+    max_size=5,
+)
+rollup_seq_st = st.lists(rollup_batch_st, min_size=1, max_size=4)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(batches=rollup_seq_st)
+def test_rollup_any_append_sequence_equals_full(spark, tmp_path_factory, batches):
+    from pyspark.sql import functions as F
+
+    from iceberg_evaluation_spark.tables.rollup import MaterializedRollup
+
+    tmp = tmp_path_factory.mktemp("rollprop")
+    rid = iter(range(10_000))
+
+    def df(batch):
+        return spark.createDataFrame(
+            [(next(rid), g, v) for g, v in batch], "id long, g string, v long"
+        )
+
+    base = SnapshotTable(spark, str(tmp / "base"))
+    base.create_or_replace(df(batches[0]))
+    roll = MaterializedRollup(
+        spark, str(tmp / "roll"), base, group_cols=["g"], sum_cols=["v"]
+    )
+    roll.rebuild()
+    for batch in batches[1:]:
+        base.append(df(batch))
+        n = roll.refresh()
+        assert n == len(batch)
+    got = sorted((r["g"], r["n_rows"], r["sum_v"]) for r in roll.read().collect())
+    exp = sorted(
+        (r["g"], r["n"], r["s"])
+        for r in base.read()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    )
+    assert got == exp
