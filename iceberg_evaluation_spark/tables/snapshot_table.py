@@ -128,6 +128,58 @@ class SnapshotTable:
     def _snapshot_path(self, version: int) -> str:
         return os.path.join(self._snap_dir, f"v{version:08d}.json")
 
+    def _flip_version_monotonic(self, version: int) -> None:
+        """Advance the VERSION pointer to ``version`` iff it moves FORWARD.
+
+        Both flip sites (the winner's normal flip and the EEXIST
+        adoption flip) funnel through here. The monotonic check and the
+        write happen under a short-lived O_EXCL lock file so the
+        check-then-act pair is atomic across writers: without it, a
+        loser that adopts an orphaned v{N} manifest can retry, commit
+        v{N+1}, and then have the ORIGINAL v{N} winner's late
+        unconditional flip regress the pointer from N+1 back to N
+        (transient stale reads until some later commit re-heals).
+        The lock guards only two metadata syscalls — held for
+        microseconds — so a 2 s steal window is orders of magnitude
+        above any legitimate hold time (a holder that old crashed
+        mid-flip and abandoned the lock).
+        """
+        lock = self._version_file() + ".lock"
+        deadline = time.time() + 10.0
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    age = time.time() - os.path.getmtime(lock)
+                except OSError:
+                    continue  # holder just released; retry acquire
+                if age > 2.0:
+                    try:
+                        os.remove(lock)  # steal from a crashed holder
+                    except OSError:
+                        pass
+                    continue
+                if time.time() > deadline:
+                    raise ConcurrentCommitError(
+                        f"VERSION lock at {lock} held past deadline"
+                    )
+                time.sleep(0.005)
+        try:
+            if self.exists() and self.current_version() >= version:
+                return  # a later commit already advanced the pointer
+            vtmp = self._version_file() + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(vtmp, "w") as f:
+                f.write(str(version))
+            os.replace(vtmp, self._version_file())  # atomic pointer flip
+        finally:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
+
     def _read_snapshot(self, version: int) -> dict[str, Any]:
         with open(self._snapshot_path(version)) as f:
             return json.load(f)
@@ -239,21 +291,17 @@ class SnapshotTable:
                     self._snapshot_path(version) + ".orphan",
                 )
             else:
-                if (not self.exists()) or self.current_version() < version:
-                    vtmp = self._version_file() + ".tmp"
-                    with open(vtmp, "w") as f:
-                        f.write(str(version))
-                    os.replace(vtmp, self._version_file())
+                self._flip_version_monotonic(version)
             raise ConcurrentCommitError(
                 f"another writer committed v{version} concurrently; "
                 f"retry this {operation} on fresh state"
             ) from None
         finally:
             os.remove(tmp)
-        vtmp = self._version_file() + ".tmp"
-        with open(vtmp, "w") as f:
-            f.write(str(version))
-        os.replace(vtmp, self._version_file())  # atomic pointer flip
+        # Monotonic, not unconditional: if a loser adopted this manifest
+        # and already committed version+1, a plain flip here would
+        # REGRESS the pointer (leapfrog race) — see _flip_version_monotonic.
+        self._flip_version_monotonic(version)
         return version
 
     # ------------------------------------------------------------ data files

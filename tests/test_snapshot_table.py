@@ -796,3 +796,58 @@ def test_materialized_rollup_incremental_equals_full(spark, tmp_path):
         roll.refresh()
     roll.rebuild()
     check()
+
+
+def test_late_winner_flip_cannot_regress_version(spark, tmp_path):
+    """ADVICE r4 (medium): the EEXIST self-heal lets a LOSER adopt an
+    orphaned v(N) manifest, retry, and commit v(N+1) while the original
+    v(N) winner is still between its manifest link and its pointer flip.
+    The winner's late flip must NOT regress VERSION from N+1 back to N."""
+    import json
+    import os
+
+    from iceberg_evaluation_spark.tables.snapshot_table import (
+        ConcurrentCommitError,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "leap"))
+    t.create_or_replace(spark.createDataFrame([(1,)], "id long"))
+    # winner W: linked a COMPLETE v2 manifest, pre-empted before its flip
+    snap_dir = os.path.join(t.root, "snapshots")
+    with open(os.path.join(snap_dir, "v00000001.json")) as f:
+        snap = json.load(f)
+    snap["version"] = 2
+    with open(os.path.join(snap_dir, "v00000002.json"), "w") as f:
+        json.dump(snap, f)
+    # loser L: hits EEXIST at v2, adopts W's manifest (flips to 2), then
+    # retries on fresh state and commits v3
+    with pytest.raises(ConcurrentCommitError):
+        t.append(spark.createDataFrame([(2,)], "id long"))
+    assert t.current_version() == 2
+    t.append(spark.createDataFrame([(2,)], "id long"))
+    assert t.current_version() == 3
+    # W resumes and performs its (now late) pointer flip for v2: the
+    # monotonic guard must make it a no-op, not a regression to 2
+    t._flip_version_monotonic(2)
+    assert t.current_version() == 3
+    assert t.read().count() == 2
+    # and a genuinely-forward flip still advances (sanity of the guard)
+    t.append(spark.createDataFrame([(3,)], "id long"))
+    assert t.current_version() == 4
+
+
+def test_flip_version_steals_stale_lock(spark, tmp_path):
+    """A crashed holder's abandoned VERSION lock must be stolen, not
+    wedge every later commit."""
+    import os
+
+    t = SnapshotTable(spark, str(tmp_path / "lock"))
+    t.create_or_replace(spark.createDataFrame([(1,)], "id long"))
+    lock = t._version_file() + ".lock"
+    with open(lock, "w"):
+        pass
+    old = time.time() - 60
+    os.utime(lock, (old, old))  # make the abandoned lock look 60s old
+    t.append(spark.createDataFrame([(2,)], "id long"))  # steals + commits
+    assert t.current_version() == 2
+    assert not os.path.exists(lock)
