@@ -29,7 +29,9 @@ deltas with no rebuild — the artifact is the accumulating state.
 Scale shape: band-table join keys on (band, bucket) — high cardinality,
 uniform by construction (xxhash64 buckets); the corpus side is
 16 rows/doc, linear. No all-pairs stage anywhere; candidate volume is
-bounded by the build-time bucket cap.
+bounded by the bucket cap, which is applied at BUILD time and
+RE-APPLIED to every append against standing bucket occupancy (so a hot
+bucket cannot grow without bound across many deltas).
 """
 
 from __future__ import annotations
@@ -70,6 +72,57 @@ def _band_frame(sh: DataFrame) -> DataFrame:
     ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
+def _require_lookup_covers(cand: DataFrame, lookup_ids: DataFrame, op: str) -> None:
+    """ADVICE r4: ``corpus_lookup`` MUST cover every id ever folded into
+    the artifacts — a band candidate whose partner text/vector is absent
+    from the lookup would otherwise be silently dropped by the partner
+    semi-join and the delta row misclassified as 'new'. One cheap
+    anti-join (candidate corpus_ids are already distinct and small)
+    turns that silent recall hole into a loud error."""
+    missing = (
+        cand.select("corpus_id")
+        .distinct()
+        .join(lookup_ids, "corpus_id", "left_anti")
+        .limit(5)
+        .collect()
+    )
+    if missing:
+        ids = [r["corpus_id"] for r in missing]
+        raise ValueError(
+            f"{op}: corpus_lookup is missing candidate partner ids {ids} "
+            "(it must cover the ORIGINAL corpus plus every delta already "
+            "folded into the artifacts); pass check_lookup=False only if "
+            "missing partners are acceptable as silent 'new' classifications"
+        )
+
+
+def _capped_append_rows(
+    existing: DataFrame, new_rows: DataFrame, keys: list[str], max_bucket: int
+) -> DataFrame:
+    """Cap appended index rows against the STANDING bucket occupancy.
+
+    The build-time cap keeps ≤ ``max_bucket`` ids per bucket; without
+    re-applying it at append time a standing bucket could grow without
+    bound across many deltas and the delta-vs-index join would lose its
+    candidate-volume bound (ADVICE r4). Occupancy is computed only for
+    the buckets the delta touches (semi-join pruned read of the index),
+    and new rows fill each bucket lowest-id-first up to the remaining
+    headroom — the same deterministic keep-lowest rule as the build."""
+    touched = new_rows.select(*keys).distinct()
+    occ = (
+        existing.join(touched, keys, "left_semi")
+        .groupBy(*keys)
+        .agg(F.count("*").alias("_occ"))
+    )
+    w = Window.partitionBy(*keys).orderBy("id")
+    return (
+        new_rows.withColumn("_rn", F.row_number().over(w))
+        .join(occ, keys, "left")
+        .filter(F.col("_rn") + F.coalesce(F.col("_occ"), F.lit(0)) <= max_bucket)
+        .drop("_rn", "_occ")
+    )
+
+
 @dataclass
 class DedupState:
     """The persisted dedup artifacts plus build-time diagnostics."""
@@ -77,6 +130,7 @@ class DedupState:
     fingerprints: SnapshotTable  # (id, fp) — raw-text md5
     bands: SnapshotTable         # (id, band, bucket) — capped LSH index
     capped_drops: int            # band rows dropped by the bucket cap
+    max_bucket: int = 200        # build-time cap, re-applied to appends
     # bloom words cached per fingerprint-table version: a streaming
     # ingest (q106) probes the SAME standing filter every micro-batch;
     # rebuilding the distributed bit-OR per batch is pure waste. The
@@ -140,7 +194,8 @@ def build_dedup_state(
     n_banded = banded.count()
     n_kept = band_table.read().count()
     return DedupState(
-        fingerprints=fp_table, bands=band_table, capped_drops=n_banded - n_kept
+        fingerprints=fp_table, bands=band_table,
+        capped_drops=n_banded - n_kept, max_bucket=max_bucket,
     )
 
 
@@ -154,8 +209,22 @@ def incremental_neardup_dedup(
     threshold: float = 0.7,
     shingle_n: int = 3,
     append_new: bool = True,
+    check_lookup: bool = True,
 ) -> DataFrame:
     """Classify each delta row against the persisted state; update state.
+
+    CALLER OBLIGATION: ``corpus_lookup`` must cover every id ever folded
+    into the artifacts — the original corpus PLUS all previously-appended
+    deltas (maintain it as ``corpus ∪ deltas``, e.g. an appended table).
+    With ``check_lookup`` (default) a missing candidate partner raises
+    instead of silently classifying its near-dups as 'new'.
+
+    Within-delta duplicates are OUT OF SCOPE by design: each delta row
+    is classified independently against the STANDING state, so two
+    identical rows in one delta both classify 'new' (dedup the delta
+    itself first if that matters); their band appends are bucket-capped
+    like everything else, so duplicate fingerprint/band rows cannot grow
+    a bucket past ``state.max_bucket``.
 
     Returns (id, status) with status in {'exact_dup', 'near_dup', 'new'}:
 
@@ -196,6 +265,12 @@ def incremental_neardup_dedup(
         .distinct()
         .localCheckpoint(eager=False)  # feeds the partner semi-join AND verify
     )
+    if check_lookup:
+        _require_lookup_covers(
+            cand,
+            corpus_lookup.select(F.col(id_col).alias("corpus_id")),
+            "incremental_neardup_dedup",
+        )
     # pruned corpus read: shingle ONLY candidate partners
     partners = corpus_lookup.select(
         F.col(id_col).alias("corpus_id"), F.col(text_col).alias("text")
@@ -232,9 +307,13 @@ def incremental_neardup_dedup(
             sh_new = sh_delta.join(
                 new_c.select(F.col("id").alias("_id")), "_id", "left_semi"
             )
+            new_bands = _band_frame(sh_new).select(
+                F.col("_id").alias("id"), "band", "bucket"
+            )
             state.bands.append(
-                _band_frame(sh_new).select(
-                    F.col("_id").alias("id"), "band", "bucket"
+                _capped_append_rows(
+                    state.bands.read(), new_bands,
+                    ["band", "bucket"], state.max_bucket,
                 )
             )
         new = new_c
@@ -289,9 +368,17 @@ def incremental_semantic_dedup(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     append_new: bool = True,
+    check_lookup: bool = True,
+    max_bucket: int = 200,
     **srp_kwargs,
 ) -> DataFrame:
     """Classify delta vectors against the persisted SRP band index.
+
+    Same caller obligation as ``incremental_neardup_dedup``:
+    ``corpus_lookup`` must cover the original corpus plus every delta
+    already folded into ``bands`` (guarded by ``check_lookup``), and
+    appended band rows are capped against standing bucket occupancy at
+    ``max_bucket`` (pass the build-time cap).
 
     (id, status) with status in {'dup', 'new'}: dup iff some indexed
     vector shares an SRP band AND verifies at exact double cosine ≥
@@ -320,6 +407,12 @@ def incremental_semantic_dedup(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    if check_lookup:
+        _require_lookup_covers(
+            cand,
+            corpus_lookup.select(F.col(id_col).alias("corpus_id")),
+            "incremental_semantic_dedup",
+        )
     partners = corpus_lookup.select(
         F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("pvec")
     ).join(cand.select("corpus_id").distinct(), "corpus_id", "left_semi")
@@ -348,7 +441,11 @@ def incremental_semantic_dedup(
             new_chunks = delta_chunks.join(
                 new.select(F.col("id").alias("_id")), "_id", "left_semi"
             ).select(F.col("_id").alias("id"), "chunk", "cval")
-            bands.append(new_chunks)
+            bands.append(
+                _capped_append_rows(
+                    bands.read(), new_chunks, ["chunk", "cval"], max_bucket
+                )
+            )
     return dup.select("id", F.lit("dup").alias("status")).unionByName(
         new.select("id", F.lit("new").alias("status"))
     )

@@ -54,21 +54,36 @@ def write_wds_shards(
         import os
         import tarfile
         import time
+        import uuid
 
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         path = os.path.join(out_dir, f"shard-{pid:05d}.tar")
-        tmp = path + ".tmp"
+        # ADVICE r4: the tmp name must be ATTEMPT-unique, not just
+        # partition-unique — a task retry or speculative duplicate of
+        # this partition on a shared filesystem would otherwise
+        # interleave writes into one tmp file and os.replace could
+        # publish a corrupt shard. With a per-attempt name, whichever
+        # attempt finishes last replaces the shard with a complete tar.
+        tmp = f"{path}.tmp-{ctx.attemptNumber()}-{uuid.uuid4().hex[:8]}"
         wrote = False
-        with tarfile.open(tmp, "w") as tf:
-            for row in rows:
-                data = bytes(row[1])
-                info = tarfile.TarInfo(name=f"{row[0]}.{ext}")
-                info.size = len(data)
-                info.mtime = 0  # deterministic shard bytes
-                tf.addfile(info, io.BytesIO(data))
-                wrote = True
+        try:
+            with tarfile.open(tmp, "w") as tf:
+                for row in rows:
+                    data = bytes(row[1])
+                    info = tarfile.TarInfo(name=f"{row[0]}.{ext}")
+                    info.size = len(data)
+                    info.mtime = 0  # deterministic shard bytes
+                    tf.addfile(info, io.BytesIO(data))
+                    wrote = True
+        except BaseException:
+            try:
+                os.remove(tmp)  # never leave a partial attempt behind
+            except OSError:
+                pass
+            raise
         if wrote:
             os.replace(tmp, path)
         else:

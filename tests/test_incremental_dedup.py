@@ -151,3 +151,64 @@ def test_all_dup_delta_commits_no_empty_versions(spark, tmp_path):
         state, empty, _docs(spark, CORPUS), "doc_id", "text"
     ).count() == 0
     assert state.fingerprints.current_version() == vf
+
+
+def test_missing_lookup_partner_raises(spark, tmp_path):
+    """ADVICE r4: a band candidate whose partner text is absent from
+    corpus_lookup must raise loudly, not silently classify 'new'."""
+    import pytest
+
+    state = _state(spark, tmp_path)
+    # near-dup of corpus doc 2, but the lookup omits doc 2
+    delta = _docs(spark, [(401, CORPUS[1][1].replace(" ", "  "))])
+    short_lookup = _docs(spark, [CORPUS[0], CORPUS[2]])
+    with pytest.raises(ValueError, match="corpus_lookup is missing"):
+        incremental_neardup_dedup(
+            state, delta, short_lookup, "doc_id", "text"
+        ).collect()
+    # the opt-out keeps the old (documented-lossy) behavior
+    got = {r["id"]: r["status"] for r in incremental_neardup_dedup(
+        state, delta, short_lookup, "doc_id", "text",
+        check_lookup=False, append_new=False,
+    ).collect()}
+    assert got == {401: "new"}
+
+
+def test_appends_respect_bucket_cap(spark, tmp_path):
+    """ADVICE r4: appended band rows must be capped against STANDING
+    bucket occupancy, so a standing (band, bucket) cannot grow without
+    bound across deltas."""
+    state = _state(spark, tmp_path, max_bucket=3)
+    base_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    # fold three identical-text docs in (independently classified 'new'
+    # within one delta is out of scope — use three successive deltas,
+    # each with an up-to-date lookup)
+    lookup_rows = list(CORPUS)
+    for i, doc_id in enumerate([501, 502, 503, 504, 505]):
+        delta = _docs(spark, [(doc_id, base_text)])
+        incremental_neardup_dedup(
+            state, delta, _docs(spark, lookup_rows), "doc_id", "text"
+        ).collect()
+        lookup_rows.append((doc_id, base_text))
+        # identical text → identical 16 band rows; after the first doc
+        # lands, the rest are exact dups and append nothing
+    occ = (
+        state.bands.read().groupBy("band", "bucket").count()
+        .agg(F.max("count").alias("m")).collect()[0]["m"]
+    )
+    assert occ <= 3
+    # now force NON-exact near-identical docs (distinct texts, shared
+    # shingles → same buckets) via suffix jitter that keeps most bands
+    for j, doc_id in enumerate([601, 602, 603, 604, 605, 606]):
+        txt = base_text + f" tail{j}"
+        delta = _docs(spark, [(doc_id, txt)])
+        incremental_neardup_dedup(
+            state, delta, _docs(spark, lookup_rows), "doc_id", "text",
+            threshold=1.1,  # never verifies → always 'new' → always appends
+        ).collect()
+        lookup_rows.append((doc_id, txt))
+    occ2 = (
+        state.bands.read().groupBy("band", "bucket").count()
+        .agg(F.max("count").alias("m")).collect()[0]["m"]
+    )
+    assert occ2 <= 3, f"bucket grew past the cap: {occ2}"
