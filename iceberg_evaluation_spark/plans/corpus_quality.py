@@ -806,3 +806,64 @@ def q100_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_importance_weights(
         docs, "text", "doc_id", "__is_target", num_buckets=1024
     )
+
+
+# ---------------------------------------------------------------------------
+# q112: hashed linear classifier inference (fastText-shape quality gate,
+#       Joulin et al. 2016 / CCNet) — unigram+bigram features hashed to
+#       1024 buckets, a B-row broadcast weight vector, mean-weight
+#       logit → sigmoid → keep/drop. The "trained" weights are a
+#       deterministic md5-derived vector so the oracle rebuilds the
+#       exact model from scratch; swapping in real trained weights
+#       changes ONLY the weight frame, not the engine path.
+# ---------------------------------------------------------------------------
+_Q112_BUCKETS = 1024
+_Q112_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents WHERE {_NORM} <> ''
+), uni AS (
+  SELECT doc_id, u AS f FROM base, unnest(t) AS s(u)
+), bi AS (
+  SELECT doc_id, u AS f
+  FROM (SELECT doc_id,
+               list_transform(range(0, len(t) - 1),
+                              i -> t[i+1] || ' ' || t[i+2]) AS bl
+        FROM base WHERE len(t) >= 2),
+       unnest(bl) AS s(u)
+), feats AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT)
+              % {_Q112_BUCKETS} AS INT) AS bucket
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+), w AS (
+  SELECT CAST(b AS INT) AS bucket,
+         (CAST(('0x' || substr(md5('w' || CAST(b AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 2001 - 1000) / 1000.0 AS wt
+  FROM range(0, {_Q112_BUCKETS}) AS r(b)
+), sc AS (
+  SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         round(-0.05 + sum(w.wt) / count(*), 4) AS logit
+  FROM feats f JOIN w USING (bucket)
+  GROUP BY f.doc_id
+)
+SELECT doc_id, n_feats, logit,
+       round(1.0 / (1.0 + exp(-logit)), 4) AS prob,
+       CASE WHEN round(1.0 / (1.0 + exp(-logit)), 4) >= 0.5
+            THEN 'keep' ELSE 'drop' END AS label
+FROM sc
+"""
+
+
+@register(
+    "q112_classifier_inference",
+    covers="classifier-inference text-analysis text-quality A1 J1 P2",
+    oracle=_Q112_ORACLE,
+)
+def q112_classifier_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.classifier import demo_weight_vector, hashed_classifier_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    weights = demo_weight_vector(spark, _Q112_BUCKETS)
+    return hashed_classifier_scores(
+        docs, "text", "doc_id", weights, num_buckets=_Q112_BUCKETS
+    )
