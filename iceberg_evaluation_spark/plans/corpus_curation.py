@@ -866,3 +866,98 @@ def q110_source_format_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum(ord_fp).cast("bigint").alias("orc_fp_sum"),
     )
     return j.crossJoin(o)
+
+
+# ---------------------------------------------------------------------------
+# q113: schema evolution end-to-end (Iceberg ALTER TABLE semantics over
+#       the snapshot layer): metadata-only ADD COLUMN (old rows read
+#       NULL), MERGE backfill, append under the evolved schema, the
+#       documented HONEST RENAME recipe (add new + backfill from the old
+#       column + drop the old — name-mapped reads have no field ids, so
+#       an in-place rename would orphan old data; snapshot_table.py
+#       declines it explicitly), metadata-only DROP COLUMN, and
+#       time-travel reads that still see every historical schema.
+#       Every step's effect is pinned by an exact-computable column, so
+#       a read that leaks dropped columns, loses the backfill, or
+#       projects the wrong schema at a historical version hash-fails.
+# ---------------------------------------------------------------------------
+@register(
+    "q113_schema_evolution",
+    covers="schema-evolution S5 S7 S9 S10 M5-shape table-layer A1 A2 P5",
+    oracle="""
+SELECT CAST(3 AS INT) AS v1_cols,
+       CAST(count(*) AS BIGINT) AS v1_rows,
+       CAST(0 AS BIGINT) AS v2_backfilled,
+       CAST(count(*) AS BIGINT) AS v3_backfilled,
+       CAST(2 * count(*) AS BIGINT) AS final_rows,
+       CAST(2 * sum(length(n_name)) AS BIGINT) AS sum_comment_len,
+       CAST(2 * count(*) AS BIGINT) AS note_nonnull,
+       CAST(4 AS INT) AS final_cols,
+       CAST(7 AS INT) AS n_snapshots
+FROM nation
+""",
+)
+def q113_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables.snapshot_table import MergeClause, SnapshotTable
+
+    nation = load_table(spark, sf_dir, "nation")
+    t = SnapshotTable(spark, scratch_dir(prefix="evolution_"))
+    t.create_or_replace(nation, partitions=4)                        # v1
+    v1_cols = len(t.read(version=1).columns)
+    v1_rows = t.read(version=1).count()
+
+    t.add_column("comment_len", "bigint")                            # v2
+    v2_backfilled = t.read().agg(F.count("comment_len")).collect()[0][0]
+
+    t.merge(                                                         # v3
+        nation.select(
+            "n_nationkey", F.length("n_name").cast("bigint").alias("comment_len")
+        ),
+        on=["n_nationkey"],
+        clause=MergeClause(
+            matched_update={"comment_len": "s.comment_len"},
+            insert_when_not_matched=False,
+        ),
+    )
+    v3_backfilled = t.read().agg(F.count("comment_len")).collect()[0][0]
+
+    t.append(                                                        # v4
+        nation.select(
+            (F.col("n_nationkey") + 100).alias("n_nationkey"),
+            "n_name",
+            "n_regionkey",
+            F.length("n_name").cast("bigint").alias("comment_len"),
+        )
+    )
+
+    # honest rename: n_name -> note (add + backfill-from-target + drop)
+    t.add_column("note", "string")                                   # v5
+    # the source is rebuilt from the INPUT keys, not t.read(): a merge
+    # whose source shares the target's lineage is a self-join and the
+    # "t."/"s." update expressions lose attribute identity
+    all_keys = nation.select("n_nationkey").unionByName(
+        nation.select((F.col("n_nationkey") + 100).alias("n_nationkey"))
+    )
+    t.merge(                                                         # v6
+        all_keys,
+        on=["n_nationkey"],
+        clause=MergeClause(
+            matched_update={"note": "t.n_name"},
+            insert_when_not_matched=False,
+        ),
+    )
+    t.drop_column("n_name")                                       # v7
+
+    final = t.read()
+    n_snapshots = t.history().count()
+    return final.agg(
+        F.lit(v1_cols).cast("int").alias("v1_cols"),
+        F.lit(v1_rows).cast("bigint").alias("v1_rows"),
+        F.lit(v2_backfilled).cast("bigint").alias("v2_backfilled"),
+        F.lit(v3_backfilled).cast("bigint").alias("v3_backfilled"),
+        F.count(F.lit(1)).cast("bigint").alias("final_rows"),
+        F.sum("comment_len").cast("bigint").alias("sum_comment_len"),
+        F.count("note").cast("bigint").alias("note_nonnull"),
+        F.lit(len(final.columns)).cast("int").alias("final_cols"),
+        F.lit(n_snapshots).cast("int").alias("n_snapshots"),
+    )
