@@ -1343,3 +1343,35 @@ def q107_epoch_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return epoch_shard_shuffle(docs, n_shards=8, epoch=3).select(
         "doc_id", "shard", "pos"
     )
+
+
+# ---------------------------------------------------------------------------
+# q114: curriculum export — a GLOBAL easy-to-hard ordering of the corpus
+#       (score = n_chars, ties broken by doc_id) materialized as range
+#       shards via Spark's own RangePartitioner: ONE wide shuffle
+#       (repartitionByRange samples boundaries driver-side, never a full
+#       pass) + a within-shard sort fused into the shuffle read. Shard
+#       SIZES are sampling-dependent by design, so the oracle pins the
+#       curriculum CONTRACT instead: nothing lost/duplicated, score mass
+#       preserved, <= n shards, and zero adjacent-interval overlaps —
+#       a lossy shuffle or broken range assignment hash-fails.
+# ---------------------------------------------------------------------------
+@register(
+    "q114_curriculum_export",
+    covers="training-curriculum training-shuffle O1 A1 A2 W1 P2",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS total_rows,
+       CAST(sum(length(text)) AS BIGINT) AS sum_score,
+       TRUE AS shards_within_bound,
+       CAST(0 AS BIGINT) AS boundary_violations
+FROM documents
+""",
+)
+def q114_curriculum_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curriculum import curriculum_invariants, curriculum_shards
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("bigint").alias("difficulty")
+    )
+    sharded = curriculum_shards(docs, "difficulty", "doc_id", n_shards=16)
+    return curriculum_invariants(sharded, "difficulty", "doc_id", n_shards=16)
