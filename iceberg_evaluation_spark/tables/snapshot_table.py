@@ -142,23 +142,47 @@ class SnapshotTable:
         The lock guards only two metadata syscalls — held for
         microseconds — so a 2 s steal window is orders of magnitude
         above any legitimate hold time (a holder that old crashed
-        mid-flip and abandoned the lock).
+        mid-flip and abandoned the lock). Each acquirer writes a
+        writer-unique OWNERSHIP TOKEN into the lock file:
+
+        - stealing renames the stale lock to a unique grave first, so
+          when several contenders see age > 2 s exactly one rename wins
+          and at most ONE lock file is ever deleted per steal (a bare
+          os.remove could delete a rival stealer's FRESH lock);
+        - ownership is re-verified against the token immediately before
+          the pointer write, so a holder that stalled past the steal
+          window (GC pause, NFS hang) and was stolen from re-enters the
+          acquire loop instead of writing alongside the stealer;
+        - release removes the lock only while it still holds OUR token,
+          so a stolen-from holder's late cleanup cannot delete the
+          stealer's lock.
         """
         lock = self._version_file() + ".lock"
+        token = f"{os.getpid()}-{uuid.uuid4().hex}"
         deadline = time.time() + 10.0
         while True:
+            # ---------------------------------------------------- acquire
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.close(fd)
-                break
+                try:
+                    os.write(fd, token.encode())
+                finally:
+                    os.close(fd)
             except FileExistsError:
                 try:
                     age = time.time() - os.path.getmtime(lock)
                 except OSError:
                     continue  # holder just released; retry acquire
                 if age > 2.0:
+                    # rename-then-remove: the rename is atomic, so of N
+                    # contenders racing to steal the same stale lock
+                    # exactly one succeeds and the losers' renames raise
+                    # (the path is gone) — nobody can remove a lock that
+                    # a rival stealer already re-created
+                    grave = lock + f".steal-{uuid.uuid4().hex[:8]}"
                     try:
-                        os.remove(lock)  # steal from a crashed holder
+                        os.rename(lock, grave)
+                        os.remove(grave)
                     except OSError:
                         pass
                     continue
@@ -167,18 +191,42 @@ class SnapshotTable:
                         f"VERSION lock at {lock} held past deadline"
                     )
                 time.sleep(0.005)
-        try:
-            if self.exists() and self.current_version() >= version:
-                return  # a later commit already advanced the pointer
-            vtmp = self._version_file() + f".tmp-{uuid.uuid4().hex[:8]}"
-            with open(vtmp, "w") as f:
-                f.write(str(version))
-            os.replace(vtmp, self._version_file())  # atomic pointer flip
-        finally:
+                continue
+            # ------------------------------------------------- critical
             try:
-                os.remove(lock)
-            except OSError:
-                pass
+                if self.exists() and self.current_version() >= version:
+                    return  # a later commit already advanced the pointer
+                vtmp = self._version_file() + f".tmp-{uuid.uuid4().hex[:8]}"
+                with open(vtmp, "w") as f:
+                    f.write(str(version))
+                # ownership verify LAST, immediately before the flip: a
+                # stall anywhere earlier in the critical section (GC
+                # pause past the 2 s steal window) is caught here — the
+                # stolen-from holder discards its staged pointer and
+                # retries instead of overwriting the stealer's newer one
+                if not self._holds_lock(lock, token):
+                    try:
+                        os.remove(vtmp)
+                    except OSError:
+                        pass
+                    continue
+                os.replace(vtmp, self._version_file())  # atomic pointer flip
+                return
+            finally:
+                if self._holds_lock(lock, token):
+                    try:
+                        os.remove(lock)
+                    except OSError:
+                        pass
+
+    @staticmethod
+    def _holds_lock(lock: str, token: str) -> bool:
+        """True iff ``lock`` still contains OUR ownership token."""
+        try:
+            with open(lock) as f:
+                return f.read() == token
+        except OSError:
+            return False
 
     def _read_snapshot(self, version: int) -> dict[str, Any]:
         with open(self._snapshot_path(version)) as f:

@@ -851,3 +851,69 @@ def test_flip_version_steals_stale_lock(spark, tmp_path):
     t.append(spark.createDataFrame([(2,)], "id long"))  # steals + commits
     assert t.current_version() == 2
     assert not os.path.exists(lock)
+
+
+def test_stolen_while_alive_holder_cannot_regress_pointer(spark, tmp_path):
+    """r5 VERDICT #7 / ADVICE (medium): a holder that stalls past the
+    2 s steal window (GC pause / NFS hang) while still alive must NOT
+    re-enter the critical section after being stolen from. The
+    ownership token makes its post-stall pass detect the steal and
+    retry; without the verify-before-flip, its buffered LOWER version
+    would overwrite the stealer's HIGHER one (pointer regression).
+    Red if SnapshotTable._holds_lock is stubbed to always-True."""
+    import os
+    import threading
+
+    t_holder = SnapshotTable(spark, str(tmp_path / "steal"))
+    t_holder.create_or_replace(spark.createDataFrame([(1,)], "id long"))
+    t_rival = SnapshotTable(spark, t_holder.root)
+    lock = t_holder._version_file() + ".lock"
+
+    real_check = SnapshotTable._holds_lock
+    stalled = threading.Event()
+
+    def stall_once(lck, token, _seen=[]):
+        # holder's first ownership verify (staged pointer written, flip
+        # pending): simulate a 2.5 s GC pause right before the check
+        if not _seen:
+            _seen.append(1)
+            stalled.set()
+            time.sleep(2.5)
+        return real_check(lck, token)
+
+    t_holder._holds_lock = stall_once  # instance override, holder only
+    errs = []
+
+    def late_flip_to_2():
+        try:
+            t_holder._flip_version_monotonic(2)
+        except Exception as e:  # pragma: no cover - surfaced below
+            errs.append(e)
+
+    w = threading.Thread(target=late_flip_to_2)
+    w.start()
+    assert stalled.wait(5.0)
+    # rival steals the (now stale-looking) lock and flips FORWARD to 3
+    t_rival._flip_version_monotonic(3)
+    w.join(20.0)
+    assert not w.is_alive() and not errs
+    # holder's late 2 must have been swallowed by retry + monotonic guard
+    assert t_holder.current_version() == 3
+    assert not os.path.exists(lock)  # no leaked lock from either writer
+
+
+def test_holder_release_cannot_delete_rivals_fresh_lock(tmp_path):
+    """The release path removes the lock only while it still holds OUR
+    token: a stolen-from holder's late cleanup must leave a rival's
+    fresh lock in place (the old unconditional os.remove deleted it)."""
+    import os
+
+    lock = str(tmp_path / "VERSION.lock")
+    with open(lock, "w") as f:
+        f.write("rival-token")
+    assert not SnapshotTable._holds_lock(lock, "holder-token")
+    assert SnapshotTable._holds_lock(lock, "rival-token")
+    # the finally-block contract: no ownership -> no removal
+    if SnapshotTable._holds_lock(lock, "holder-token"):
+        os.remove(lock)
+    assert os.path.exists(lock)
