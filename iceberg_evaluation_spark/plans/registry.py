@@ -64,6 +64,65 @@ def register(
     return deco
 
 
+def derive_priority(
+    names: list[str],
+    history: dict[str, int],
+    pinned_head: list[str] = [],
+) -> list[str]:
+    """Compute the CORRECTNESS-window ordering from verdict history.
+
+    The driver checks only the FIRST 50 of ``all_queries()`` per round,
+    so the window must self-refresh (r5 verdict #2: the hand-edited list
+    went stale and three new queries missed their verdict). Ordering:
+
+    1. ``pinned_head`` — hand-pinned names whose code paths changed this
+       round (a small list, the only part maintained by hand);
+    2. names with NO driver verdict in any ``CORRECTNESS_r*.json``
+       (newly registered queries land here automatically);
+    3. everything else, oldest latest-verdict round first.
+
+    Registration order breaks ties within each class, so the result is
+    deterministic for a given history.
+    """
+    pinned = [n for n in pinned_head if n in names]
+    pinset = set(pinned)
+    rest = [n for n in names if n not in pinset]
+    never = [n for n in rest if n not in history]
+    seen = [n for n in rest if n in history]
+    seen.sort(key=lambda n: (history[n], names.index(n)))
+    return pinned + never + seen
+
+
+def load_correctness_history(repo_root: str) -> dict[str, int]:
+    """name -> round of its latest driver verdict, from CORRECTNESS_r*.json.
+
+    A round's verdict counts whether green or red — a red verdict still
+    re-sorts high because staleness (not color) drives the window; reds
+    additionally get fixed and hand-pinned. Missing/corrupt files are
+    skipped so a foreign checkout degrades to registration order."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import re as _re
+
+    latest: dict[str, int] = {}
+    for path in sorted(_glob.glob(_os.path.join(repo_root, "CORRECTNESS_r*.json"))):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = _json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name in data:
+            latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
 def ordered_registry() -> list[Query]:
     """Registry entries with PRIORITY names first, then registration order."""
     head = [REGISTRY[n] for n in PRIORITY if n in REGISTRY]
