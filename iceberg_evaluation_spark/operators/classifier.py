@@ -75,12 +75,21 @@ def hashed_classifier_scores(
     num_buckets: int = 1024,
     bias: float = -0.05,
     threshold: float = 0.5,
+    check_weights: bool = True,
 ) -> DataFrame:
     """Score every document with a hashed linear classifier.
 
     ``weights`` is a ``(bucket int, wt double)`` frame with exactly one
     row per bucket in ``[0, num_buckets)`` (a trained model loaded from
-    storage, or :func:`demo_weight_vector`). Returns
+    storage, or :func:`demo_weight_vector`). With ``check_weights``
+    (default) that contract is ASSERTED up front — a duplicate bucket
+    row would silently double-count (the inner-join fan-out inflates
+    ``n_feats`` and the logit) and a missing bucket would silently drop
+    its features; both now raise instead. The check is one aggregate
+    over the B-row model frame (B rows regardless of corpus size, same
+    cost class as the ``check_lookup`` guard in incremental dedup);
+    pass ``check_weights=False`` only when the same validated model
+    frame is reused across many calls. Returns
     ``(id_col, n_feats, logit, prob, label)``:
 
     - ``n_feats``: unigram + bigram feature occurrences;
@@ -89,6 +98,24 @@ def hashed_classifier_scores(
       logit, so both engines feed libm identical inputs);
     - ``label``: ``'keep'`` iff ``prob >= threshold``.
     """
+    if check_weights:
+        row = weights.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(
+                F.when(
+                    (F.col("bucket") >= 0) & (F.col("bucket") < num_buckets),
+                    F.col("bucket"),
+                )
+            ).alias("d"),
+        ).collect()[0]
+        if row["n"] != num_buckets or row["d"] != num_buckets:
+            raise ValueError(
+                "hashed_classifier_scores: weights must hold exactly one row "
+                f"per bucket in [0, {num_buckets}): got {row['n']} rows, "
+                f"{row['d']} distinct in-range buckets. A duplicate bucket "
+                "double-counts its features; a missing bucket drops them."
+            )
+
     toks = (
         docs.filter(normalize_ws(text_col) != "")  # no empty-string feature
         .select(

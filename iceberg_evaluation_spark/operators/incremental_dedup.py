@@ -45,7 +45,14 @@ from ..tables.snapshot_table import SnapshotTable
 from .bloom_dedup import bloom_prefiltered_anti_join
 from .dedup import _shingle_frame, minhash_signature
 
-__all__ = ["DedupState", "build_dedup_state", "incremental_neardup_dedup"]
+__all__ = [
+    "DedupState",
+    "SemanticState",
+    "build_dedup_state",
+    "build_semantic_state",
+    "incremental_neardup_dedup",
+    "incremental_semantic_dedup",
+]
 
 _NUM_HASHES = 64
 _BANDS = 16
@@ -129,8 +136,15 @@ class DedupState:
 
     fingerprints: SnapshotTable  # (id, fp) — raw-text md5
     bands: SnapshotTable         # (id, band, bucket) — capped LSH index
-    capped_drops: int            # band rows dropped by the bucket cap
+    capped_drops: int            # band rows dropped by the BUILD-time cap
     max_bucket: int = 200        # build-time cap, re-applied to appends
+    # band rows the cap dropped at APPEND time, accumulated across every
+    # delta folded into this state (ADVICE r5: recall loss from capped
+    # appends was invisible — build_dedup_state reports capped_drops but
+    # appends dropped silently). Mirrors capped_drops' contract: a
+    # pipeline whose exactness story needs capping to be a no-op asserts
+    # both stay 0.
+    append_drops: int = 0
     # bloom words cached per fingerprint-table version: a streaming
     # ingest (q106) probes the SAME standing filter every micro-batch;
     # rebuilding the distributed bit-OR per batch is pure waste. The
@@ -309,13 +323,16 @@ def incremental_neardup_dedup(
             )
             new_bands = _band_frame(sh_new).select(
                 F.col("_id").alias("id"), "band", "bucket"
-            )
-            state.bands.append(
-                _capped_append_rows(
-                    state.bands.read(), new_bands,
-                    ["band", "bucket"], state.max_bucket,
-                )
-            )
+            ).localCheckpoint(eager=False)
+            kept = _capped_append_rows(
+                state.bands.read(), new_bands,
+                ["band", "bucket"], state.max_bucket,
+            ).localCheckpoint(eager=False)
+            state.bands.append(kept)
+            # delta-sized counts (the frames are already materialized by
+            # the checkpoint feeding the write) — keeps append-time recall
+            # loss observable instead of silent
+            state.append_drops += new_bands.count() - kept.count()
         new = new_c
 
     exact = d.join(not_exact.select("id"), "id", "left_anti")
@@ -329,6 +346,21 @@ def incremental_neardup_dedup(
 # ---------------------------------------------------------------------------
 # Embedding modality: the same cross-run story over SRP bands
 # ---------------------------------------------------------------------------
+@dataclass
+class SemanticState:
+    """The persisted SRP band index plus the parameters it was built
+    with. ADVICE r5: the build-time bucket cap and SRP geometry MUST
+    travel with the state — when ``incremental_semantic_dedup`` took
+    them as free parameters, a caller passing different values silently
+    changed capping semantics (or probed with a mismatched signature)
+    mid-stream. Same pattern as :class:`DedupState`."""
+
+    bands: SnapshotTable      # (id, chunk, cval) — capped SRP index
+    max_bucket: int           # build-time cap, re-applied to appends
+    srp_params: dict          # srp_chunks kwargs the index was built with
+    append_drops: int = 0     # band rows dropped by append-time capping
+
+
 def build_semantic_state(
     spark: SparkSession,
     corpus: DataFrame,
@@ -338,12 +370,14 @@ def build_semantic_state(
     vec_col: str = "embedding",
     max_bucket: int = 200,
     **srp_kwargs,
-) -> SnapshotTable:
+) -> SemanticState:
     """Persist the corpus's SRP band signature (id, chunk, cval) once.
 
     The bucket cap (keep-lowest-``max_bucket`` ids per (chunk, cval))
     mirrors srp_neardup_pairs' build-time rule; the table IS the
-    standing similarity index every later delta probes.
+    standing similarity index every later delta probes. The returned
+    state carries the cap and SRP geometry so every later delta reuses
+    them verbatim.
     """
     from .similarity import srp_chunks
 
@@ -356,11 +390,13 @@ def build_semantic_state(
     )
     table = SnapshotTable(spark, band_root)
     table.create_or_replace(capped)
-    return table
+    return SemanticState(
+        bands=table, max_bucket=max_bucket, srp_params=dict(srp_kwargs)
+    )
 
 
 def incremental_semantic_dedup(
-    bands: SnapshotTable,
+    state: SemanticState,
     delta: DataFrame,
     corpus_lookup: DataFrame,
     *,
@@ -369,16 +405,15 @@ def incremental_semantic_dedup(
     threshold: float = 0.95,
     append_new: bool = True,
     check_lookup: bool = True,
-    max_bucket: int = 200,
-    **srp_kwargs,
 ) -> DataFrame:
     """Classify delta vectors against the persisted SRP band index.
 
     Same caller obligation as ``incremental_neardup_dedup``:
     ``corpus_lookup`` must cover the original corpus plus every delta
-    already folded into ``bands`` (guarded by ``check_lookup``), and
-    appended band rows are capped against standing bucket occupancy at
-    ``max_bucket`` (pass the build-time cap).
+    already folded into the state (guarded by ``check_lookup``).
+    The bucket cap and SRP geometry come FROM the state, so appends are
+    capped with the exact build-time rule and delta signatures always
+    match the index's.
 
     (id, status) with status in {'dup', 'new'}: dup iff some indexed
     vector shares an SRP band AND verifies at exact double cosine ≥
@@ -394,11 +429,11 @@ def incremental_semantic_dedup(
 
     d = delta.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     delta_chunks = srp_chunks(
-        d, id_col="id", vec_col="vec", **srp_kwargs
+        d, id_col="id", vec_col="vec", **state.srp_params
     ).localCheckpoint(eager=False)
     cand = (
         delta_chunks.join(
-            bands.read().select(
+            state.bands.read().select(
                 F.col("id").alias("corpus_id"), "chunk", "cval"
             ),
             ["chunk", "cval"],
@@ -440,12 +475,15 @@ def incremental_semantic_dedup(
         if not new.isEmpty():
             new_chunks = delta_chunks.join(
                 new.select(F.col("id").alias("_id")), "_id", "left_semi"
-            ).select(F.col("_id").alias("id"), "chunk", "cval")
-            bands.append(
-                _capped_append_rows(
-                    bands.read(), new_chunks, ["chunk", "cval"], max_bucket
-                )
-            )
+            ).select(
+                F.col("_id").alias("id"), "chunk", "cval"
+            ).localCheckpoint(eager=False)
+            kept = _capped_append_rows(
+                state.bands.read(), new_chunks, ["chunk", "cval"],
+                state.max_bucket,
+            ).localCheckpoint(eager=False)
+            state.bands.append(kept)
+            state.append_drops += new_chunks.count() - kept.count()
     return dup.select("id", F.lit("dup").alias("status")).unionByName(
         new.select("id", F.lit("new").alias("status"))
     )

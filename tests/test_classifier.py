@@ -62,3 +62,44 @@ def test_known_weights_exact_score(spark):
     assert row["n_feats"] == 3
     assert row["logit"] == 0.75
     assert row["label"] == "keep"
+
+
+def test_weights_contract_enforced(spark):
+    """r5 verdict #4: duplicate or missing bucket rows must raise, not
+    silently corrupt (fan-out double-count / dropped features)."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma")], "doc_id bigint, text string"
+    )
+    good = demo_weight_vector(spark, 64)
+
+    # duplicate bucket: right row count, fan-out hazard
+    dup = good.limit(63).unionByName(
+        spark.createDataFrame([(0, 0.5)], "bucket int, wt double")
+    )
+    with pytest.raises(ValueError, match="exactly one row per bucket"):
+        hashed_classifier_scores(docs, "text", "doc_id", dup, num_buckets=64)
+
+    # missing bucket: silently dropped features
+    with pytest.raises(ValueError, match="exactly one row per bucket"):
+        hashed_classifier_scores(
+            docs, "text", "doc_id", good.limit(63), num_buckets=64
+        )
+
+    # out-of-range bucket id: count right, coverage wrong
+    shifted = good.withColumn(
+        "bucket", (F.col("bucket") + F.lit(1)).cast("int")
+    )
+    with pytest.raises(ValueError, match="exactly one row per bucket"):
+        hashed_classifier_scores(
+            docs, "text", "doc_id", shifted, num_buckets=64
+        )
+
+    # valid model still scores; check_weights=False skips the guard
+    assert hashed_classifier_scores(
+        docs, "text", "doc_id", good, num_buckets=64
+    ).count() == 1
+    assert hashed_classifier_scores(
+        docs, "text", "doc_id", good, num_buckets=64, check_weights=False
+    ).count() == 1

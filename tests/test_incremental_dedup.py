@@ -112,26 +112,26 @@ def test_semantic_incremental_dedup(spark, tmp_path):
     corpus = spark.createDataFrame(
         [(i, vec(i)) for i in range(4)], "vec_id bigint, embedding array<double>"
     )
-    bands = build_semantic_state(spark, corpus, str(tmp_path / "b"))
-    v0 = bands.current_version()
+    state = build_semantic_state(spark, corpus, str(tmp_path / "b"))
+    v0 = state.bands.current_version()
     delta = spark.createDataFrame(
         [(101, vec(2)), (102, vec(97))], "vec_id bigint, embedding array<double>"
     )
     got = {r["id"]: r["status"] for r in incremental_semantic_dedup(
-        bands, delta, corpus
+        state, delta, corpus
     ).collect()}
     assert got == {101: "dup", 102: "new"}
-    assert bands.current_version() == v0 + 1  # 102's bands appended
+    assert state.bands.current_version() == v0 + 1  # 102's bands appended
     # run 2: 102's vector re-sent under a new id → dup against run-1 state
     d2 = spark.createDataFrame(
         [(201, vec(97))], "vec_id bigint, embedding array<double>"
     )
     lookup = corpus.unionByName(delta)
     got2 = {r["id"]: r["status"] for r in incremental_semantic_dedup(
-        bands, d2, lookup, append_new=False
+        state, d2, lookup, append_new=False
     ).collect()}
     assert got2 == {201: "dup"}
-    assert bands.current_version() == v0 + 1  # append_new=False: untouched
+    assert state.bands.current_version() == v0 + 1  # append_new=False: untouched
 
 
 def test_all_dup_delta_commits_no_empty_versions(spark, tmp_path):
@@ -212,3 +212,56 @@ def test_appends_respect_bucket_cap(spark, tmp_path):
         .agg(F.max("count").alias("m")).collect()[0]["m"]
     )
     assert occ2 <= 3, f"bucket grew past the cap: {occ2}"
+
+
+def test_append_drop_count_is_observable(spark, tmp_path):
+    """ADVICE r5: recall loss from append-time capping must be visible —
+    state.append_drops accumulates the band rows the cap removed across
+    deltas (0 while buckets have headroom)."""
+    state = _state(spark, tmp_path, max_bucket=3)
+    assert state.append_drops == 0
+    base_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    lookup_rows = list(CORPUS)
+    drops_seen = [0]
+    for j, doc_id in enumerate([701, 702, 703, 704, 705, 706]):
+        txt = base_text + f" tail{j}"
+        incremental_neardup_dedup(
+            state, _docs(spark, [(doc_id, txt)]),
+            _docs(spark, lookup_rows), "doc_id", "text",
+            threshold=1.1,  # never verifies → always 'new' → always appends
+        ).collect()
+        lookup_rows.append((doc_id, txt))
+        assert state.append_drops >= drops_seen[0]  # monotone
+        drops_seen[0] = state.append_drops
+    # 6 near-identical docs share most buckets; cap 3 must have dropped
+    assert state.append_drops > 0
+
+
+def test_semantic_state_carries_cap_and_srp_params(spark, tmp_path):
+    """ADVICE r5: the semantic cap/geometry travel WITH the state — a
+    caller can no longer pass a mismatched max_bucket or SRP kwargs."""
+    from iceberg_evaluation_spark.operators.incremental_dedup import (
+        SemanticState,
+        build_semantic_state,
+        incremental_semantic_dedup,
+    )
+
+    def vec(seed):
+        return [float(((seed * 31 + i * 7) % 13) - 6) for i in range(64)]
+
+    corpus = spark.createDataFrame(
+        [(i, vec(i)) for i in range(4)], "vec_id bigint, embedding array<double>"
+    )
+    state = build_semantic_state(
+        spark, corpus, str(tmp_path / "sem"), max_bucket=7
+    )
+    assert isinstance(state, SemanticState)
+    assert state.max_bucket == 7 and state.append_drops == 0
+    # delta probed with the state's own geometry: exact copy still dup
+    delta = spark.createDataFrame(
+        [(50, vec(1))], "vec_id bigint, embedding array<double>"
+    )
+    got = {r["id"]: r["status"] for r in incremental_semantic_dedup(
+        state, delta, corpus, append_new=False
+    ).collect()}
+    assert got == {50: "dup"}
