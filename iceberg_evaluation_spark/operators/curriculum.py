@@ -71,14 +71,21 @@ def curriculum_invariants(
     )
     w = Window.orderBy("shard")
     checked = per_shard.withColumn("prev_hi", F.lag("hi").over(w))
+    # coalesce(…, 0): aggregates over ZERO per-shard rows yield NULL —
+    # an empty (fully filtered) corpus must produce the well-defined
+    # 0/0/true/0 row, not NULLs a downstream gate would misread
     return checked.agg(
-        F.sum("rows").cast("bigint").alias("total_rows"),
-        F.sum("score_sum").cast("bigint").alias("sum_score"),
+        F.coalesce(F.sum("rows"), F.lit(0)).cast("bigint").alias("total_rows"),
+        F.coalesce(F.sum("score_sum"), F.lit(0)).cast("bigint").alias("sum_score"),
         (F.count(F.lit(1)) <= n_shards).alias("shards_within_bound"),
-        F.sum(
-            F.when(
-                F.col("prev_hi").isNotNull() & (F.col("lo") <= F.col("prev_hi")), 1
-            ).otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("prev_hi").isNotNull() & (F.col("lo") <= F.col("prev_hi")),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
         )
         .cast("bigint")
         .alias("boundary_violations"),

@@ -45,9 +45,21 @@ def write_wds_shards(
     owns the partition. Repartition first to choose the shard count.
     ``payload_col`` must be binary (encode strings upstream).
     """
+    import glob
     import os
 
     os.makedirs(out_dir, exist_ok=True)
+    # ADVICE r5: the per-attempt tmp cleanup only covers Python
+    # exceptions — a hard-killed executor (SIGKILL/OOM) leaks its
+    # shard-*.tar.tmp-* file forever, where the old fixed tmp name was
+    # self-healing on retry. Sweep orphans from PRIOR jobs at job start:
+    # nothing else writes tmp-* here, and this job's own attempts start
+    # strictly after the sweep, so the sweep can never race a live write.
+    for orphan in glob.glob(os.path.join(out_dir, "shard-*.tar.tmp-*")):
+        try:
+            os.remove(orphan)
+        except OSError:
+            pass  # concurrent sweep or FS hiccup — harmless either way
 
     def write_partition(rows) -> None:
         import io

@@ -307,3 +307,31 @@ def test_wds_connector_roundtrip_and_partitioning(spark, sf_smoke, tmp_path):
     assert set(
         r["shard"] for r in back.select("shard").distinct().collect()
     ) == set(shards)
+
+
+def test_wds_writer_sweeps_orphaned_tmp_files(spark, sf_smoke, tmp_path):
+    """ADVICE r5: a hard-killed executor (SIGKILL/OOM) leaks its
+    attempt-unique shard-*.tar.tmp-* file with no Python except block to
+    clean it; the writer must sweep prior jobs' orphans at job start."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from iceberg_evaluation_spark.sources import load_table
+    from iceberg_evaluation_spark.sources.wds import write_wds_shards
+
+    out = str(tmp_path / "shards")
+    os.makedirs(out)
+    orphan = os.path.join(out, "shard-00007.tar.tmp-2-deadbeef")
+    with open(orphan, "wb") as f:
+        f.write(b"partial tar bytes from a killed attempt")
+
+    docs = load_table(spark, sf_smoke, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    write_wds_shards(docs.repartition(2, "doc_id"), out, "doc_id", "payload")
+    names = os.listdir(out)
+    assert not any(".tmp-" in n for n in names), names
+    assert sorted(n for n in names if n.endswith(".tar")) == [
+        "shard-00000.tar", "shard-00001.tar",
+    ]
