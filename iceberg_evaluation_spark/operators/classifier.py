@@ -33,7 +33,32 @@ from pyspark.sql import functions as F
 from ..functions.keys import md5_bucket
 from ..functions.text import normalize_ws
 
-__all__ = ["demo_weight_vector", "hashed_classifier_scores"]
+__all__ = ["demo_weight_vector", "hashed_classifier_scores", "validate_weights"]
+
+
+def validate_weights(weights: DataFrame, num_buckets: int) -> None:
+    """Assert ``weights`` holds exactly one row per bucket in
+    ``[0, num_buckets)``. A duplicate bucket silently double-counts its
+    features (inner-join fan-out inflates n_feats and the logit); a
+    missing bucket silently drops them. One aggregate over the B-row
+    model frame — call it once per loaded model version (the ingest
+    loop pins the validated version, like the cached bloom words)."""
+    row = weights.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(
+            F.when(
+                (F.col("bucket") >= 0) & (F.col("bucket") < num_buckets),
+                F.col("bucket"),
+            )
+        ).alias("d"),
+    ).collect()[0]
+    if row["n"] != num_buckets or row["d"] != num_buckets:
+        raise ValueError(
+            "hashed_classifier_scores: weights must hold exactly one row "
+            f"per bucket in [0, {num_buckets}): got {row['n']} rows, "
+            f"{row['d']} distinct in-range buckets. A duplicate bucket "
+            "double-counts its features; a missing bucket drops them."
+        )
 
 
 def demo_weight_vector(
@@ -99,22 +124,7 @@ def hashed_classifier_scores(
     - ``label``: ``'keep'`` iff ``prob >= threshold``.
     """
     if check_weights:
-        row = weights.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.count_distinct(
-                F.when(
-                    (F.col("bucket") >= 0) & (F.col("bucket") < num_buckets),
-                    F.col("bucket"),
-                )
-            ).alias("d"),
-        ).collect()[0]
-        if row["n"] != num_buckets or row["d"] != num_buckets:
-            raise ValueError(
-                "hashed_classifier_scores: weights must hold exactly one row "
-                f"per bucket in [0, {num_buckets}): got {row['n']} rows, "
-                f"{row['d']} distinct in-range buckets. A duplicate bucket "
-                "double-counts its features; a missing bucket drops them."
-            )
+        validate_weights(weights, num_buckets)
 
     toks = (
         docs.filter(normalize_ws(text_col) != "")  # no empty-string feature

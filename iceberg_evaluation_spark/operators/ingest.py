@@ -1,0 +1,153 @@
+"""Gated delta ingest: quality-classify AND dedup each incoming delta
+in one pass against standing artifacts — the production 100 TB ingest
+loop (r5 verdict #5).
+
+The reference's curation pipelines fold daily delta drops into standing
+tables (reference src/data_curation/glue_jobs/update_tpcds.py:56-62);
+an LLM-data pipeline additionally quality-gates every incoming document
+(CCNet/fastText-style classifier, operators/classifier.py) and
+deduplicates it against everything already ingested
+(operators/incremental_dedup.py). Running those as two separate corpus
+passes doubles the delta scan; :class:`GatedIngestSession` composes
+them into ONE:
+
+1. score the delta with the hashed linear classifier — a broadcast
+   B-row model, two hash aggregations, no Python in the hot path;
+   rows below the keep threshold are ``rejected`` and never reach the
+   (more expensive) dedup stages, so the gate also PRUNES dedup work;
+2. surviving rows run the standing-artifact dedup: bloom-prefiltered
+   exact anti-join, band-index bucket join, exact-Jaccard verify
+   against only candidate partners (never a corpus re-scan);
+3. rows classified ``new`` are folded into the artifacts AND appended
+   to the standing corpus table, so the next delta — the next
+   micro-batch in a foreachBatch loop — sees them with no rebuild.
+
+Model discipline mirrors the per-version cached bloom words
+(incremental_dedup.DedupState.bloom_words): the weight frame is
+VALIDATED ONCE per session (exactly one row per hash bucket —
+classifier.validate_weights) and reused across every delta with the
+check off; ``model_validations`` exposes the count so the replay
+oracle can pin validate-once behavior.
+
+Statuses: ``rejected`` (failed the quality gate — includes docs with
+no scoreable features, e.g. whitespace-only text), ``exact_dup``,
+``near_dup``, ``new``. Rejected and duplicate rows are NEVER appended
+anywhere, so the corpus table accumulates exactly the accepted-new
+rows — fingerprints_final = corpus + Σ new per delta, an arithmetic
+the oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..tables.snapshot_table import SnapshotTable
+from .classifier import hashed_classifier_scores, validate_weights
+from .incremental_dedup import DedupState, incremental_neardup_dedup
+
+__all__ = ["GatedIngestSession"]
+
+
+class GatedIngestSession:
+    """A standing (model, dedup-state, corpus-table) triple that
+    processes deltas one foreachBatch micro-batch at a time.
+
+    ``corpus_table`` is the standing (id, text) snapshot table the
+    dedup artifacts were built FROM; the session appends accepted-new
+    rows to it, keeping the partner lookup and the artifacts in sync
+    (the check_lookup coverage guard holds by construction).
+    """
+
+    def __init__(
+        self,
+        state: DedupState,
+        weights: DataFrame,
+        corpus_table: SnapshotTable,
+        *,
+        id_col: str,
+        text_col: str,
+        num_buckets: int = 1024,
+        bias: float = -0.05,
+        keep_threshold: float = 0.5,
+        dedup_threshold: float = 0.7,
+        shingle_n: int = 3,
+    ):
+        validate_weights(weights, num_buckets)  # once per model version
+        self.model_validations = 1
+        self.state = state
+        self.weights = weights
+        self.corpus_table = corpus_table
+        self.id_col = id_col
+        self.text_col = text_col
+        self.num_buckets = num_buckets
+        self.bias = bias
+        self.keep_threshold = keep_threshold
+        self.dedup_threshold = dedup_threshold
+        self.shingle_n = shingle_n
+
+    def process_delta(
+        self, delta: DataFrame, *, append_new: bool = True
+    ) -> DataFrame:
+        """Classify one delta; fold accepted-new rows into the state.
+
+        Returns ``(id, prob, status)`` — one row per delta row, prob
+        NULL only for unscoreable (featureless) rows, which are
+        ``rejected``. Side effects under ``append_new``: new rows'
+        fingerprints/bands go to the artifacts and their (id, text) to
+        the corpus table, so the NEXT call sees them.
+        """
+        idc, txc = self.id_col, self.text_col
+        d = delta.select(
+            F.col(idc).alias("id"), F.col(txc).alias("text")
+        ).localCheckpoint(eager=False)  # scored AND dedup'd — one lineage
+
+        scores = hashed_classifier_scores(
+            d, "text", "id", self.weights,
+            num_buckets=self.num_buckets, bias=self.bias,
+            threshold=self.keep_threshold,
+            check_weights=False,  # validated once at session start
+        )
+        scored = d.join(
+            scores.select("id", "prob", "label"), "id", "left"
+        ).localCheckpoint(eager=False)  # feeds reject AND keep branches
+
+        rejected = scored.filter(
+            F.col("label").isNull() | (F.col("label") == "drop")
+        ).select("id", "prob", F.lit("rejected").alias("status"))
+
+        kept = scored.filter(F.col("label") == "keep")
+        lookup = self.corpus_table.read().select(
+            F.col(idc).alias("id"), F.col(txc).alias("text")
+        )
+        deduped = incremental_neardup_dedup(
+            self.state,
+            kept,
+            lookup,
+            "id",
+            "text",
+            threshold=self.dedup_threshold,
+            shingle_n=self.shingle_n,
+            append_new=append_new,
+            # the lookup IS the table the artifacts mirror (both fold the
+            # same accepted-new rows below), but keep the coverage guard
+            # on: it turns a crash-induced artifact/table desync into a
+            # loud error on the NEXT delta instead of silent recall loss
+            check_lookup=True,
+        )
+        if append_new:
+            accepted = kept.join(
+                deduped.filter(F.col("status") == "new").select("id"),
+                "id",
+                "left_semi",
+            ).select(
+                F.col("id").alias(idc), F.col("text").alias(txc)
+            ).localCheckpoint(eager=False)
+            if not accepted.isEmpty():
+                self.corpus_table.append(accepted)
+
+        return rejected.unionByName(
+            deduped.join(scored.select("id", "prob"), "id").select(
+                "id", "prob", "status"
+            )
+        )

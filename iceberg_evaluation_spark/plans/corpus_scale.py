@@ -691,3 +691,296 @@ def q109_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "n_events", "session_start", "session_end",
         "duration_s", "total_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# q115: GATED streaming ingest — quality-classify AND dedup each delta in
+#       ONE pass against standing artifacts (r5 verdict #5: q112's
+#       broadcast classifier folded into q106's foreachBatch ingest
+#       loop). Two deltas replay as two micro-batches (q109's mtime
+#       pinning); the session validates the B-row model ONCE (pinned by
+#       the model_validations column), gates each batch (rejected rows
+#       never reach the dedup joins), dedups survivors against the
+#       persisted fingerprint/band artifacts, and folds accepted-new
+#       rows into BOTH the artifacts and the standing corpus table —
+#       delta 2's md5-copies of delta 1's accepted rows land exact_dup,
+#       its copies of REJECTED rows stay rejected (never folded), and
+#       the final table sizes pin the accumulation arithmetic.
+#       Classes (gate keep iff round(prob,4) >= 0.49, q112's model):
+#         d1 %10=0 raw copy        → exact_dup | rejected
+#         d1 %10=1 md5(text)       → new       | rejected
+#         d1 %10=2 doubled spaces  → near_dup  | rejected (exact if no ws)
+#         d2 %10=1 same md5(text)  → exact_dup if d1 twin accepted,
+#                                    rejected if d1 twin rejected
+#         d2 %10=3 md5(text||'x')  → new       | rejected
+#       Dup-vs-new truth is raw/normalized text equality against the
+#       standing universe at each batch start (q104's exactness
+#       argument), so the whole two-batch replay is SQL-derivable.
+# ---------------------------------------------------------------------------
+_Q115_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_Q115_TOKS = f"regexp_split_to_array({_Q115_NORM}, ' ')"
+_Q115_KEEP = 0.49
+
+
+def _q115_delta1(docs: DataFrame) -> DataFrame:
+    return (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 2_000_000).alias("doc_id"), "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 1).select(
+                (F.col("doc_id") + 3_000_000).alias("doc_id"),
+                F.md5("text").alias("text"),
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 2).select(
+                (F.col("doc_id") + 4_000_000).alias("doc_id"),
+                F.regexp_replace("text", " ", "  ").alias("text"),
+            )
+        )
+    )
+
+
+def _q115_delta2(docs: DataFrame) -> DataFrame:
+    return (
+        docs.filter(F.col("doc_id") % 10 == 1)
+        .select(
+            (F.col("doc_id") + 5_000_000).alias("doc_id"),
+            F.md5("text").alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 3).select(
+                (F.col("doc_id") + 6_000_000).alias("doc_id"),
+                F.md5(F.concat(F.col("text"), F.lit("x"))).alias("text"),
+            )
+        )
+    )
+
+
+def _q115_session(spark: SparkSession, docs: DataFrame, tag: str):
+    from ..operators.classifier import demo_weight_vector
+    from ..operators.incremental_dedup import build_dedup_state
+    from ..operators.ingest import GatedIngestSession
+
+    corpus_table = SnapshotTable(spark, scratch_dir(f"q115{tag}_corpus_"))
+    corpus_table.create_or_replace(docs)
+    state = build_dedup_state(
+        spark, corpus_table.read(), "doc_id", "text",
+        scratch_dir(f"q115{tag}_fp_"), scratch_dir(f"q115{tag}_bands_"),
+    )
+    return GatedIngestSession(
+        state,
+        demo_weight_vector(spark, 1024),
+        corpus_table,
+        id_col="doc_id",
+        text_col="text",
+        num_buckets=1024,
+        keep_threshold=_Q115_KEEP,
+    )
+
+
+# operator-only variant (bench run_s): ONE gated delta pass against a
+# memoized session — the steady-state ingest cost. The registered
+# query's state build + streaming replay harness is verify_s.
+_Q115_CACHE: dict = {}
+
+
+def _q115_bare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    key = (id(spark), sf_dir)
+    session = _Q115_CACHE.get(key)
+    if session is None:
+        session = _q115_session(spark, docs, "b")
+        _Q115_CACHE[key] = session
+    return session.process_delta(_q115_delta1(docs), append_new=False)
+
+
+@register(
+    "q115_gated_streaming_ingest",
+    covers="streaming dedup-incremental dedup-bloom classifier-inference "
+           "table-layer S5 S7 J1 J5 J6 A1 A9",
+    bare=_q115_bare,
+    oracle=f"""
+WITH d1 AS (
+  SELECT doc_id + 2000000 AS doc_id, text
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id, md5(text) AS text
+  FROM documents WHERE doc_id % 10 = 1
+  UNION ALL
+  SELECT doc_id + 4000000 AS doc_id, replace(text, ' ', '  ') AS text
+  FROM documents WHERE doc_id % 10 = 2
+), d2 AS (
+  SELECT doc_id + 5000000 AS doc_id, md5(text) AS text
+  FROM documents WHERE doc_id % 10 = 1
+  UNION ALL
+  SELECT doc_id + 6000000 AS doc_id, md5(text || 'x') AS text
+  FROM documents WHERE doc_id % 10 = 3
+), all_d AS (
+  SELECT * FROM d1 UNION ALL SELECT * FROM d2
+), base AS (
+  SELECT doc_id, {{toks}} AS t FROM all_d WHERE {{norm}} <> ''
+), uni AS (
+  SELECT doc_id, u AS f FROM base, unnest(t) AS s(u)
+), bi AS (
+  SELECT doc_id, u AS f
+  FROM (SELECT doc_id,
+               list_transform(range(0, len(t) - 1),
+                              i -> t[i+1] || ' ' || t[i+2]) AS bl
+        FROM base WHERE len(t) >= 2),
+       unnest(bl) AS s(u)
+), feats AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 1024 AS INT)
+           AS bucket
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+), w AS (
+  SELECT CAST(b AS INT) AS bucket,
+         (CAST(('0x' || substr(md5('w' || CAST(b AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 2001 - 1000) / 1000.0 AS wt
+  FROM range(0, 1024) AS r(b)
+), probs AS (
+  SELECT f.doc_id,
+         round(1.0 / (1.0 + exp(-round(-0.05 + sum(w.wt) / count(*), 4))), 4)
+           AS prob
+  FROM feats f JOIN w USING (bucket)
+  GROUP BY f.doc_id
+), cls1 AS (
+  SELECT d.doc_id,
+         CASE WHEN p.prob IS NULL OR p.prob < {_Q115_KEEP} THEN 'rejected'
+              WHEN EXISTS (SELECT 1 FROM documents c WHERE c.text = d.text)
+                THEN 'exact_dup'
+              WHEN EXISTS (SELECT 1 FROM documents c WHERE
+                     trim(regexp_replace(lower(c.text), '\\s+', ' ', 'g')) =
+                     trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g')))
+                THEN 'near_dup'
+              ELSE 'new' END AS status
+  FROM d1 d LEFT JOIN probs p USING (doc_id)
+), u2 AS (
+  SELECT text FROM documents
+  UNION ALL
+  SELECT d.text FROM d1 d JOIN cls1 USING (doc_id) WHERE cls1.status = 'new'
+), cls2 AS (
+  SELECT d.doc_id,
+         CASE WHEN p.prob IS NULL OR p.prob < {_Q115_KEEP} THEN 'rejected'
+              WHEN EXISTS (SELECT 1 FROM u2 c WHERE c.text = d.text)
+                THEN 'exact_dup'
+              WHEN EXISTS (SELECT 1 FROM u2 c WHERE
+                     trim(regexp_replace(lower(c.text), '\\s+', ' ', 'g')) =
+                     trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g')))
+                THEN 'near_dup'
+              ELSE 'new' END AS status
+  FROM d2 d LEFT JOIN probs p USING (doc_id)
+), c1 AS (
+  SELECT CAST(count(*) AS BIGINT) AS d1_total,
+         CAST(coalesce(sum(CASE WHEN status = 'rejected' THEN 1 END), 0)
+           AS BIGINT) AS d1_rejected,
+         CAST(coalesce(sum(CASE WHEN status = 'exact_dup' THEN 1 END), 0)
+           AS BIGINT) AS d1_exact,
+         CAST(coalesce(sum(CASE WHEN status = 'near_dup' THEN 1 END), 0)
+           AS BIGINT) AS d1_near,
+         CAST(coalesce(sum(CASE WHEN status = 'new' THEN 1 END), 0)
+           AS BIGINT) AS d1_new
+  FROM cls1
+), c2 AS (
+  SELECT CAST(count(*) AS BIGINT) AS d2_total,
+         CAST(coalesce(sum(CASE WHEN status = 'rejected' THEN 1 END), 0)
+           AS BIGINT) AS d2_rejected,
+         CAST(coalesce(sum(CASE WHEN status = 'exact_dup' THEN 1 END), 0)
+           AS BIGINT) AS d2_exact,
+         CAST(coalesce(sum(CASE WHEN status = 'near_dup' THEN 1 END), 0)
+           AS BIGINT) AS d2_near,
+         CAST(coalesce(sum(CASE WHEN status = 'new' THEN 1 END), 0)
+           AS BIGINT) AS d2_new
+  FROM cls2
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS corpus_docs,
+       c1.*, c2.*,
+       (SELECT CAST(count(*) AS BIGINT) FROM documents)
+         + c1.d1_new + c2.d2_new AS fingerprints_final,
+       (SELECT CAST(count(*) AS BIGINT) FROM documents)
+         + c1.d1_new + c2.d2_new AS corpus_rows_final,
+       CAST(1 AS BIGINT) AS model_validations
+FROM c1, c2
+""".replace("{toks}", _Q115_TOKS).replace("{norm}", _Q115_NORM),
+)
+def q115_gated_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    session = _q115_session(spark, docs, "")
+
+    src = scratch_dir(prefix="q115_replay_")
+    # two sequential single-file writes: mtime order pins micro-batch
+    # order (q109's pattern); the explicit utime bump makes the ordering
+    # robust even on coarse-mtime filesystems — delta 2 MUST arrive
+    # after delta 1's accepted rows are folded into the state
+    _q115_delta1(docs).coalesce(1).write.mode("overwrite").parquet(src)
+    import glob as _glob
+    import time as _time
+
+    first = set(_glob.glob(os.path.join(src, "*.parquet")))
+    _q115_delta2(docs).coalesce(1).write.mode("append").parquet(src)
+    late = _time.time() + 3600
+    for p in set(_glob.glob(os.path.join(src, "*.parquet"))) - first:
+        os.utime(p, (late, late))
+
+    sink = SnapshotTable(spark, scratch_dir(prefix="q115_sink_"))
+
+    def classify(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = session.process_delta(batch_df, append_new=True)
+        if not sink.exists():
+            sink.create_or_replace(out)
+        else:
+            sink.append(out)
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(classify)
+        .outputMode("update")
+        .option("checkpointLocation", scratch_dir(prefix="q115_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    res = sink.read()
+    is_d1 = F.col("id") < 5_000_000
+
+    def cnt(cond, name):
+        return F.coalesce(F.sum(F.when(cond, 1)), F.lit(0)).cast(
+            "bigint"
+        ).alias(name)
+
+    agg = res.agg(
+        cnt(is_d1, "d1_total"),
+        cnt(is_d1 & (F.col("status") == "rejected"), "d1_rejected"),
+        cnt(is_d1 & (F.col("status") == "exact_dup"), "d1_exact"),
+        cnt(is_d1 & (F.col("status") == "near_dup"), "d1_near"),
+        cnt(is_d1 & (F.col("status") == "new"), "d1_new"),
+        cnt(~is_d1, "d2_total"),
+        cnt(~is_d1 & (F.col("status") == "rejected"), "d2_rejected"),
+        cnt(~is_d1 & (F.col("status") == "exact_dup"), "d2_exact"),
+        cnt(~is_d1 & (F.col("status") == "near_dup"), "d2_near"),
+        cnt(~is_d1 & (F.col("status") == "new"), "d2_new"),
+    )
+    return (
+        docs.agg(F.count(F.lit(1)).cast("bigint").alias("corpus_docs"))
+        .crossJoin(agg)
+        .withColumn(
+            "fingerprints_final",
+            F.lit(session.state.fingerprints.read().count()).cast("bigint"),
+        )
+        .withColumn(
+            "corpus_rows_final",
+            F.lit(session.corpus_table.read().count()).cast("bigint"),
+        )
+        .withColumn(
+            "model_validations",
+            F.lit(session.model_validations).cast("bigint"),
+        )
+    )

@@ -1,0 +1,122 @@
+"""Gated delta ingest (operators/ingest) — classify + dedup in one pass
+against standing artifacts, accepted-new rows folded back (r5 verdict #5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_evaluation_spark.operators.incremental_dedup import build_dedup_state
+from iceberg_evaluation_spark.operators.ingest import GatedIngestSession
+from iceberg_evaluation_spark.tables.snapshot_table import SnapshotTable
+
+CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "pack my box with five dozen liquor jugs for the annual county fair"),
+]
+
+
+def _weights(spark, wt: float, n: int = 64):
+    return spark.range(n).select(
+        F.col("id").cast("int").alias("bucket"), F.lit(wt).alias("wt")
+    )
+
+
+def _session(spark, tmp_path, wt=1.0, **kw):
+    docs = spark.createDataFrame(CORPUS, "doc_id bigint, text string")
+    table = SnapshotTable(spark, str(tmp_path / "corpus"))
+    table.create_or_replace(docs)
+    state = build_dedup_state(
+        spark, table.read(), "doc_id", "text",
+        str(tmp_path / "fp"), str(tmp_path / "bands"),
+    )
+    return GatedIngestSession(
+        state, _weights(spark, wt), table,
+        id_col="doc_id", text_col="text", num_buckets=64, **kw
+    )
+
+
+def test_statuses_and_gate(spark, tmp_path):
+    s = _session(spark, tmp_path, wt=1.0)  # logit ~0.95 → everything keeps
+    assert s.model_validations == 1
+    delta = spark.createDataFrame(
+        [
+            (101, CORPUS[0][1]),                    # exact copy
+            (102, CORPUS[1][1].replace(" ", "  ")),  # ws jitter → near
+            (103, "totally fresh text about catalyst physical planning"),
+            (104, "   "),                            # featureless → rejected
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["id"]: r["status"] for r in s.process_delta(delta).collect()}
+    assert got == {
+        101: "exact_dup", 102: "near_dup", 103: "new", 104: "rejected",
+    }
+    # only the accepted-new row joined the corpus table + artifacts
+    assert s.corpus_table.read().count() == len(CORPUS) + 1
+    assert s.state.fingerprints.read().count() == len(CORPUS) + 1
+
+
+def test_rejected_rows_are_never_folded(spark, tmp_path):
+    s = _session(spark, tmp_path, wt=-1.0)  # logit ~ -1.05 → all drop
+    delta = spark.createDataFrame(
+        [(201, "some candidate document that fails the quality gate")],
+        "doc_id bigint, text string",
+    )
+    got = {r["id"]: r["status"] for r in s.process_delta(delta).collect()}
+    assert got == {201: "rejected"}
+    assert s.corpus_table.read().count() == len(CORPUS)
+    assert s.state.fingerprints.read().count() == len(CORPUS)
+    # the same text re-sent later is STILL rejected (gate is the reason),
+    # never exact_dup — rejected rows left no fingerprint behind
+    again = spark.createDataFrame(
+        [(202, "some candidate document that fails the quality gate")],
+        "doc_id bigint, text string",
+    )
+    got2 = {r["id"]: r["status"] for r in s.process_delta(again).collect()}
+    assert got2 == {202: "rejected"}
+
+
+def test_accumulation_across_deltas(spark, tmp_path):
+    s = _session(spark, tmp_path, wt=1.0)
+    d1 = spark.createDataFrame(
+        [(301, "first never seen document all about shuffle partitioning")],
+        "doc_id bigint, text string",
+    )
+    assert {r["status"] for r in s.process_delta(d1).collect()} == {"new"}
+    # same text, new id, NEXT delta → exact_dup against the grown state
+    d2 = spark.createDataFrame(
+        [(302, "first never seen document all about shuffle partitioning")],
+        "doc_id bigint, text string",
+    )
+    assert {r["status"] for r in s.process_delta(d2).collect()} == {"exact_dup"}
+    assert s.corpus_table.read().count() == len(CORPUS) + 1
+    assert s.model_validations == 1  # still validated exactly once
+
+
+def test_invalid_model_rejected_at_session_start(spark, tmp_path):
+    docs = spark.createDataFrame(CORPUS, "doc_id bigint, text string")
+    table = SnapshotTable(spark, str(tmp_path / "c2"))
+    table.create_or_replace(docs)
+    state = build_dedup_state(
+        spark, table.read(), "doc_id", "text",
+        str(tmp_path / "fp2"), str(tmp_path / "bands2"),
+    )
+    with pytest.raises(ValueError, match="exactly one row per bucket"):
+        GatedIngestSession(
+            state, _weights(spark, 1.0, n=63), table,
+            id_col="doc_id", text_col="text", num_buckets=64,
+        )
+
+
+def test_append_new_false_is_side_effect_free(spark, tmp_path):
+    s = _session(spark, tmp_path, wt=1.0)
+    vf = s.state.fingerprints.current_version()
+    vc = s.corpus_table.current_version()
+    d = spark.createDataFrame(
+        [(401, "fresh text that would normally be folded into the state")],
+        "doc_id bigint, text string",
+    )
+    assert {r["status"] for r in s.process_delta(d, append_new=False).collect()} == {"new"}
+    assert s.state.fingerprints.current_version() == vf
+    assert s.corpus_table.current_version() == vc
