@@ -249,3 +249,41 @@ def test_dsir_model_broadcasts(spark, sf_correct):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "InPandas" not in plan and "EvalPython" not in plan
+
+
+def test_gated_ingest_model_join_broadcasts(spark, sf_smoke, tmp_path):
+    """q115's gate must join the B-row weight vector as a BROADCAST and
+    keep the dedup stages free of quadratic joins — the one-pass ingest
+    loses its point if the model join shuffles the delta."""
+    from pyspark.sql import functions as F
+
+    from iceberg_evaluation_spark.operators.classifier import demo_weight_vector
+    from iceberg_evaluation_spark.operators.incremental_dedup import (
+        build_dedup_state,
+    )
+    from iceberg_evaluation_spark.operators.ingest import GatedIngestSession
+    from iceberg_evaluation_spark.sources import load_table
+    from iceberg_evaluation_spark.tables.snapshot_table import SnapshotTable
+
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    table = SnapshotTable(spark, str(tmp_path / "corpus"))
+    table.create_or_replace(docs)
+    state = build_dedup_state(
+        spark, table.read(), "doc_id", "text",
+        str(tmp_path / "fp"), str(tmp_path / "bands"),
+    )
+    session = GatedIngestSession(
+        state, demo_weight_vector(spark, 256), table,
+        id_col="doc_id", text_col="text", num_buckets=256,
+    )
+    delta = docs.limit(20).select(
+        (F.col("doc_id") + 9_000_000).alias("doc_id"), "text"
+    )
+    out = session.process_delta(delta, append_new=False)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = out._jdf.queryExecution().explainString(mode)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python

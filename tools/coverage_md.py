@@ -115,6 +115,9 @@ DESCRIPTIONS = [
     ("bucketing", "Bucketed tables / exchange-free co-located join"),
     ("table-layer", "Snapshot table end-to-end"),
     ("incremental-view", "Incrementally-maintained materialized rollup (delta-cost refresh)"),
+    ("classifier-inference", "Hashed linear classifier inference (fastText-shape quality gate, broadcast B-row model)"),
+    ("schema-evolution", "Schema evolution end-to-end (add/backfill/rename-recipe/drop + time travel)"),
+    ("training-curriculum", "Curriculum export (global score order as range shards, one wide shuffle)"),
 ]
 
 PREAMBLE = """# COVERAGE — SURVEY.md §2 operator inventory → query corpus
