@@ -44,9 +44,77 @@ from pyspark.sql import functions as F
 
 from ..tables.snapshot_table import SnapshotTable
 from .classifier import hashed_classifier_scores, validate_weights
-from .incremental_dedup import DedupState, incremental_neardup_dedup
+from .incremental_dedup import (
+    DedupState,
+    SemanticState,
+    incremental_neardup_dedup,
+    incremental_semantic_dedup,
+)
 
-__all__ = ["GatedIngestSession"]
+__all__ = ["GatedIngestSession", "gated_semantic_delta"]
+
+
+def gated_semantic_delta(
+    state: SemanticState,
+    delta: DataFrame,
+    corpus_lookup: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_norm: float = 0.5,
+    threshold: float = 0.95,
+    append_new: bool = True,
+    check_lookup: bool = True,
+) -> DataFrame:
+    """Embedding-modality twin of :meth:`GatedIngestSession.process_delta`:
+    gate each delta vector on its L2 NORM (degenerate/zero/collapsed
+    embeddings are upstream-encoder failures — magnitude is the cheap
+    JVM-side quality signal for unit-normalized embedding spaces), then
+    run survivors through the standing SRP-band incremental dedup in the
+    same pass. Rejected vectors never reach the band join and are never
+    folded into the index.
+
+    Returns ``(id, norm, status)`` with status in {'rejected', 'dup',
+    'new'}; ``norm`` is round(L2, 6) — exactly replayable in SQL, so the
+    gate threshold compares identical values in both engines.
+    """
+    d = delta.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    scored = d.withColumn(
+        "norm",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    "vec", F.lit(0.0), lambda acc, x: acc + x * x
+                )
+            ),
+            6,
+        ),
+    ).localCheckpoint(eager=False)  # feeds reject AND keep branches
+    rejected = scored.filter(F.col("norm") < min_norm).select(
+        "id", "norm", F.lit("rejected").alias("status")
+    )
+    kept = scored.filter(F.col("norm") >= min_norm)
+    deduped = incremental_semantic_dedup(
+        state,
+        kept,
+        corpus_lookup.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        ),
+        id_col="id",
+        vec_col="vec",
+        threshold=threshold,
+        append_new=append_new,
+        check_lookup=check_lookup,
+    )
+    return rejected.unionByName(
+        deduped.join(scored.select("id", "norm"), "id").select(
+            "id", "norm", "status"
+        )
+    )
 
 
 class GatedIngestSession:

@@ -961,3 +961,130 @@ def q113_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(len(final.columns)).cast("int").alias("final_cols"),
         F.lit(n_snapshots).cast("int").alias("n_snapshots"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q116: table MAINTENANCE lifecycle — the M9 surface (drop/purge +
+#       snapshot expiry + orphan GC), previously pinned only by tests
+#       because it is destructive, made driver-verifiable by running the
+#       WHOLE lifecycle on a scratch table and emitting invariant
+#       columns (reference: notebook cell 45 compaction/maintenance,
+#       pyspark_functions.py:348-355 drop-with-purge; Iceberg
+#       expire_snapshots / remove_orphan_files semantics).
+#       Build (create → 2 appends → MOR merge → compact, 5 snapshots) is
+#       all arithmetic-derivable from `documents`; a planted fake-crash
+#       orphan parquet must be GC'd exactly once (never a referenced
+#       file — live rows recount proves it), expiry keeps the last 2
+#       snapshots (expired versions raise, kept horizon still time-
+#       travels), and DROP PURGE leaves nothing behind.
+# ---------------------------------------------------------------------------
+@register(
+    "q116_table_maintenance",
+    covers="M9 M8 S5 S7 S9 S10 M5-shape table-layer A2 P5",
+    oracle="""
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS corpus_docs,
+       CAST(count(*) FILTER (WHERE doc_id % 10 = 4)
+          + count(*) FILTER (WHERE doc_id % 10 = 5)
+          + count(*) FILTER (WHERE doc_id % 10 = 7)
+          + count(*) AS BIGINT) AS rows_final,
+       CAST(sum(length(text))
+          + coalesce(sum(length(text)) FILTER (WHERE doc_id % 10 = 4), 0)
+          + coalesce(sum(length(text)) FILTER (WHERE doc_id % 10 = 5), 0)
+          + coalesce(sum(length(text)) FILTER (WHERE doc_id % 10 = 7), 0)
+          + 1000 * count(*) FILTER (WHERE doc_id % 10 = 6) AS BIGINT)
+         AS val_sum_final,
+       CAST(5 AS INT) AS snapshots_before_expire,
+       CAST(2 AS INT) AS snapshots_after_expire,
+       CAST(1 AS BIGINT) AS orphans_removed,
+       TRUE AS orphan_gone,
+       TRUE AS expired_version_unreadable,
+       TRUE AS kept_horizon_time_travels,
+       TRUE AS dropped_gone
+FROM documents
+""",
+)
+def q116_table_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import time as _time
+    import uuid as _uuid
+
+    from ..tables.snapshot_table import MergeClause, SnapshotTable
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("bigint").alias("val")
+    )
+    t = SnapshotTable(spark, scratch_dir(prefix="maintenance_"))
+    t.create_or_replace(docs, partitions=4)                          # v1
+    t.append(                                                        # v2
+        docs.filter(F.col("doc_id") % 10 == 4).select(
+            (F.col("doc_id") + 7_000_000).alias("doc_id"), "val"
+        )
+    )
+    t.append(                                                        # v3
+        docs.filter(F.col("doc_id") % 10 == 5).select(
+            (F.col("doc_id") + 8_000_000).alias("doc_id"), "val"
+        )
+    )
+    src = (
+        docs.filter(F.col("doc_id") % 10 == 6)
+        .select("doc_id", (F.col("val") + 1000).alias("val"))
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 7).select(
+                (F.col("doc_id") + 9_000_000).alias("doc_id"), "val"
+            )
+        )
+    )
+    t.merge(                                                         # v4
+        src, on=["doc_id"],
+        clause=MergeClause(matched_update={"val": "s.val"}),
+        mode="merge-on-read",
+    )
+    t.compact(target_files=4)                                        # v5
+
+    # fake a crashed writer: an unreferenced parquet file, old enough to
+    # clear remove_orphan_files' in-flight-writer age guard
+    orphan = os.path.join(
+        t.root, "data", f"orphan-crashed-{_uuid.uuid4().hex[:8]}.parquet"
+    )
+    docs.limit(1).toPandas().to_parquet(orphan)
+    old = _time.time() - 20 * 60
+    os.utime(orphan, (old, old))
+
+    orphans_removed = t.remove_orphan_files()
+    orphan_gone = not os.path.exists(orphan)
+
+    snapshots_before = t.history().count()
+    t.expire_snapshots(keep_last=2)
+    snapshots_after = t.history().count()
+
+    try:
+        t.read(version=1).count()
+        expired_unreadable = False
+    except Exception:
+        expired_unreadable = True
+    # the kept horizon (v4, pre-compaction image) still time-travels and
+    # sees the SAME logical contents the compaction rewrote
+    final = t.read().localCheckpoint()
+    rows_final = final.count()
+    val_sum_final = final.agg(F.sum("val")).collect()[0][0]
+    tt = t.read(version=snapshots_before - 1)
+    kept_tt_ok = (
+        tt.count() == rows_final
+        and tt.agg(F.sum("val")).collect()[0][0] == val_sum_final
+    )
+
+    t.drop(purge=True)
+    dropped_gone = (not t.exists()) and (not os.path.isdir(t.root))
+
+    return docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("corpus_docs"),
+        F.lit(rows_final).cast("bigint").alias("rows_final"),
+        F.lit(val_sum_final).cast("bigint").alias("val_sum_final"),
+        F.lit(snapshots_before).cast("int").alias("snapshots_before_expire"),
+        F.lit(snapshots_after).cast("int").alias("snapshots_after_expire"),
+        F.lit(orphans_removed).cast("bigint").alias("orphans_removed"),
+        F.lit(orphan_gone).alias("orphan_gone"),
+        F.lit(expired_unreadable).alias("expired_version_unreadable"),
+        F.lit(kept_tt_ok).alias("kept_horizon_time_travels"),
+        F.lit(dropped_gone).alias("dropped_gone"),
+    )

@@ -1375,3 +1375,169 @@ def q114_curriculum_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sharded = curriculum_shards(docs, "difficulty", "doc_id", n_shards=16)
     return curriculum_invariants(sharded, "difficulty", "doc_id", n_shards=16)
+
+
+# ---------------------------------------------------------------------------
+# q117: GATED semantic ingest — the embedding-modality twin of q115's
+#       one-pass classify+dedup loop (r5 verdict #5 symmetry): each
+#       delta vector is gated on its L2 norm (degenerate/collapsed
+#       embeddings are encoder failures; the corpus is unit-normalized
+#       so scaled-down planted copies fail the gate BEFORE the band
+#       join), survivors run the standing SRP-band incremental dedup,
+#       and accepted-new vectors fold into the index. The same delta is
+#       replayed to prove accumulation (run-1 'new' vectors are found by
+#       run 2; rejected vectors stay rejected — never folded).
+#       Classes (gate keep iff round(L2,6) >= 0.5; unit-norm corpus):
+#         %5=0 exact copy        → dup      (norm 1, all bands shared)
+#         %5=1 scaled 0.25       → rejected (cosine 1 but norm 0.25 —
+#                                  the gate catches what cosine cannot)
+#         %5=2 negated           → new      (norm 1, every SRP bit flips)
+#         %5=3 scaled 2.0        → dup      (norm 2, cosine exactly 1)
+#         %5=4 scaled -0.1       → rejected
+#       The oracle replays gate + SRP banding + cap + exact-cosine
+#       verify in SQL (q105's integer-exact scaffolding), so statuses
+#       are hash-checked end to end.
+# ---------------------------------------------------------------------------
+_Q117_ORACLE = """
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+delta AS (
+  SELECT vec_id + 2000000 AS vec_id, v FROM c WHERE vec_id % 5 = 0
+  UNION ALL
+  SELECT vec_id + 3000000 AS vec_id, list_transform(v, x -> x * 0.25) AS v
+  FROM c WHERE vec_id % 5 = 1
+  UNION ALL
+  SELECT vec_id + 4000000 AS vec_id, list_transform(v, x -> -x) AS v
+  FROM c WHERE vec_id % 5 = 2
+  UNION ALL
+  SELECT vec_id + 5000000 AS vec_id, list_transform(v, x -> x * 2.0) AS v
+  FROM c WHERE vec_id % 5 = 3
+  UNION ALL
+  SELECT vec_id + 6000000 AS vec_id, list_transform(v, x -> x * -0.1) AS v
+  FROM c WHERE vec_id % 5 = 4
+),
+gate AS (
+  SELECT vec_id,
+         round(sqrt(list_sum(list_transform(v, x -> x * x))), 6) AS norm
+  FROM delta
+),
+s AS (SELECT CAST(t1.b AS INT) AS bit, CAST(t2.p AS INT) AS pos,
+             CASE WHEN substr(md5(concat_ws(':', 'srp', CAST(t1.b AS INT), CAST(t2.p AS INT))), 1, 1) <= '7'
+                  THEN 1 ELSE -1 END AS s
+      FROM range(64) t1(b), range(64) t2(p)),
+exc AS (SELECT vec_id, CAST(t.pos AS INT) AS pos,
+               CAST(round(v[CAST(t.pos AS INT) + 1] * 1000000, 0) AS BIGINT) AS vq
+        FROM c, range(64) t(pos)),
+projc AS (SELECT vec_id, bit, sum(vq * s) AS pr FROM exc JOIN s USING (pos) GROUP BY 1, 2),
+chunksc AS (SELECT vec_id, bit // 16 AS chunk,
+                   sum(CASE WHEN pr >= 0 THEN CAST(power(2, bit % 16) AS BIGINT) ELSE 0 END) AS cval
+            FROM projc GROUP BY 1, 2),
+cappedc AS (SELECT vec_id, chunk, cval,
+                   row_number() OVER (PARTITION BY chunk, cval ORDER BY vec_id) AS rn
+            FROM chunksc),
+kept AS (SELECT d.vec_id, d.v FROM delta d JOIN gate g USING (vec_id)
+         WHERE g.norm >= 0.5),
+exd AS (SELECT vec_id, CAST(t.pos AS INT) AS pos,
+               CAST(round(v[CAST(t.pos AS INT) + 1] * 1000000, 0) AS BIGINT) AS vq
+        FROM kept, range(64) t(pos)),
+projd AS (SELECT vec_id, bit, sum(vq * s) AS pr FROM exd JOIN s USING (pos) GROUP BY 1, 2),
+chunksd AS (SELECT vec_id, bit // 16 AS chunk,
+                   sum(CASE WHEN pr >= 0 THEN CAST(power(2, bit % 16) AS BIGINT) ELSE 0 END) AS cval
+            FROM projd GROUP BY 1, 2),
+cand AS (SELECT DISTINCT d.vec_id AS id, cc.vec_id AS corpus_id
+         FROM chunksd d JOIN cappedc cc
+           ON d.chunk = cc.chunk AND d.cval = cc.cval
+         WHERE cc.rn <= 200),
+ver AS (SELECT DISTINCT cand.id
+        FROM cand
+        JOIN kept dv ON dv.vec_id = cand.id
+        JOIN c cv ON cv.vec_id = cand.corpus_id
+        WHERE round(list_cosine_similarity(dv.v, cv.v), 6) >= 0.95)
+SELECT d.vec_id,
+       round(g.norm, 6) AS norm,
+       CASE WHEN g.norm < 0.5 THEN 'rejected'
+            WHEN ver.id IS NOT NULL THEN 'dup'
+            ELSE 'new' END AS status_1,
+       CASE WHEN g.norm < 0.5 THEN 'rejected' ELSE 'dup' END AS status_2
+FROM delta d
+JOIN gate g USING (vec_id)
+LEFT JOIN ver ON ver.id = d.vec_id
+"""
+
+
+def _q117_delta(emb: DataFrame) -> DataFrame:
+    v = F.col("embedding")
+
+    def cls(mod, shift, expr):
+        return emb.filter(F.col("vec_id") % 5 == mod).select(
+            (F.col("vec_id") + shift).alias("vec_id"), expr.alias("embedding")
+        )
+
+    return (
+        cls(0, 2_000_000, v)
+        .unionByName(cls(1, 3_000_000, F.transform(v, lambda x: x * 0.25)))
+        .unionByName(cls(2, 4_000_000, F.transform(v, lambda x: -x)))
+        .unionByName(cls(3, 5_000_000, F.transform(v, lambda x: x * 2.0)))
+        .unionByName(cls(4, 6_000_000, F.transform(v, lambda x: x * -0.1)))
+    )
+
+
+# operator-only variant (bench run_s): ONE gated delta pass against a
+# memoized standing index — the steady-state cost; the registered
+# query's state build + double replay is verify_s.
+_Q117_STATE_CACHE: dict = {}
+
+
+def _q117_bare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.incremental_dedup import build_semantic_state
+    from ..operators.ingest import gated_semantic_delta
+    from ._tmpdirs import scratch_dir
+
+    emb = _q105_emb(spark, sf_dir)
+    key = (id(spark), sf_dir)
+    state = _Q117_STATE_CACHE.get(key)
+    if state is None:
+        state = build_semantic_state(spark, emb, scratch_dir("q117b_bands_"))
+        _Q117_STATE_CACHE[key] = state
+    return gated_semantic_delta(
+        state, _q117_delta(emb), emb, append_new=False
+    )
+
+
+@register(
+    "q117_gated_semantic_ingest",
+    covers="dedup-incremental dedup-srp-lsh dedup-embedding-cosine "
+           "table-layer S7 J1 J5 J6 P2 A9",
+    oracle=_Q117_ORACLE,
+    bare=_q117_bare,
+)
+def q117_gated_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.incremental_dedup import build_semantic_state
+    from ..operators.ingest import gated_semantic_delta
+    from ._tmpdirs import scratch_dir
+
+    emb = _q105_emb(spark, sf_dir)
+    delta = _q117_delta(emb)
+    state = build_semantic_state(spark, emb, scratch_dir("q117_bands_"))
+    r1 = gated_semantic_delta(
+        state, delta, emb, append_new=True
+    ).localCheckpoint()
+    r2 = gated_semantic_delta(
+        state, delta, emb.unionByName(delta), append_new=False
+    ).localCheckpoint()
+    return (
+        delta.select("vec_id")
+        .join(
+            r1.select(
+                F.col("id").alias("vec_id"), "norm",
+                F.col("status").alias("status_1"),
+            ),
+            "vec_id",
+        )
+        .join(
+            r2.select(
+                F.col("id").alias("vec_id"),
+                F.col("status").alias("status_2"),
+            ),
+            "vec_id",
+        )
+    )

@@ -120,3 +120,45 @@ def test_append_new_false_is_side_effect_free(spark, tmp_path):
     assert {r["status"] for r in s.process_delta(d, append_new=False).collect()} == {"new"}
     assert s.state.fingerprints.current_version() == vf
     assert s.corpus_table.current_version() == vc
+
+
+def test_gated_semantic_delta(spark, tmp_path):
+    """Embedding twin: norm gate rejects BEFORE the band join, accepted
+    news fold into the index, rejected never do."""
+    from iceberg_evaluation_spark.operators.incremental_dedup import (
+        build_semantic_state,
+    )
+    from iceberg_evaluation_spark.operators.ingest import gated_semantic_delta
+
+    def vec(seed, scale=1.0):
+        return [scale * float(((seed * 31 + i * 7) % 13) - 6) for i in range(64)]
+
+    corpus = spark.createDataFrame(
+        [(i, vec(i)) for i in range(4)], "vec_id bigint, embedding array<double>"
+    )
+    state = build_semantic_state(spark, corpus, str(tmp_path / "b"))
+    v0 = state.bands.current_version()
+    # corpus norms are ~sqrt(64*avg(sq)) >> 1; gate at min_norm=1.0
+    delta = spark.createDataFrame(
+        [
+            (101, vec(2)),          # exact copy → dup
+            (102, vec(2, 0.001)),   # same direction, collapsed norm → rejected
+            (103, vec(97)),         # fresh → new, folded
+            (104, [0.0] * 64),      # zero vector → rejected
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = {r["id"]: r["status"] for r in gated_semantic_delta(
+        state, delta, corpus, min_norm=1.0
+    ).collect()}
+    assert got == {101: "dup", 102: "rejected", 103: "new", 104: "rejected"}
+    assert state.bands.current_version() == v0 + 1  # only 103 folded
+    # replay: 103's twin is now a dup; rejected stays rejected
+    d2 = spark.createDataFrame(
+        [(201, vec(97)), (202, [0.0] * 64)],
+        "vec_id bigint, embedding array<double>",
+    )
+    got2 = {r["id"]: r["status"] for r in gated_semantic_delta(
+        state, d2, corpus.unionByName(delta), min_norm=1.0, append_new=False
+    ).collect()}
+    assert got2 == {201: "dup", 202: "rejected"}
