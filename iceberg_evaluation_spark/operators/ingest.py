@@ -154,6 +154,19 @@ class GatedIngestSession:
         self.dedup_threshold = dedup_threshold
         self.shingle_n = shingle_n
 
+    def update_model(self, weights: DataFrame) -> None:
+        """Roll a NEW model version into the standing ingest loop.
+
+        The replacement frame is validated exactly once (same contract
+        as the constructor), so a long-running foreachBatch loop can
+        swap models between micro-batches without re-paying the check
+        per delta — the per-version discipline of the cached bloom
+        words. ``model_validations`` counts total validations, one per
+        version ever installed."""
+        validate_weights(weights, self.num_buckets)
+        self.model_validations += 1
+        self.weights = weights
+
     def process_delta(
         self, delta: DataFrame, *, append_new: bool = True
     ) -> DataFrame:

@@ -162,3 +162,26 @@ def test_gated_semantic_delta(spark, tmp_path):
         state, d2, corpus.unionByName(delta), min_norm=1.0, append_new=False
     ).collect()}
     assert got2 == {201: "dup", 202: "rejected"}
+
+
+def test_mid_stream_model_refresh(spark, tmp_path):
+    """A model rollout between micro-batches revalidates ONCE and
+    changes gating from that batch on; an invalid replacement raises
+    and leaves the standing model untouched."""
+    s = _session(spark, tmp_path, wt=1.0)  # v1: everything keeps
+    d = spark.createDataFrame(
+        [(501, "a fresh document about adaptive query execution")],
+        "doc_id bigint, text string",
+    )
+    assert {r["status"] for r in s.process_delta(d, append_new=False).collect()} == {"new"}
+    # invalid rollout: rejected, old model stays live
+    import pytest
+
+    with pytest.raises(ValueError, match="exactly one row per bucket"):
+        s.update_model(_weights(spark, 1.0, n=63))
+    assert s.model_validations == 1
+    assert {r["status"] for r in s.process_delta(d, append_new=False).collect()} == {"new"}
+    # valid rollout to an all-reject model
+    s.update_model(_weights(spark, -1.0))
+    assert s.model_validations == 2
+    assert {r["status"] for r in s.process_delta(d, append_new=False).collect()} == {"rejected"}
