@@ -917,3 +917,51 @@ def test_holder_release_cannot_delete_rivals_fresh_lock(tmp_path):
     if SnapshotTable._holds_lock(lock, "holder-token"):
         os.remove(lock)
     assert os.path.exists(lock)
+
+
+def test_true_concurrent_appends_all_land(spark, tmp_path):
+    """REAL multi-threaded writers (not simulated interleaves): 8
+    threads append disjoint ranges with the client-side retry loop the
+    optimistic-concurrency model prescribes. Every append must land
+    exactly once — no dropped files, no duplicate rows, no pointer
+    regression, no leaked VERSION lock — exercising the r6 ownership-
+    token lock under genuine contention."""
+    import os
+    import threading
+
+    from iceberg_evaluation_spark.tables.snapshot_table import (
+        ConcurrentCommitError,
+    )
+
+    root = str(tmp_path / "stress")
+    SnapshotTable(spark, root).create_or_replace(spark.range(5).toDF("id"))
+    errs = []
+
+    def writer(k: int) -> None:
+        t = SnapshotTable(spark, root)
+        lo = 100 + k * 10
+        for attempt in range(30):
+            try:
+                t.append(spark.range(lo, lo + 5).toDF("id"))
+                return
+            except ConcurrentCommitError:
+                continue  # recompute against the new current version
+            except Exception as e:  # pragma: no cover
+                errs.append((k, e))
+                return
+        errs.append((k, "retries exhausted"))
+
+    threads = [threading.Thread(target=writer, args=(k,)) for k in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(120)
+    assert not errs, errs
+    t = SnapshotTable(spark, root)
+    assert t.current_version() == 9  # create + 8 appends, no leapfrogs lost
+    rows = sorted(r["id"] for r in t.read().collect())
+    assert rows == sorted(
+        list(range(5)) + [100 + k * 10 + i for k in range(8) for i in range(5)]
+    )
+    assert not os.path.exists(t._version_file() + ".lock")
+    assert t.history().count() == 9
