@@ -1,0 +1,141 @@
+"""Change Data Feed: row-level changes between two snapshot versions.
+
+The reference consumes table deltas by re-reading whole Iceberg tables
+per day (docs/README.md's daily-merge evaluation);
+``SnapshotTable.read_incremental`` already exposes append-only deltas.
+This operator completes the surface with a MERGE-aware changelog — the
+Iceberg ``changelog`` / Delta ``Change Data Feed`` equivalent —
+so a downstream pipeline can consume exactly what a window of commits
+did to a key-unique table:
+
+``table_changes(table, keys, from_version, to_version)`` emits one row
+per change with the table's columns at that image plus:
+
+- ``_change_type``: ``insert`` | ``delete`` | ``update_preimage`` |
+  ``update_postimage`` (Delta CDF's vocabulary — updates emit BOTH
+  images so consumers can retract-then-apply);
+- ``_commit_version``: ``to_version`` (the window's end, matching the
+  read the row reflects).
+
+Scale shape — file-diff pruning, then ONE key join:
+
+1. Files common to both snapshots with an identical delete-file set
+   hold byte-identical live rows; they cannot contribute changes and
+   are pruned from BOTH sides without being read. After a typical
+   copy-on-write MERGE only the rewritten files differ, so the join
+   touches changed data, not the table. If the two snapshots' delete
+   files differ (merge-on-read commits in the window), common files
+   are conservatively kept — an equality delete can kill rows in any
+   older file.
+2. The surviving rows full-outer join on ``keys`` (null-safe, the
+   merge layer's own key semantics): a-only → delete, b-only →
+   insert, both-but-different → the two update images, identical →
+   no change (a compaction window that only rewrites layout emits
+   ZERO rows).
+
+CONTRACT: the table must be key-unique on ``keys`` over the window
+(the invariant merge maintains and validate_source_unique enforces);
+a window containing plain appends of duplicate keys reports each new
+row as an ``insert`` but cannot pair pre/post images per key.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..tables.snapshot_table import SnapshotTable
+
+__all__ = ["table_changes"]
+
+
+def table_changes(
+    table: SnapshotTable,
+    keys: list[str],
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Row-level changes that turned ``from_version`` into ``to_version``
+    (default: the current version). See module docstring for schema and
+    the file-diff pruning argument."""
+    if to_version is None:
+        to_version = table.current_version()
+    if to_version < from_version:
+        raise ValueError(
+            f"to_version {to_version} precedes from_version {from_version}"
+        )
+    snap_a = table._read_snapshot(from_version)
+    snap_b = table._read_snapshot(to_version)
+    names_b = [f["name"] for f in json.loads(snap_b["schema"])["fields"]]
+    names_a = [f["name"] for f in json.loads(snap_a["schema"])["fields"]]
+    for k in keys:
+        if k not in names_a or k not in names_b:
+            raise ValueError(f"key column {k!r} missing from a snapshot schema")
+
+    files_a, files_b = set(snap_a["files"]), set(snap_b["files"])
+    same_deletes = (snap_a.get("delete_files") or []) == (
+        snap_b.get("delete_files") or []
+    )
+    if same_deletes:
+        sus_a = sorted(files_a - files_b)
+        sus_b = sorted(files_b - files_a)
+    else:  # MOR window: new equality deletes can kill rows in ANY old file
+        sus_a = sorted(files_a)
+        sus_b = sorted(files_b)
+
+    a = table._read_snapshot_df(snap_a, only_files=sus_a)
+    b = table._read_snapshot_df(snap_b, only_files=sus_b)
+    # schema evolution across the window: compare on the UNION of
+    # columns; a column absent from one side reads NULL there (name
+    # mapping), so an add/backfill surfaces as updates — honest, since
+    # the rows' visible contents changed
+    value_cols = [c for c in dict.fromkeys(names_a + names_b) if c not in keys]
+    for c in value_cols:
+        if c not in a.columns:
+            a = a.withColumn(c, F.lit(None))
+        if c not in b.columns:
+            b = b.withColumn(c, F.lit(None))
+    sel = keys + value_cols
+    # presence markers must survive NULL key VALUES and all-null rows: a
+    # literal attached BEFORE the join reads NULL exactly on the
+    # unmatched side of the full outer (a key struct would not — a
+    # struct built from a matched row's null columns is still non-null)
+    aa = a.select(*sel, F.lit(1).alias("__in_a")).alias("a")
+    bb = b.select(*sel, F.lit(1).alias("__in_b")).alias("b")
+    cond = None
+    for k in keys:
+        c = F.col(f"a.{k}").eqNullSafe(F.col(f"b.{k}"))
+        cond = c if cond is None else (cond & c)
+    j = aa.join(bb, cond, "full_outer")
+    in_a = F.col("a.__in_a").isNotNull()
+    in_b = F.col("b.__in_b").isNotNull()
+
+    diff = F.lit(False)
+    for c in value_cols:
+        diff = diff | ~F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
+
+    inserts = j.filter(in_b & ~in_a).select(
+        *[F.col(f"b.{c}").alias(c) for c in sel],
+        F.lit("insert").alias("_change_type"),
+    )
+    deletes = j.filter(in_a & ~in_b).select(
+        *[F.col(f"a.{c}").alias(c) for c in sel],
+        F.lit("delete").alias("_change_type"),
+    )
+    upd = j.filter(in_a & in_b & diff)
+    pre = upd.select(
+        *[F.col(f"a.{c}").alias(c) for c in sel],
+        F.lit("update_preimage").alias("_change_type"),
+    )
+    post = upd.select(
+        *[F.col(f"b.{c}").alias(c) for c in sel],
+        F.lit("update_postimage").alias("_change_type"),
+    )
+    return (
+        inserts.unionByName(deletes)
+        .unionByName(pre)
+        .unionByName(post)
+        .withColumn("_commit_version", F.lit(to_version).cast("int"))
+    )

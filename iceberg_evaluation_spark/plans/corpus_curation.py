@@ -1088,3 +1088,100 @@ def q116_table_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(kept_tt_ok).alias("kept_horizon_time_travels"),
         F.lit(dropped_gone).alias("dropped_gone"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q118: CHANGE DATA FEED — row-level changes between snapshot versions
+#       (operators/changelog.table_changes; Iceberg changelog / Delta CDF
+#       vocabulary: insert / delete / update_preimage / update_postimage
+#       + _commit_version). Window 1→2 is a copy-on-write conditional
+#       MERGE (update + delete + insert in one commit); window 2→3 is a
+#       MERGE-ON-READ update, so the CDF full-outer diff also runs over
+#       live equality deletes. Every emitted row is derivable from
+#       `nation` — the whole changelog is hash-checked, not just counts.
+#       Scale shape: carried-over files are pruned from BOTH join sides
+#       before any read (pinned by tests/test_changelog.py), so the diff
+#       scans what the window rewrote, not the table.
+# ---------------------------------------------------------------------------
+@register(
+    "q118_change_data_feed",
+    covers="change-data-feed S9 S10 J4 M5-shape table-layer P5 U1",
+    oracle="""
+WITH base AS (SELECT n_nationkey, n_name, n_regionkey FROM nation),
+upd AS (SELECT * FROM base WHERE n_nationkey % 5 = 0),
+del AS (SELECT * FROM base WHERE n_nationkey % 5 = 1),
+ins AS (SELECT n_nationkey + 100 AS n_nationkey, n_name, n_regionkey FROM base),
+upd2 AS (SELECT * FROM base WHERE n_nationkey % 5 = 2)
+SELECT n_nationkey, n_name, n_regionkey,
+       'insert' AS _change_type, CAST(2 AS INT) AS _commit_version FROM ins
+UNION ALL
+SELECT n_nationkey, n_name, n_regionkey, 'delete', 2 FROM del
+UNION ALL
+SELECT n_nationkey, n_name, n_regionkey, 'update_preimage', 2 FROM upd
+UNION ALL
+SELECT n_nationkey, n_name, n_regionkey + 100, 'update_postimage', 2 FROM upd
+UNION ALL
+SELECT n_nationkey, n_name, n_regionkey, 'update_preimage', 3 FROM upd2
+UNION ALL
+SELECT n_nationkey, n_name, n_regionkey + 1000, 'update_postimage', 3 FROM upd2
+""",
+)
+def q118_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.changelog import table_changes
+    from ..tables.snapshot_table import MergeClause, SnapshotTable
+
+    base = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    t = SnapshotTable(spark, scratch_dir(prefix="cdf_"))
+    t.create_or_replace(base, partitions=4)                          # v1
+
+    src = (
+        base.filter(F.col("n_nationkey") % 5 == 0)
+        .select(
+            "n_nationkey", "n_name",
+            (F.col("n_regionkey") + 100).alias("n_regionkey"),
+            F.lit("U").alias("__op"),
+        )
+        .unionByName(
+            base.filter(F.col("n_nationkey") % 5 == 1).select(
+                "n_nationkey", "n_name", "n_regionkey",
+                F.lit("D").alias("__op"),
+            )
+        )
+        .unionByName(
+            base.select(
+                (F.col("n_nationkey") + 100).alias("n_nationkey"),
+                "n_name", "n_regionkey", F.lit("I").alias("__op"),
+            )
+        )
+    )
+    t.merge(                                                         # v2 (COW)
+        src,
+        on=["n_nationkey"],
+        clause=MergeClause(
+            matched_update={"n_regionkey": "s.n_regionkey"},
+            matched_update_condition="s.__op = 'U'",
+            matched_delete_condition="s.__op = 'D'",
+            insert_values={
+                "n_nationkey": "s.n_nationkey",
+                "n_name": "s.n_name",
+                "n_regionkey": "s.n_regionkey",
+            },
+        ),
+    )
+    t.merge(                                                         # v3 (MOR)
+        base.filter(F.col("n_nationkey") % 5 == 2).select(
+            "n_nationkey",
+            (F.col("n_regionkey") + 1000).alias("n_regionkey"),
+        ),
+        on=["n_nationkey"],
+        clause=MergeClause(
+            matched_update={"n_regionkey": "s.n_regionkey"},
+            insert_when_not_matched=False,
+        ),
+        mode="merge-on-read",
+    )
+    return table_changes(t, ["n_nationkey"], 1, 2).unionByName(
+        table_changes(t, ["n_nationkey"], 2, 3)
+    )

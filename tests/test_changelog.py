@@ -1,0 +1,179 @@
+"""Change Data Feed (operators/changelog): row-level diffs between
+snapshot versions — Delta-CDF vocabulary over the snapshot table."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_evaluation_spark.operators.changelog import table_changes
+from iceberg_evaluation_spark.tables.snapshot_table import (
+    MergeClause,
+    SnapshotTable,
+)
+
+
+def _mk(spark, tmp_path, name="t"):
+    t = SnapshotTable(spark, str(tmp_path / name))
+    t.create_or_replace(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, None, 40)],
+            "id bigint, k string, v bigint",
+        ),
+        partitions=2,
+    )
+    return t
+
+
+def _changes(t, frm, to=None):
+    return {
+        (r["id"], r["_change_type"]): (r["k"], r["v"])
+        for r in table_changes(t, ["id"], frm, to).collect()
+    }
+
+
+def test_merge_window_emits_cdf_rows(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.merge(
+        spark.createDataFrame(
+            [(1, "a", 11), (9, "z", 90)], "id bigint, k string, v bigint"
+        ),
+        on=["id"],
+        clause=MergeClause(
+            matched_update={"v": "s.v"},
+            matched_delete_condition="t.id = 1 AND false",
+        ),
+    )
+    got = _changes(t, 1, 2)
+    assert got == {
+        (1, "update_preimage"): ("a", 10),
+        (1, "update_postimage"): ("a", 11),
+        (9, "insert"): ("z", 90),
+    }
+    ver = {r["_commit_version"] for r in table_changes(t, ["id"], 1).collect()}
+    assert ver == {2}
+
+
+def test_delete_and_null_key_rows(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.merge(
+        spark.createDataFrame([(3, "b", 0)], "id bigint, k string, v bigint"),
+        on=["id"],
+        clause=MergeClause(matched_delete_condition="s.v = 0"),
+    )
+    assert _changes(t, 1, 2) == {(3, "delete"): ("b", 30)}
+    # a row whose VALUE column is NULL still pairs correctly (eqNullSafe)
+    t.merge(
+        spark.createDataFrame([(4, "x", 40)], "id bigint, k string, v bigint"),
+        on=["id"],
+        clause=MergeClause(matched_update={"k": "s.k"}),
+    )
+    got = _changes(t, 2, 3)
+    assert got == {
+        (4, "update_preimage"): (None, 40),
+        (4, "update_postimage"): ("x", 40),
+    }
+
+
+def test_compaction_only_window_is_empty(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.compact(target_files=1)
+    assert table_changes(t, ["id"], 1, 2).count() == 0
+
+
+def test_append_window_is_inserts_only(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.append(
+        spark.createDataFrame([(10, "c", 100)], "id bigint, k string, v bigint")
+    )
+    assert _changes(t, 1, 2) == {(10, "insert"): ("c", 100)}
+
+
+def test_mor_window_and_multi_commit_span(spark, tmp_path):
+    """Merge-on-read commits (live equality deletes) and a 3-commit
+    window: the diff reflects the NET change across the span."""
+    t = _mk(spark, tmp_path)
+    t.merge(
+        spark.createDataFrame(
+            [(2, "a", 21), (7, "d", 70)], "id bigint, k string, v bigint"
+        ),
+        on=["id"],
+        clause=MergeClause(matched_update={"v": "s.v"}),
+        mode="merge-on-read",
+    )
+    t.merge(
+        spark.createDataFrame([(7, "d", 71)], "id bigint, k string, v bigint"),
+        on=["id"],
+        clause=MergeClause(matched_update={"v": "s.v"}),
+        mode="merge-on-read",
+    )
+    got = _changes(t, 1)  # v1 -> current (v3): net effect
+    assert got == {
+        (2, "update_preimage"): ("a", 20),
+        (2, "update_postimage"): ("a", 21),
+        (7, "insert"): ("d", 71),
+    }
+    # intermediate hop sees 70 -> 71 as an update
+    assert _changes(t, 2, 3) == {
+        (7, "update_preimage"): ("d", 70),
+        (7, "update_postimage"): ("d", 71),
+    }
+
+
+def test_schema_evolution_window_reports_backfill_as_updates(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.add_column("extra", "bigint")
+    t.merge(
+        spark.createDataFrame([(1, 100)], "id bigint, extra bigint"),
+        on=["id"],
+        clause=MergeClause(
+            matched_update={"extra": "s.extra"}, insert_when_not_matched=False
+        ),
+    )
+    rows = {
+        (r["id"], r["_change_type"]): r["extra"]
+        for r in table_changes(t, ["id"], 1).collect()
+    }
+    assert rows == {
+        (1, "update_preimage"): None,
+        (1, "update_postimage"): 100,
+    }
+
+
+def test_file_diff_pruning_reads_only_changed_files(spark, tmp_path):
+    """COW merge rewrites one file of eight; the CDF join must scan only
+    the differing files, not the table (the 100 TB contract)."""
+    t = SnapshotTable(spark, str(tmp_path / "big"))
+    t.create_or_replace(
+        spark.range(0, 800).selectExpr("id", "id * 2 AS v").repartition(8, "id"),
+        partitions=8,
+    )
+    t.merge(
+        spark.createDataFrame([(5, -1)], "id long, v long"),
+        on=["id"],
+        clause=MergeClause(matched_update={"v": "s.v"}),
+    )
+    df = table_changes(t, ["id"], 1, 2)
+    got = {(r["id"], r["_change_type"]): r["v"] for r in df.collect()}
+    assert got == {
+        (5, "update_preimage"): 10,
+        (5, "update_postimage"): -1,
+    }
+    # exact pin: no input file of the CDF frame is a carried (identical)
+    # file — the join reads only the files the merge actually rewrote
+    carried_rels = set(t._read_snapshot(1)["files"]) & set(
+        t._read_snapshot(2)["files"]
+    )
+    assert carried_rels, "merge should carry untouched files"
+    carried_bases = {rel.split("/")[-1] for rel in carried_rels}
+    ins = df.inputFiles()
+    assert ins, "CDF frame should scan the rewritten files"
+    assert all(f.split("/")[-1] not in carried_bases for f in ins)
+
+
+def test_bad_window_raises(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="precedes"):
+        table_changes(t, ["id"], 1, 0)
+    with pytest.raises(ValueError, match="missing"):
+        table_changes(t, ["ghost"], 1, 1)

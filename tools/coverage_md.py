@@ -115,6 +115,7 @@ DESCRIPTIONS = [
     ("bucketing", "Bucketed tables / exchange-free co-located join"),
     ("table-layer", "Snapshot table end-to-end"),
     ("incremental-view", "Incrementally-maintained materialized rollup (delta-cost refresh)"),
+    ("change-data-feed", "Row-level changelog between snapshot versions (CDF: insert/delete/update pre+post images, file-diff pruned)"),
     ("classifier-inference", "Hashed linear classifier inference (fastText-shape quality gate, broadcast B-row model)"),
     ("schema-evolution", "Schema evolution end-to-end (add/backfill/rename-recipe/drop + time travel)"),
     ("training-curriculum", "Curriculum export (global score order as range shards, one wide shuffle)"),
