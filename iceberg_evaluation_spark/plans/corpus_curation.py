@@ -1185,3 +1185,121 @@ def q118_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_changes(t, ["n_nationkey"], 1, 2).unionByName(
         table_changes(t, ["n_nationkey"], 2, 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# q119: CDF-driven incremental VIEW MAINTENANCE — q108's rollup kept
+#       fresh across OVERWRITE-class windows (updates, deletes, and a
+#       cross-group move) by folding the row-level changelog with
+#       retract/apply signs (refresh_cdf): inserts/post-images +1,
+#       deletes/pre-images −1. The append-only refresh path raises on
+#       such windows (read_incremental's contract); this is the path
+#       that keeps delta-cost maintenance when merges happen. Receipts
+#       pin the cost: n1/n2 = exact change-row counts of each window
+#       (a rescan of the base would hash-fail), noop = 0. Money sums
+#       ride the cents trick for bit-exact MERGE folding.
+# ---------------------------------------------------------------------------
+@register(
+    "q119_rollup_cdf_maintenance",
+    covers="incremental-view change-data-feed table-layer S5 S7 M5-shape A1 A2 P5",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+), final AS (
+  SELECT CASE WHEN o_orderkey % 7 = 3 THEN '9-MOVED'
+              ELSE o_orderpriority END AS o_orderpriority,
+         cents + CASE WHEN o_orderkey % 7 = 0 THEN 100 ELSE 0 END AS cents
+  FROM o WHERE o_orderkey % 7 <> 1
+  UNION ALL
+  SELECT o_orderpriority, cents FROM o WHERE o_orderkey % 7 = 2
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS sum_price_cents,
+       (SELECT CAST(count(*) FILTER (WHERE o_orderkey % 7 = 1)
+               + 2 * count(*) FILTER (WHERE o_orderkey % 7 = 0)
+               + count(*) FILTER (WHERE o_orderkey % 7 = 2) AS BIGINT)
+        FROM o) AS wave1_change_rows,
+       (SELECT CAST(2 * count(*) FILTER (WHERE o_orderkey % 7 = 3) AS BIGINT)
+        FROM o) AS wave2_change_rows,
+       CAST(0 AS BIGINT) AS noop_refresh_rows
+FROM final GROUP BY o_orderpriority
+""",
+)
+def q119_rollup_cdf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables.rollup import MaterializedRollup
+    from ..tables.snapshot_table import MergeClause, SnapshotTable
+    from ._exact import cents
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        cents(F.col("o_totalprice")).alias("price_cents"),
+    )
+    base = SnapshotTable(spark, scratch_dir(prefix="q119_base_"))
+    base.create_or_replace(orders)                                   # v1
+    roll = MaterializedRollup(
+        spark, scratch_dir(prefix="q119_roll_"), base,
+        group_cols=["o_orderpriority"], sum_cols=["price_cents"],
+    )
+    roll.rebuild()
+
+    # wave 1 (COW): +100 cents on %7=0, delete %7=1, insert %7=2 copies
+    src1 = (
+        orders.filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey", "o_orderpriority",
+            (F.col("price_cents") + 100).alias("price_cents"),
+            F.lit("U").alias("__op"),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 7 == 1).select(
+                "o_orderkey", "o_orderpriority", "price_cents",
+                F.lit("D").alias("__op"),
+            )
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 7 == 2).select(
+                (F.col("o_orderkey") + 100_000_000).alias("o_orderkey"),
+                "o_orderpriority", "price_cents", F.lit("I").alias("__op"),
+            )
+        )
+    )
+    base.merge(
+        src1, on=["o_orderkey"],
+        clause=MergeClause(
+            matched_update={"price_cents": "s.price_cents"},
+            matched_update_condition="s.__op = 'U'",
+            matched_delete_condition="s.__op = 'D'",
+            insert_values={
+                "o_orderkey": "s.o_orderkey",
+                "o_orderpriority": "s.o_orderpriority",
+                "price_cents": "s.price_cents",
+            },
+        ),
+    )
+    n1 = roll.refresh_cdf(["o_orderkey"])
+
+    # wave 2 (MOR): move every %7=3 row into a NEW group
+    base.merge(
+        orders.filter(F.col("o_orderkey") % 7 == 3).select("o_orderkey"),
+        on=["o_orderkey"],
+        clause=MergeClause(
+            matched_update={"o_orderpriority": "'9-MOVED'"},
+            insert_when_not_matched=False,
+        ),
+        mode="merge-on-read",
+    )
+    n2 = roll.refresh_cdf(["o_orderkey"])
+    n_noop = roll.refresh_cdf(["o_orderkey"])
+
+    return roll.read().select(
+        "o_orderpriority",
+        "n_rows",
+        F.col("sum_price_cents").cast("bigint").alias("sum_price_cents"),
+        F.lit(n1).cast("bigint").alias("wave1_change_rows"),
+        F.lit(n2).cast("bigint").alias("wave2_change_rows"),
+        F.lit(n_noop).cast("bigint").alias("noop_refresh_rows"),
+    )

@@ -119,6 +119,62 @@ class MaterializedRollup:
         self._write_meta(cur)
         return n_delta
 
+    def refresh_cdf(self, row_keys: list[str]) -> int:
+        """Fold a window that MAY include overwrite-class snapshots
+        (merge/update/delete commits) using the row-level changelog
+        (operators/changelog.table_changes) instead of the append-only
+        file diff: inserts and update POST-images apply (+), deletes and
+        update PRE-images retract (−). sum/count are self-maintainable
+        under retract/apply, so the fold is one signed hash-agg over the
+        CHANGE rows + one MERGE against the |groups|-sized table — a
+        row whose update moves it across groups debits one group and
+        credits the other, and a group whose count reaches zero is
+        DELETED from the rollup (never left as a stale zero row).
+
+        ``row_keys``: the base table's row identity (its merge keys) —
+        the CDF contract requires key-uniqueness over the window.
+        Returns the number of change rows folded (the delta-cost
+        receipt: proportional to what the window changed, not to the
+        base size)."""
+        from ..operators.changelog import table_changes
+
+        last = self.last_base_version()
+        cur = self.base.current_version()
+        if last == 0:
+            raise ValueError("rollup never built — call rebuild() first")
+        if cur == last:
+            return 0
+        ch = table_changes(self.base, row_keys, last, cur).localCheckpoint(
+            eager=False
+        )
+        n_changes = ch.count()
+        signed = ch.withColumn(
+            "__sign",
+            F.when(
+                F.col("_change_type").isin("insert", "update_postimage"),
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        )
+        aggs = [F.sum("__sign").cast("bigint").alias("n_rows")] + [
+            F.sum(F.col(c) * F.col("__sign")).alias(f"sum_{c}")
+            for c in self.sum_cols
+        ]
+        part = signed.groupBy(*self.group_cols).agg(*aggs)
+        update = {"n_rows": "t.n_rows + s.n_rows"} | {
+            f"sum_{c}": f"t.sum_{c} + s.sum_{c}" for c in self.sum_cols
+        }
+        self.table.merge(
+            part,
+            on=self.group_cols,
+            clause=MergeClause(
+                # a group emptied by the window leaves the rollup
+                matched_delete_condition="t.n_rows + s.n_rows = 0",
+                matched_update=update,
+            ),
+        )
+        self._write_meta(cur)
+        return n_changes
+
     # ------------------------------------------------------------- read
     def read(self) -> DataFrame:
         return self.table.read()

@@ -965,3 +965,82 @@ def test_true_concurrent_appends_all_land(spark, tmp_path):
     )
     assert not os.path.exists(t._version_file() + ".lock")
     assert t.history().count() == 9
+
+
+def test_rollup_cdf_refresh_handles_updates_deletes_and_group_moves(
+    spark, tmp_path
+):
+    """refresh_cdf folds overwrite-class windows through the changelog:
+    an update moving a row across groups debits/credits both, a delete
+    retracts, an emptied group leaves the rollup, and the result always
+    equals a from-scratch rebuild of the same base state."""
+    from iceberg_evaluation_spark.tables.rollup import MaterializedRollup
+
+    base = SnapshotTable(spark, str(tmp_path / "base"))
+    base.create_or_replace(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "c", 40)],
+            "id bigint, grp string, v bigint",
+        )
+    )
+    r = MaterializedRollup(
+        spark, str(tmp_path / "roll"), base, ["grp"], ["v"]
+    )
+    r.rebuild()
+
+    def rollup_rows():
+        return {
+            row["grp"]: (row["n_rows"], row["sum_v"])
+            for row in r.table.read().collect()
+        }
+
+    # wave 1 (COW): value update + cross-group move + insert
+    base.merge(
+        spark.createDataFrame(
+            [(1, "a", 11), (3, "a", 30), (9, "d", 90)],
+            "id bigint, grp string, v bigint",
+        ),
+        on=["id"],
+        clause=MergeClause(matched_update={"grp": "s.grp", "v": "s.v"}),
+    )
+    n = r.refresh_cdf(["id"])
+    assert n == 1 + 2 * 2  # 1 insert + 2 updates x (pre+post images)
+    assert rollup_rows() == {"a": (3, 61), "c": (1, 40), "d": (1, 90)}
+    # (group b emptied by the move -> deleted from the rollup)
+
+    # wave 2 (MOR): delete the last row of group c + update within a
+    base.merge(
+        spark.createDataFrame(
+            [(4, "c", 0), (2, "a", 25)], "id bigint, grp string, v bigint"
+        ),
+        on=["id"],
+        clause=MergeClause(
+            matched_delete_condition="s.v = 0",
+            matched_update={"v": "s.v"},
+        ),
+        mode="merge-on-read",
+    )
+    r.refresh_cdf(["id"])
+    got = rollup_rows()
+    assert got == {"a": (3, 66), "d": (1, 90)}
+
+    # ground truth: identical to a from-scratch rebuild
+    r2 = MaterializedRollup(
+        spark, str(tmp_path / "roll2"), base, ["grp"], ["v"]
+    )
+    r2.rebuild()
+    exp = {
+        row["grp"]: (row["n_rows"], row["sum_v"])
+        for row in r2.table.read().collect()
+    }
+    assert got == exp
+
+    # plain appends still fold through refresh_cdf too (inserts only)
+    base.append(
+        spark.createDataFrame([(20, "b", 5)], "id bigint, grp string, v bigint")
+    )
+    r.refresh_cdf(["id"])
+    assert rollup_rows()["b"] == (1, 5)
+
+    # no-op window returns 0
+    assert r.refresh_cdf(["id"]) == 0
