@@ -1303,3 +1303,76 @@ def q119_rollup_cdf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n2).cast("bigint").alias("wave2_change_rows"),
         F.lit(n_noop).cast("bigint").alias("noop_refresh_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q120: MERGEABLE-SKETCH rollup — approximate distinct counts kept
+#       delta-cost fresh: the rollup stores a per-group HyperLogLog
+#       sketch (hll_sketch_agg, Datasketches HllSketch) and each append
+#       refresh UNIONS the delta's partial sketches into it
+#       (hll_union inside the MERGE), so distinct-user counts stay
+#       maintainable where an exact count(DISTINCT) would rescan the
+#       base per refresh — the classic mergeable-summary design
+#       (Agarwal et al., "Mergeable Summaries"). Correctness is pinned
+#       the sketch-honest way: the oracle carries the EXACT per-group
+#       distinct count and the query emits a within-2%-relative-error
+#       flag (HllSketch lgK=12 gives ~1.6% σ; planted waves keep counts
+#       thousands-scale) — plus q108-style delta receipts proving the
+#       refreshes scanned only the appended rows.
+# ---------------------------------------------------------------------------
+@register(
+    "q120_sketch_rollup",
+    covers="incremental-view table-layer S5 S7 M5-shape A1 A2 A3 P5",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct_users,
+       TRUE AS estimate_within_2pct,
+       (SELECT CAST(count(*) AS BIGINT) FROM events WHERE event_id % 3 = 0)
+         AS last_delta_rows,
+       CAST(0 AS BIGINT) AS noop_refresh_rows
+FROM events GROUP BY event_type
+""",
+)
+def q120_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables.rollup import MaterializedRollup
+    from ..tables.snapshot_table import SnapshotTable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    base = SnapshotTable(spark, scratch_dir(prefix="q120_base_"))
+    base.create_or_replace(ev.filter(F.col("event_id") % 3 == 1))
+    roll = MaterializedRollup(
+        spark, scratch_dir(prefix="q120_roll_"), base,
+        group_cols=["event_type"], sum_cols=[],
+        approx_distinct_cols=["user_id"],
+    )
+    roll.rebuild()
+    base.append(ev.filter(F.col("event_id") % 3 == 2))
+    roll.refresh()
+    base.append(ev.filter(F.col("event_id") % 3 == 0))
+    n3 = roll.refresh()
+    n_noop = roll.refresh()
+
+    exact = base.read().groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_distinct_users")
+    )
+    return (
+        roll.read()
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_rows",
+            "exact_distinct_users",
+            (
+                F.abs(
+                    F.col("approx_distinct_user_id")
+                    - F.col("exact_distinct_users")
+                )
+                <= F.ceil(F.col("exact_distinct_users") * 0.02)
+            ).alias("estimate_within_2pct"),
+            F.lit(n3).cast("bigint").alias("last_delta_rows"),
+            F.lit(n_noop).cast("bigint").alias("noop_refresh_rows"),
+        )
+    )

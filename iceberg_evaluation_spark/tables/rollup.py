@@ -49,12 +49,21 @@ class MaterializedRollup:
         base: SnapshotTable,
         group_cols: list[str],
         sum_cols: list[str],
+        approx_distinct_cols: list[str] | None = None,
     ):
         self.spark = spark
         self.root = os.path.abspath(root)
         self.base = base
         self.group_cols = list(group_cols)
         self.sum_cols = list(sum_cols)
+        # MERGEABLE-SKETCH columns: per-group HyperLogLog sketches
+        # (Datasketches HllSketch via hll_sketch_agg) stored as binary
+        # and UNIONED on refresh — approximate distinct counts stay
+        # delta-cost maintainable under appends, where an exact
+        # count(DISTINCT) would need the full base per refresh. Sketches
+        # are not retractable, so refresh_cdf refuses them (honest: a
+        # delete cannot be subtracted from an HLL).
+        self.approx_distinct_cols = list(approx_distinct_cols or [])
         self.table = SnapshotTable(spark, os.path.join(self.root, "agg"))
 
     # ------------------------------------------------------------ meta
@@ -77,9 +86,14 @@ class MaterializedRollup:
 
     # ------------------------------------------------------------ aggs
     def _partial(self, rows: DataFrame) -> DataFrame:
-        aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")] + [
-            F.sum(c).alias(f"sum_{c}") for c in self.sum_cols
-        ]
+        aggs = (
+            [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+            + [F.sum(c).alias(f"sum_{c}") for c in self.sum_cols]
+            + [
+                F.expr(f"hll_sketch_agg({c})").alias(f"hll_{c}")
+                for c in self.approx_distinct_cols
+            ]
+        )
         return rows.groupBy(*self.group_cols).agg(*aggs)
 
     # ---------------------------------------------------------- refresh
@@ -108,9 +122,14 @@ class MaterializedRollup:
         )
         n_delta = delta.count()
         part = self._partial(delta)
-        update = {"n_rows": "t.n_rows + s.n_rows"} | {
-            f"sum_{c}": f"t.sum_{c} + s.sum_{c}" for c in self.sum_cols
-        }
+        update = (
+            {"n_rows": "t.n_rows + s.n_rows"}
+            | {f"sum_{c}": f"t.sum_{c} + s.sum_{c}" for c in self.sum_cols}
+            | {
+                f"hll_{c}": f"hll_union(t.hll_{c}, s.hll_{c})"
+                for c in self.approx_distinct_cols
+            }
+        )
         self.table.merge(
             part,
             on=self.group_cols,
@@ -138,6 +157,12 @@ class MaterializedRollup:
         base size)."""
         from ..operators.changelog import table_changes
 
+        if self.approx_distinct_cols:
+            raise ValueError(
+                "refresh_cdf cannot maintain approx-distinct sketch columns: "
+                "an HLL sketch is not retractable (a delete cannot be "
+                "subtracted) — rebuild(), or drop the sketch columns"
+            )
         last = self.last_base_version()
         cur = self.base.current_version()
         if last == 0:
@@ -177,4 +202,12 @@ class MaterializedRollup:
 
     # ------------------------------------------------------------- read
     def read(self) -> DataFrame:
-        return self.table.read()
+        """The rollup with sketch columns rendered as estimates
+        (``approx_distinct_<col>``); raw sketch bytes stay internal."""
+        df = self.table.read()
+        for c in self.approx_distinct_cols:
+            df = df.withColumn(
+                f"approx_distinct_{c}",
+                F.expr(f"hll_sketch_estimate(hll_{c})").cast("bigint"),
+            ).drop(f"hll_{c}")
+        return df

@@ -1044,3 +1044,40 @@ def test_rollup_cdf_refresh_handles_updates_deletes_and_group_moves(
 
     # no-op window returns 0
     assert r.refresh_cdf(["id"]) == 0
+
+
+def test_rollup_sketch_columns_merge_and_guard(spark, tmp_path):
+    """HLL sketch columns union across refreshes (estimate equals the
+    exact distinct at toy scale) and refresh_cdf refuses them — a
+    sketch cannot retract a delete."""
+    import pytest as _pytest
+
+    from iceberg_evaluation_spark.tables.rollup import MaterializedRollup
+
+    base = SnapshotTable(spark, str(tmp_path / "b"))
+    base.create_or_replace(
+        spark.createDataFrame(
+            [(i, "g%d" % (i % 2), i % 10) for i in range(40)],
+            "id bigint, grp string, u bigint",
+        )
+    )
+    r = MaterializedRollup(
+        spark, str(tmp_path / "r"), base, ["grp"], [],
+        approx_distinct_cols=["u"],
+    )
+    r.rebuild()
+    # delta introduces NEW distinct values 10..19 into one group only
+    base.append(
+        spark.createDataFrame(
+            [(100 + i, "g0", 10 + i) for i in range(10)],
+            "id bigint, grp string, u bigint",
+        )
+    )
+    r.refresh()
+    got = {
+        row["grp"]: row["approx_distinct_u"] for row in r.read().collect()
+    }
+    # g0 saw even u in 0..9 (5 values) + all of 10..19; g1 odd u only
+    assert got == {"g0": 15, "g1": 5}  # exact at this cardinality
+    with _pytest.raises(ValueError, match="not retractable"):
+        r.refresh_cdf(["id"])
