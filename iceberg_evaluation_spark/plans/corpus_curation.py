@@ -1376,3 +1376,95 @@ def q120_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(n_noop).cast("bigint").alias("noop_refresh_rows"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q121: PARTITION-SPEC EVOLUTION — Iceberg's replace-partition-field
+#       story on the snapshot layer: a table CTAS'd partitioned by
+#       order year evolves its spec to order priority (metadata-only
+#       commit), the second half of orders lands under the NEW layout,
+#       and reads stay exact across the mixed eras — read_where prunes
+#       era-1 files by their year= dirs and era-2 files by their
+#       priority= dirs (the any-era matcher), with footer stats
+#       covering the cross-era column. compact() then migrates the
+#       whole table to the new spec (the explicit rewrite Iceberg also
+#       requires); migrated_layout pins that every post-compaction file
+#       sits under priority dirs and the content survived. All counts/
+#       sums replay over raw orders in SQL.
+# ---------------------------------------------------------------------------
+@register(
+    "q121_partition_spec_evolution",
+    covers="table-layer S5 S6 S7 M8 P3 A2 P5 schema-evolution",
+    oracle=f"""
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders) AS all_rows,
+       CAST(count(*) FILTER (WHERE EXTRACT(year FROM o_orderdate) = 1997)
+         AS BIGINT) AS year_rows,
+       CAST(coalesce(sum(o_custkey)
+         FILTER (WHERE EXTRACT(year FROM o_orderdate) = 1997), 0) AS BIGINT)
+         AS year_custkey_sum,
+       CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+         AS BIGINT) AS urgent_rows,
+       CAST(coalesce(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+         FILTER (WHERE o_orderpriority = '1-URGENT'), 0) AS BIGINT)
+         AS urgent_price_cents,
+       TRUE AS mixed_era_layout,
+       TRUE AS migrated_layout,
+       TRUE AS content_survived_migration
+FROM orders
+""",
+)
+def q121_partition_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables.snapshot_table import SnapshotTable
+    from ._exact import cents
+
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority",
+        cents(F.col("o_totalprice")).alias("price_cents"),
+        F.year("o_orderdate").alias("o_year"),
+    )
+    t = SnapshotTable(spark, scratch_dir(prefix="q121_"))
+    t.create_or_replace(                                             # era 1
+        src.filter(F.col("o_orderkey") % 2 == 0),
+        partitions=2, partition_by=["o_year"],
+    )
+    t.set_partition_spec(["o_orderpriority"])                        # evolve
+    t.append(src.filter(F.col("o_orderkey") % 2 == 1))               # era 2
+
+    snap = t._read_snapshot(t.current_version())
+    mixed = any("o_year=" in rel for rel in snap["files"]) and any(
+        "o_orderpriority=" in rel for rel in snap["files"]
+    )
+    year = t.read_where([("o_year", "=", 1997)]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("year_rows"),
+        F.coalesce(F.sum("o_custkey"), F.lit(0)).cast("bigint").alias(
+            "year_custkey_sum"
+        ),
+    ).localCheckpoint()
+    urgent = t.read_where([("o_orderpriority", "=", "1-URGENT")]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("urgent_rows"),
+        F.coalesce(F.sum("price_cents"), F.lit(0)).cast("bigint").alias(
+            "urgent_price_cents"
+        ),
+    ).localCheckpoint()
+    pre_rows = t.read().count()
+    pre_cents = t.read().agg(F.sum("price_cents")).collect()[0][0]
+
+    t.compact(target_files=4)                                        # migrate
+    snap = t._read_snapshot(t.current_version())
+    migrated = all("o_orderpriority=" in rel for rel in snap["files"]) and (
+        not any("o_year=" in rel for rel in snap["files"])
+    )
+    survived = (
+        t.read().count() == pre_rows
+        and t.read().agg(F.sum("price_cents")).collect()[0][0] == pre_cents
+    )
+
+    return (
+        t.read()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("all_rows"))
+        .crossJoin(year)
+        .crossJoin(urgent)
+        .withColumn("mixed_era_layout", F.lit(mixed))
+        .withColumn("migrated_layout", F.lit(migrated))
+        .withColumn("content_survived_migration", F.lit(survived))
+    )

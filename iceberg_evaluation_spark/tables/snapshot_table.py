@@ -560,6 +560,37 @@ class SnapshotTable:
             partition_by=snap.get("partition_by"),
         )
 
+    def set_partition_spec(self, partition_by: list[str] | None) -> int:
+        """Partition-spec EVOLUTION (Iceberg ``REPLACE PARTITION
+        FIELD`` / ``write.spark.partitioned-by`` change): metadata-only
+        commit. Existing files keep their old directory layout and stay
+        fully readable AND partition-prunable (per-file pruning matches
+        whatever ``k=v`` segments a file actually has, not the current
+        spec); FUTURE writes (append / merge deltas / compact) land
+        under the new spec. ``compact()`` after the change migrates the
+        whole table to the new layout — the explicit rewrite Iceberg
+        also requires to re-layout history. ``None``/empty removes
+        partitioning for future writes."""
+        base = self.current_version()
+        snap = self._read_snapshot(base)
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(snap["schema"]))
+        cols = list(partition_by or [])
+        missing = [c for c in cols if c not in schema.fieldNames()]
+        if missing:
+            raise ValueError(f"partition_by columns {missing} not in schema")
+        return self._commit(
+            snap["files"],
+            "set_partition_spec",
+            {"partition_by": cols},
+            snap["schema"],
+            expected_version=base,
+            delete_files=snap.get("delete_files"),
+            file_seqs=snap.get("file_seqs"),
+            partition_by=cols,
+        )
+
     # ------------------------------------------------------------------ reads
     def read(self, version: int | None = None, as_of_timestamp_ms: int | None = None) -> DataFrame:
         """Scan the table; ``version``/``as_of_timestamp_ms`` time-travel
@@ -741,16 +772,15 @@ class SnapshotTable:
             lo, hi = val
             return not (mx < lo or mn > hi)
 
-        part_by = snap.get("partition_by") or []
-        part_types: dict[str, str] = {}
-        if part_by:
-            from pyspark.sql.types import StructType
+        # ALL schema columns, not just the current spec's: after
+        # partition-spec evolution, files written under an OLD spec keep
+        # their k=v dirs and must keep pruning on those columns — the
+        # per-file match below keys on what segments a file actually
+        # has, so a column that was never dir-encoded simply never hits
+        from pyspark.sql.types import StructType
 
-            sch = StructType.fromJson(json.loads(snap["schema"]))
-            part_types = {
-                f.name: f.dataType.simpleString() for f in sch.fields
-                if f.name in part_by
-            }
+        sch = StructType.fromJson(json.loads(snap["schema"]))
+        part_types = {f.name: f.dataType.simpleString() for f in sch.fields}
 
         def _partition_value(rel: str, col: str):
             """(found, typed_value) for a dir-partitioned file's column."""
@@ -795,8 +825,10 @@ class SnapshotTable:
             for col, op, val in filters:
                 # manifest-style partition pruning: a dir-partitioned file
                 # holds exactly one value of each partition column — no
-                # footer read needed, and a NULL partition never matches
-                if col in part_by and self._is_partitioned_rel(rel):
+                # footer read needed, and a NULL partition never matches.
+                # Matched against the FILE's own layout (any spec era),
+                # so old-spec files stay prunable after spec evolution.
+                if self._is_partitioned_rel(rel):
                     found, pv = _partition_value(rel, col)
                     if found:
                         if pv is None:

@@ -293,3 +293,66 @@ def test_evolution_merge_compact_interleavings_property(spark, tmp_path):
             exp = {tuple(r.get(c) for c in cols) for r in model.values()}
             assert got == exp, f"seq={seq} after op={op}"
             assert t.read().columns == cols, f"seq={seq} after op={op}"
+
+
+def test_partition_spec_evolution(spark, tmp_path):
+    """set_partition_spec: old files keep their layout AND their dir
+    pruning; new writes land under the new spec; compact migrates."""
+    t = SnapshotTable(spark, str(tmp_path / "specevo"))
+    t.create_or_replace(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "id bigint, k string, v bigint"
+        ),
+        partitions=1, partition_by=["k"],
+    )
+    t.set_partition_spec(["v"])
+    t.append(
+        spark.createDataFrame([(3, "c", 30)], "id bigint, k string, v bigint")
+    )
+    snap = t._read_snapshot(t.current_version())
+    assert any("k=" in rel for rel in snap["files"])   # old era intact
+    assert any("v=" in rel for rel in snap["files"])   # new era new spec
+    # both eras prune on THEIR OWN dir columns
+    assert _rows(t.read_where([("k", "=", "a")])) == [(1, "a", 10)]
+    assert _rows(t.read_where([("v", ">=", 30)])) == [(3, "c", 30)]
+    assert _rows(t.read()) == [(1, "a", 10), (2, "b", 20), (3, "c", 30)]
+    # compact migrates the whole table to the new spec
+    t.compact(target_files=1)
+    snap = t._read_snapshot(t.current_version())
+    assert all("v=" in rel for rel in snap["files"])
+    assert not any("k=" in rel for rel in snap["files"])
+    assert _rows(t.read()) == [(1, "a", 10), (2, "b", 20), (3, "c", 30)]
+    assert _rows(t.read_where([("v", "=", 20)])) == [(2, "b", 20)]
+
+    # spec removal: future writes unpartitioned
+    t.set_partition_spec(None)
+    t.append(
+        spark.createDataFrame([(4, "d", 40)], "id bigint, k string, v bigint")
+    )
+    snap = t._read_snapshot(t.current_version())
+    newest = [r for r in snap["files"] if "v=" not in r and "k=" not in r]
+    assert newest, "post-removal append should be unpartitioned"
+    assert t.read().count() == 4
+
+    with pytest.raises(ValueError, match="not in schema"):
+        t.set_partition_spec(["ghost"])
+
+
+def test_spec_evolution_prunes_old_era_by_dir(spark, tmp_path):
+    """File-level check: after evolution, a filter on the OLD partition
+    column must still drop old-era files by DIRECTORY (no footer needed)
+    — the generalized any-era matcher, not current-spec-only."""
+    t = SnapshotTable(spark, str(tmp_path / "oldprune"))
+    t.create_or_replace(
+        spark.createDataFrame(
+            [(i, "k%d" % (i % 4), i) for i in range(40)],
+            "id bigint, k string, v bigint",
+        ),
+        partitions=1, partition_by=["k"],
+    )
+    t.set_partition_spec(["v"])
+    pruned = t.read_where([("k", "=", "k1")])
+    ins = pruned.inputFiles()
+    assert ins and all("k%3D" in f or "k=" in f for f in ins)
+    assert all("k=k1" in f.replace("%3D", "=") for f in ins)
+    assert pruned.count() == 10
