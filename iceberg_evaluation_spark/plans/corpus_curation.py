@@ -1468,3 +1468,86 @@ def q121_partition_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
         .withColumn("migrated_layout", F.lit(migrated))
         .withColumn("content_survived_migration", F.lit(survived))
     )
+
+
+# ---------------------------------------------------------------------------
+# q122: SNAPSHOT TAGS — named immutable refs with GC-root retention
+#       (Iceberg CREATE TAG + expire_snapshots tag retention): a
+#       mid-history snapshot is tagged, later expiry keeps ONLY the
+#       newest snapshot plus the tagged one (its files included), the
+#       tag still reads exactly its pinned contents, untagged history
+#       raises, and dropping the tag releases the snapshot at the next
+#       expiry. The reproducible-training-run story: a run pins its
+#       corpus with a tag and GC can never pull it out from under it.
+# ---------------------------------------------------------------------------
+@register(
+    "q122_snapshot_tags",
+    covers="table-layer S5 S7 S9 S10 M9 A2 P5",
+    oracle="""
+SELECT CAST(2 AS INT) AS tag_version,
+       CAST(2 * count(*) AS BIGINT) AS tag_rows,
+       CAST(4 * count(*) AS BIGINT) AS current_rows,
+       CAST(2 AS INT) AS snapshots_after_expire,
+       TRUE AS tag_reads_pinned_contents,
+       TRUE AS untagged_history_unreadable,
+       CAST(1 AS INT) AS snapshots_after_release,
+       TRUE AS released_tag_gone
+FROM nation
+""",
+)
+def q122_snapshot_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables.snapshot_table import SnapshotTable
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+    def shifted(k):
+        return nation.select(
+            (F.col("n_nationkey") + k).alias("n_nationkey"),
+            "n_name", "n_regionkey",
+        )
+
+    t = SnapshotTable(spark, scratch_dir(prefix="q122_"))
+    t.create_or_replace(nation)                                      # v1
+    t.append(shifted(100))                                           # v2
+    tag_version = t.create_tag("train-v1")
+    t.append(shifted(200))                                           # v3
+    t.append(shifted(300))                                           # v4
+
+    t.expire_snapshots(keep_last=1)
+    snapshots_after = len(t._snapshots())
+    tag_rows = t.read_tag("train-v1").count()
+    # the tag must read EXACTLY its pinned contents: the v2 era's keys
+    # (originals + the +100 shift) and nothing from the later appends
+    pinned = t.read_tag("train-v1").agg(
+        F.max("n_nationkey").alias("mx"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    expected = nation.count() * 2
+    tag_ok = pinned["n"] == expected and pinned["mx"] < 200
+    current_rows = t.read().count()
+    try:
+        t.read(version=3).count()
+        v3_unreadable = False
+    except Exception:
+        v3_unreadable = True
+
+    t.drop_tag("train-v1")
+    t.expire_snapshots(keep_last=1)
+    snapshots_final = len(t._snapshots())
+    try:
+        t.read_tag("train-v1")
+        tag_gone = False
+    except ValueError:
+        tag_gone = True
+
+    return nation.agg(
+        F.lit(tag_version).cast("int").alias("tag_version"),
+        F.lit(tag_rows).cast("bigint").alias("tag_rows"),
+        F.lit(current_rows).cast("bigint").alias("current_rows"),
+        F.lit(snapshots_after).cast("int").alias("snapshots_after_expire"),
+        F.lit(tag_ok).alias("tag_reads_pinned_contents"),
+        F.lit(v3_unreadable).alias("untagged_history_unreadable"),
+        F.lit(snapshots_final).cast("int").alias("snapshots_after_release"),
+        F.lit(tag_gone).alias("released_tag_gone"),
+    )

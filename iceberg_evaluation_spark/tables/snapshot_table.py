@@ -1468,13 +1468,76 @@ class SnapshotTable:
                 os.rmdir(dirpath)
         return removed
 
+    # -------------------------------------------------------------- tags
+    @property
+    def _tag_dir(self) -> str:
+        return os.path.join(self.root, "tags")
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Pin a NAMED IMMUTABLE ref to a snapshot (Iceberg
+        ``create_tag`` / ``ALTER TABLE … CREATE TAG``): release audits
+        and reproducible training runs read the tag, and
+        ``expire_snapshots`` RETAINS tagged snapshots however old — a
+        tag is a GC root, exactly Iceberg's retention semantics."""
+        if not name or "/" in name or os.sep in name or name != name.strip():
+            raise ValueError(f"invalid tag name {name!r}")
+        v = self.current_version() if version is None else int(version)
+        if not os.path.exists(self._snapshot_path(v)):
+            raise ValueError(f"no snapshot v{v} to tag")
+        os.makedirs(self._tag_dir, exist_ok=True)
+        path = os.path.join(self._tag_dir, f"{name}.json")
+        # O_EXCL: a tag is immutable — re-pointing it silently would
+        # break every consumer that trusted the name
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise ValueError(f"tag {name!r} already exists (tags are immutable)")
+        with os.fdopen(fd, "w") as f:
+            json.dump(
+                {"name": name, "version": v,
+                 "timestamp_ms": int(time.time() * 1000)}, f,
+            )
+        return v
+
+    def drop_tag(self, name: str) -> None:
+        path = os.path.join(self._tag_dir, f"{name}.json")
+        if not os.path.exists(path):
+            raise ValueError(f"tag {name!r} does not exist")
+        os.remove(path)
+
+    def tags(self) -> dict[str, int]:
+        """name -> pinned version, for every live tag."""
+        if not os.path.isdir(self._tag_dir):
+            return {}
+        out: dict[str, int] = {}
+        for n in sorted(os.listdir(self._tag_dir)):
+            if n.endswith(".json"):
+                with open(os.path.join(self._tag_dir, n)) as f:
+                    t = json.load(f)
+                out[t["name"]] = int(t["version"])
+        return out
+
+    def read_tag(self, name: str) -> DataFrame:
+        """Read the snapshot a tag pins (time travel by name)."""
+        tags = self.tags()
+        if name not in tags:
+            raise ValueError(f"tag {name!r} does not exist")
+        return self.read(version=tags[name])
+
     def expire_snapshots(self, keep_last: int = 1) -> int:
-        """Drop old snapshots and delete data files no longer referenced."""
+        """Drop old snapshots and delete data files no longer referenced.
+
+        Tagged snapshots are GC ROOTS: they survive expiry however old
+        (Iceberg's tag retention), together with every file they
+        reference. Drop the tag first to let them expire."""
         snaps = self._snapshots()
         if len(snaps) <= keep_last:
             return 0
-        keep = snaps[-keep_last:]
-        drop = snaps[:-keep_last]
+        tagged = set(self.tags().values())
+        keep = snaps[-keep_last:] + [
+            s for s in snaps[:-keep_last] if s["version"] in tagged
+        ]
+        drop = [s for s in snaps[:-keep_last] if s["version"] not in tagged]
         referenced = {rel for s in keep for rel in s["files"]}
         referenced |= {
             d["file"] for s in keep for d in s.get("delete_files") or []

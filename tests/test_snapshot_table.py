@@ -1081,3 +1081,42 @@ def test_rollup_sketch_columns_merge_and_guard(spark, tmp_path):
     assert got == {"g0": 15, "g1": 5}  # exact at this cardinality
     with _pytest.raises(ValueError, match="not retractable"):
         r.refresh_cdf(["id"])
+
+
+def test_tags_pin_read_and_survive_expiry(spark, tmp_path):
+    """Tags are immutable named refs and GC roots: expire_snapshots
+    keeps a tagged snapshot (and its files) however old; dropping the
+    tag releases it at the next expiry."""
+    import os as _os
+
+    t = SnapshotTable(spark, str(tmp_path / "tags"))
+    t.create_or_replace(spark.createDataFrame([(1,)], "id int"))      # v1
+    t.append(spark.createDataFrame([(2,)], "id int"))                 # v2
+    t.create_tag("baseline")  # pins current (v2)
+    t.create_or_replace(spark.createDataFrame([(9,)], "id int"))      # v3
+    t.append(spark.createDataFrame([(10,)], "id int"))                # v4
+
+    assert t.tags() == {"baseline": 2}
+    assert sorted(r["id"] for r in t.read_tag("baseline").collect()) == [1, 2]
+
+    t.expire_snapshots(keep_last=1)
+    # v4 kept (last), v2 kept (tagged), v1/v3 expired
+    versions = {s["version"] for s in t._snapshots()}
+    assert versions == {2, 4}
+    assert sorted(r["id"] for r in t.read_tag("baseline").collect()) == [1, 2]
+    assert sorted(r["id"] for r in t.read().collect()) == [9, 10]
+
+    # immutability + validation
+    with pytest.raises(ValueError, match="immutable"):
+        t.create_tag("baseline")
+    with pytest.raises(ValueError, match="no snapshot"):
+        t.create_tag("ghost", version=99)
+    with pytest.raises(ValueError, match="invalid tag name"):
+        t.create_tag("a/b")
+
+    # dropping the tag releases the pinned snapshot at next expiry
+    t.drop_tag("baseline")
+    t.expire_snapshots(keep_last=1)
+    assert {s["version"] for s in t._snapshots()} == {4}
+    with pytest.raises(ValueError, match="does not exist"):
+        t.read_tag("baseline")
