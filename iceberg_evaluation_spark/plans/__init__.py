@@ -35,7 +35,18 @@ _R6_PINNED = [
     "q105_incremental_semantic_ingest",
     "q106_streaming_artifact_dedup",
     "q111_wds_shard_roundtrip",
+    # read_where's partition matcher generalized for spec evolution (r6)
+    # — re-verify the standing pruning queries under the new matcher
+    "q103_partitioned_table_scan",
+    "q49_partitioned_sink",
+    "q85_zorder_compaction",
+    "q101_stats_pruned_scan",
+    # rollup _partial/update gained sketch-column branches (r6)
+    "q108_incremental_rollup",
 ]
+# (q113/q115–q122, the other r6 additions, carry no driver verdict yet
+# and therefore sort into the window automatically — that is the
+# derive_priority contract, no hand edit needed.)
 _REPO_ROOT = _os.path.dirname(
     _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
 )
