@@ -55,6 +55,7 @@ DESCRIPTIONS = [
     ("M6", "Update-set synthesis"),
     ("M7", "md5 composite key"),
     ("M8", "Bin-pack compaction"),
+    ("M9", "Drop/purge + snapshot expiry + orphan GC (maintenance lifecycle)"),
     ("A1", "Hash group-by agg"),
     ("A2", "Global/scalar agg"),
     ("A3", "count(DISTINCT)"),
