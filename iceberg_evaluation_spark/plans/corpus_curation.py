@@ -1551,3 +1551,105 @@ def q122_snapshot_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(snapshots_final).cast("int").alias("snapshots_after_release"),
         F.lit(tag_gone).alias("released_tag_gone"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q123: WRITE-AUDIT-PUBLISH via branch refs — Iceberg's WAP staging
+#       pattern on the snapshot layer: a branch forks at the current
+#       snapshot (manifest copies; data files shared), an append + a
+#       MERGE land on the branch while main keeps serving the old rows
+#       (isolation flag), the audited branch fast-forwards into main
+#       WITH its intermediate history (time travel to the staged
+#       pre-merge version), and a branch whose fork point main has
+#       since passed is REFUSED publication (divergence = a real
+#       conflict, never a silent merge). All row/sum arithmetic
+#       replays over nation in SQL.
+# ---------------------------------------------------------------------------
+@register(
+    "q123_wap_branch_publish",
+    covers="table-layer S5 S7 S9 S10 M5-shape A2 P5",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS base_rows,
+       CAST(2 * count(*) AS BIGINT) AS staged_rows,
+       CAST(count(*) AS BIGINT) AS main_rows_before_publish,
+       CAST(2 * count(*) AS BIGINT) AS published_rows,
+       CAST(2 * sum(n_regionkey)
+            + 100 * count(*) FILTER (WHERE n_nationkey % 5 = 0) AS BIGINT)
+         AS published_regionkey_sum,
+       CAST(2 * sum(n_regionkey) AS BIGINT) AS staged_premerge_sum,
+       TRUE AS diverged_publish_refused,
+       CAST(3 * count(*) AS BIGINT) AS final_rows
+FROM nation
+""",
+)
+def q123_wap_branch_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables.snapshot_table import (
+        ConcurrentCommitError,
+        MergeClause,
+        SnapshotTable,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+    def shifted(k):
+        return nation.select(
+            (F.col("n_nationkey") + k).alias("n_nationkey"),
+            "n_name", "n_regionkey",
+        )
+
+    t = SnapshotTable(spark, scratch_dir(prefix="q123_"))
+    t.create_or_replace(nation)                                      # v1
+    base_rows = t.read().count()
+
+    br = t.create_branch("wap")
+    br.append(shifted(100))                                          # v2 (branch)
+    staged_premerge_sum = br.read().agg(F.sum("n_regionkey")).collect()[0][0]
+    br.merge(                                                        # v3 (branch)
+        nation.filter(F.col("n_nationkey") % 5 == 0).select(
+            "n_nationkey", (F.col("n_regionkey") + 100).alias("n_regionkey")
+        ),
+        on=["n_nationkey"],
+        clause=MergeClause(
+            matched_update={"n_regionkey": "s.n_regionkey"},
+            insert_when_not_matched=False,
+        ),
+    )
+    staged_rows = br.read().count()
+    main_rows_before = t.read().count()
+
+    t.fast_forward("wap")                                            # publish
+    published_rows = t.read().count()
+    published_sum = t.read().agg(F.sum("n_regionkey")).collect()[0][0]
+    # published history time-travels: v2 is the staged pre-merge image
+    tt_sum = t.read(version=2).agg(F.sum("n_regionkey")).collect()[0][0]
+    tt_ok = tt_sum == staged_premerge_sum
+    t.drop_branch("wap")
+
+    # divergence: a branch whose fork point main has passed is refused
+    stale = t.create_branch("stale")
+    stale.append(shifted(200))
+    t.append(shifted(200))                                           # main moves on
+    try:
+        t.fast_forward("stale")
+        refused = False
+    except ConcurrentCommitError:
+        refused = True
+    t.drop_branch("stale")
+
+    return nation.agg(
+        F.lit(base_rows).cast("bigint").alias("base_rows"),
+        F.lit(staged_rows).cast("bigint").alias("staged_rows"),
+        F.lit(main_rows_before).cast("bigint").alias(
+            "main_rows_before_publish"
+        ),
+        F.lit(published_rows).cast("bigint").alias("published_rows"),
+        F.lit(published_sum).cast("bigint").alias("published_regionkey_sum"),
+        F.when(F.lit(tt_ok), F.lit(staged_premerge_sum))
+        .otherwise(F.lit(-1))
+        .cast("bigint")
+        .alias("staged_premerge_sum"),
+        F.lit(refused).alias("diverged_publish_refused"),
+        F.lit(t.read().count()).cast("bigint").alias("final_rows"),
+    )

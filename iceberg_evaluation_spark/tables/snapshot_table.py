@@ -1438,6 +1438,9 @@ class SnapshotTable:
         referenced |= {
             d["file"] for s in self._snapshots() for d in s.get("delete_files") or []
         }
+        # a file only THIS timeline stopped referencing may still be live
+        # on main or a branch — never GC across timelines
+        referenced |= self._external_snapshot_files()
         removed = 0
         if not os.path.isdir(self._data_dir):
             return 0
@@ -1467,6 +1470,113 @@ class SnapshotTable:
                     os.remove(os.path.join(dirpath, n))
                 os.rmdir(dirpath)
         return removed
+
+    # ---------------------------------------------------------- branches
+    @property
+    def _branches_dir(self) -> str:
+        return os.path.join(self.root, "branches")
+
+    def create_branch(self, name: str) -> "BranchTable":
+        """Fork a WRITABLE branch at the current snapshot (Iceberg
+        branch refs; the write-audit-publish staging pattern): the
+        branch gets a private snapshot log + VERSION pointer seeded by
+        copying the manifests (cheap JSON — DATA FILES ARE SHARED), so
+        its commits are invisible to main readers until
+        :meth:`fast_forward` publishes them. Commit dirs are
+        uuid-unique, so concurrent main/branch writes never collide on
+        data paths, and orphan GC / expiry on ANY timeline treats every
+        other timeline's references as live."""
+        if not name or "/" in name or os.sep in name or name != name.strip():
+            raise ValueError(f"invalid branch name {name!r}")
+        bdir = os.path.join(self._branches_dir, name)
+        if os.path.isdir(bdir):
+            raise ValueError(f"branch {name!r} already exists")
+        cur = self.current_version()
+        os.makedirs(os.path.join(bdir, "snapshots"))
+        for s in self._snapshots():
+            shutil.copyfile(
+                self._snapshot_path(s["version"]),
+                os.path.join(bdir, "snapshots", f"v{s['version']:08d}.json"),
+            )
+        with open(os.path.join(bdir, "FORK"), "w") as f:
+            json.dump({"fork_version": cur}, f)
+        with open(os.path.join(bdir, "VERSION"), "w") as f:
+            f.write(str(cur))
+        return BranchTable(self.spark, self.root, name)
+
+    def branch(self, name: str) -> "BranchTable":
+        if not os.path.isdir(os.path.join(self._branches_dir, name)):
+            raise ValueError(f"branch {name!r} does not exist")
+        return BranchTable(self.spark, self.root, name)
+
+    def branches(self) -> list[str]:
+        if not os.path.isdir(self._branches_dir):
+            return []
+        return sorted(
+            n for n in os.listdir(self._branches_dir)
+            if os.path.isdir(os.path.join(self._branches_dir, n))
+        )
+
+    def drop_branch(self, name: str) -> None:
+        """Abandon a branch (audit failed). Its private snapshots go;
+        its data files become orphans the next GC sweep collects."""
+        bdir = os.path.join(self._branches_dir, name)
+        if not os.path.isdir(bdir):
+            raise ValueError(f"branch {name!r} does not exist")
+        shutil.rmtree(bdir)
+
+    def fast_forward(self, name: str) -> int:
+        """PUBLISH a branch: fast-forward main to the branch head
+        (Iceberg ``fast_forward``; the WAP publish step). Requires main
+        to be UNCHANGED since the fork — a diverged main is a real
+        conflict and raises ``ConcurrentCommitError`` (rebase by
+        re-branching; no silent merge). The branch's post-fork
+        manifests are copied into main's log and the pointer flips
+        under the ownership-token lock, so published history
+        time-travels on main exactly as it did on the branch."""
+        br = self.branch(name)
+        with open(os.path.join(self._branches_dir, name, "FORK")) as f:
+            fork_version = int(json.load(f)["fork_version"])
+        cur = self.current_version()
+        if cur != fork_version:
+            raise ConcurrentCommitError(
+                f"main advanced to v{cur} since branch {name!r} forked at "
+                f"v{fork_version}; re-branch from current state to rebase"
+            )
+        head = br.current_version()
+        for s in br._snapshots():
+            if s["version"] > fork_version:
+                dst = self._snapshot_path(s["version"])
+                if not os.path.exists(dst):
+                    shutil.copyfile(br._snapshot_path(s["version"]), dst)
+        self._flip_version_monotonic(head)
+        return head
+
+    def _external_snapshot_files(self) -> set[str]:
+        """Root-relative files referenced by snapshot manifests OUTSIDE
+        this handle's own log (main's if we are a branch, every
+        branch's if we are main, sibling branches either way) — GC on
+        one timeline must treat the others' references as live."""
+        dirs = [os.path.join(self.root, "snapshots")]
+        if os.path.isdir(self._branches_dir):
+            dirs += [
+                os.path.join(self._branches_dir, n, "snapshots")
+                for n in os.listdir(self._branches_dir)
+            ]
+        own = os.path.abspath(self._snap_dir)
+        refs: set[str] = set()
+        for d in dirs:
+            if not os.path.isdir(d) or os.path.abspath(d) == own:
+                continue
+            for nm in os.listdir(d):
+                if nm.startswith("v") and nm.endswith(".json"):
+                    with open(os.path.join(d, nm)) as f:
+                        s = json.load(f)
+                    refs.update(s["files"])
+                    refs.update(
+                        dd["file"] for dd in s.get("delete_files") or []
+                    )
+        return refs
 
     # -------------------------------------------------------------- tags
     @property
@@ -1542,6 +1652,7 @@ class SnapshotTable:
         referenced |= {
             d["file"] for s in keep for d in s.get("delete_files") or []
         }
+        referenced |= self._external_snapshot_files()  # cross-timeline refs
         removed = 0
         for s in drop:
             dead = list(s["files"]) + [
@@ -1560,3 +1671,36 @@ class SnapshotTable:
         """DROP TABLE [PURGE] (reference M9, pyspark_functions.py:348-355)."""
         if purge and os.path.isdir(self.root):
             shutil.rmtree(self.root)
+
+
+class BranchTable(SnapshotTable):
+    """A writable branch of a :class:`SnapshotTable`: same root and
+    SHARED data directory, private snapshot log + VERSION pointer under
+    ``branches/<name>/``. Every inherited operation (append, merge in
+    both modes, compact, schema/partition evolution, time travel,
+    read_where, expiry, orphan GC) works against the branch timeline
+    unchanged, because all state access funnels through ``_snap_dir`` /
+    ``_version_file``. Tags are main-timeline refs — create them after
+    :meth:`SnapshotTable.fast_forward` publishes the branch."""
+
+    def __init__(self, spark: SparkSession, root: str, name: str):
+        super().__init__(spark, root)
+        self.name = name
+
+    @property
+    def _snap_dir(self) -> str:
+        return os.path.join(self.root, "branches", self.name, "snapshots")
+
+    def _version_file(self) -> str:
+        return os.path.join(self.root, "branches", self.name, "VERSION")
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        raise ValueError(
+            "tags are main-timeline refs: fast_forward the branch, then tag"
+        )
+
+    def drop(self, purge: bool = True) -> None:
+        raise ValueError(
+            "refusing to drop the shared table root through a branch handle; "
+            "use drop_branch() on the main table to abandon this branch"
+        )

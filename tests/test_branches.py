@@ -1,0 +1,107 @@
+"""Branch refs + write-audit-publish (tables/snapshot_table.BranchTable)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+from iceberg_evaluation_spark.tables.snapshot_table import (
+    ConcurrentCommitError,
+    MergeClause,
+    SnapshotTable,
+)
+
+
+def _mk(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create_or_replace(
+        spark.createDataFrame([(1, 10), (2, 20)], "id bigint, v bigint")
+    )
+    return t
+
+
+def test_wap_stage_audit_publish(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    br = t.create_branch("wap")
+    # stage: writes land on the branch only
+    br.append(spark.createDataFrame([(3, 30)], "id bigint, v bigint"))
+    br.merge(
+        spark.createDataFrame([(1, 11)], "id bigint, v bigint"),
+        on=["id"], clause=MergeClause(matched_update={"v": "s.v"}),
+    )
+    assert sorted(map(tuple, t.read().collect())) == [(1, 10), (2, 20)]
+    assert sorted(map(tuple, br.read().collect())) == [(1, 11), (2, 20), (3, 30)]
+    # audit passes → publish: main fast-forwards to the branch head,
+    # including the branch's intermediate history for time travel
+    head = t.fast_forward("wap")
+    assert t.current_version() == head == br.current_version()
+    assert sorted(map(tuple, t.read().collect())) == [(1, 11), (2, 20), (3, 30)]
+    assert sorted(map(tuple, t.read(version=2).collect())) == [
+        (1, 10), (2, 20), (3, 30)
+    ]
+    assert t.branches() == ["wap"]
+    t.drop_branch("wap")
+    assert t.branches() == []
+
+
+def test_diverged_main_refuses_fast_forward(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    br = t.create_branch("stale")
+    br.append(spark.createDataFrame([(3, 30)], "id bigint, v bigint"))
+    t.append(spark.createDataFrame([(9, 90)], "id bigint, v bigint"))
+    with pytest.raises(ConcurrentCommitError, match="re-branch"):
+        t.fast_forward("stale")
+    # both timelines intact after the refused publish
+    assert sorted(r["id"] for r in t.read().collect()) == [1, 2, 9]
+    assert sorted(r["id"] for r in br.read().collect()) == [1, 2, 3]
+
+
+def test_gc_never_crosses_timelines(spark, tmp_path):
+    """Orphan GC / expiry on one timeline must treat the other's
+    references as live — in BOTH directions."""
+    t = _mk(spark, tmp_path)
+    br = t.create_branch("b")
+    br.append(spark.createDataFrame([(3, 30)], "id bigint, v bigint"))
+    # main's orphan sweep must not eat the branch's fresh files
+    old = time.time() + 60  # make cutoff generous: sweep "future" orphans
+    t.remove_orphan_files(older_than_ms=int(old * 1000))
+    assert sorted(r["id"] for r in br.read().collect()) == [1, 2, 3]
+    # branch expiry must not eat files main still references
+    t.append(spark.createDataFrame([(4, 40)], "id bigint, v bigint"))
+    br.append(spark.createDataFrame([(5, 50)], "id bigint, v bigint"))
+    br.expire_snapshots(keep_last=1)
+    assert sorted(r["id"] for r in t.read().collect()) == [1, 2, 4]
+    # and main expiry keeps what the branch references
+    t.expire_snapshots(keep_last=1)
+    assert sorted(r["id"] for r in br.read().collect()) == [1, 2, 3, 5]
+
+
+def test_branch_guards(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.create_branch("b")
+    with pytest.raises(ValueError, match="already exists"):
+        t.create_branch("b")
+    with pytest.raises(ValueError, match="invalid branch name"):
+        t.create_branch("a/b")
+    with pytest.raises(ValueError, match="does not exist"):
+        t.branch("ghost")
+    br = t.branch("b")
+    with pytest.raises(ValueError, match="main-timeline"):
+        br.create_tag("nope")
+    with pytest.raises(ValueError, match="drop_branch"):
+        br.drop(purge=True)
+    assert os.path.isdir(t.root)
+
+
+def test_abandoned_branch_files_become_orphans(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    br = t.create_branch("bad")
+    br.append(spark.createDataFrame([(3, 30)], "id bigint, v bigint"))
+    t.drop_branch("bad")
+    removed = t.remove_orphan_files(
+        older_than_ms=int((time.time() + 60) * 1000)
+    )
+    assert removed > 0  # the abandoned append's files got collected
+    assert sorted(r["id"] for r in t.read().collect()) == [1, 2]
