@@ -106,11 +106,38 @@ def main() -> None:
     assert t.read().count() == n_after_delete
     print(f"v{t.current_version()} rollback roundtrip ok")
 
-    # 10. retention: expire history, GC unreferenced files
+    # 10. write-audit-publish: stage on a branch, publish by fast-forward
+    br = t.create_branch("wap")
+    br.append(t.read().limit(5).selectExpr(
+        "o_orderkey + 90000000 AS o_orderkey", "o_custkey", "o_totalprice",
+        "o_orderdate", "o_year",
+    ))
+    assert t.read().count() == n_after_delete  # main isolated while staging
+    t.fast_forward("wap")
+    t.drop_branch("wap")
+    n_published = t.read().count()
+    assert n_published == n_after_delete + 5
+    print(f"v{t.current_version()} WAP publish: +5 rows after audit")
+
+    # 11. change data feed over the publish window (before expiry
+    # removes the pre-publish manifest)
+    from iceberg_evaluation_spark.operators.changelog import table_changes
+    v_now = t.current_version()
+    cdf = {
+        r["_change_type"]: r["count"]
+        for r in table_changes(t, ["o_orderkey"], v_now - 1, v_now)
+        .groupBy("_change_type").count().collect()
+    }
+    assert cdf == {"insert": 5}
+    print(f"CDF v{v_now - 1}->v{v_now}: {cdf}")
+
+    # 12. tag the release: a GC root expiry can never collect
+    t.create_tag("release-1")
     expired = t.expire_snapshots(keep_last=1)
     orphans = t.remove_orphan_files(older_than_ms=2**62)
-    assert t.read().count() == n_after_delete
-    print(f"expired {expired} files from old snapshots, {orphans} orphans removed")
+    assert t.read_tag("release-1").count() == n_published
+    print(f"expired {expired} files, {orphans} orphans removed; "
+          f"tag release-1 still reads {n_published} rows")
 
     print("lakehouse tour: ALL CONTRACTS HELD")
     spark.stop()
