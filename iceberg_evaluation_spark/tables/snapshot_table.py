@@ -47,7 +47,12 @@ from typing import Any
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["SnapshotTable", "MergeClause", "ConcurrentCommitError"]
+__all__ = [
+    "SnapshotTable",
+    "BranchTable",
+    "MergeClause",
+    "ConcurrentCommitError",
+]
 
 
 class ConcurrentCommitError(RuntimeError):

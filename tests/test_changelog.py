@@ -177,3 +177,70 @@ def test_bad_window_raises(spark, tmp_path):
         table_changes(t, ["id"], 1, 0)
     with pytest.raises(ValueError, match="missing"):
         table_changes(t, ["ghost"], 1, 1)
+
+
+def test_cdf_random_waves_match_model_over_any_window(spark, tmp_path):
+    """Property: for ANY window (i, j) over randomized COW/MOR
+    update/delete/insert waves, the CDF equals the set-diff of a plain
+    Python model at versions i and j — inserts for j-only keys, deletes
+    for i-only keys, pre/post image pairs for value changes, nothing
+    for untouched keys."""
+    import random
+
+    rnd = random.Random(2026)
+    t = SnapshotTable(spark, str(tmp_path / "prop"))
+    model = {i: i * 10 for i in range(8)}
+    t.create_or_replace(
+        spark.createDataFrame(
+            [(k, v) for k, v in model.items()], "id bigint, v bigint"
+        )
+    )
+    history = {1: dict(model)}
+    next_id = 100
+    for wave in range(5):
+        live = sorted(model)
+        upd = rnd.sample(live, k=min(2, len(live)))
+        dele = rnd.sample([k for k in live if k not in upd], k=1)
+        ins = [next_id]
+        next_id += 1
+        rows = (
+            [(k, model[k] + 1000 + wave) for k in upd]
+            + [(k, -1) for k in dele]
+            + [(k, k * 10) for k in ins]
+        )
+        src = spark.createDataFrame(rows, "id bigint, v bigint")
+        t.merge(
+            src, on=["id"],
+            clause=MergeClause(
+                matched_delete_condition="s.v = -1",
+                matched_update={"v": "s.v"},
+            ),
+            mode=rnd.choice(["copy-on-write", "merge-on-read"]),
+        )
+        for k in upd:
+            model[k] = model[k] + 1000 + wave
+        for k in dele:
+            del model[k]
+        for k in ins:
+            model[k] = k * 10
+        history[t.current_version()] = dict(model)
+
+    versions = sorted(history)
+    for _ in range(8):
+        i, j = sorted(rnd.sample(versions, 2))
+        a, b = history[i], history[j]
+        exp = set()
+        for k in b:
+            if k not in a:
+                exp.add((k, b[k], "insert"))
+            elif a[k] != b[k]:
+                exp.add((k, a[k], "update_preimage"))
+                exp.add((k, b[k], "update_postimage"))
+        for k in a:
+            if k not in b:
+                exp.add((k, a[k], "delete"))
+        got = {
+            (r["id"], r["v"], r["_change_type"])
+            for r in table_changes(t, ["id"], i, j).collect()
+        }
+        assert got == exp, f"window v{i}->v{j}"
