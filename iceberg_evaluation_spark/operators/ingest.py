@@ -93,9 +93,13 @@ def gated_semantic_delta(
             6,
         ),
     ).localCheckpoint(eager=False)  # feeds reject AND keep branches
-    rejected = scored.filter(F.col("norm") < min_norm).select(
-        "id", "norm", F.lit("rejected").alias("status")
-    )
+    # NULL norm (NULL embedding, or NULL elements poisoning the sum) is
+    # the degenerate case the gate exists for: REJECT it explicitly — a
+    # plain `< min_norm` filter evaluates NULL to false on both branches
+    # and would silently drop the row from the output
+    rejected = scored.filter(
+        F.col("norm").isNull() | (F.col("norm") < min_norm)
+    ).select("id", "norm", F.lit("rejected").alias("status"))
     kept = scored.filter(F.col("norm") >= min_norm)
     deduped = incremental_semantic_dedup(
         state,

@@ -173,6 +173,12 @@ class MaterializedRollup:
             eager=False
         )
         n_changes = ch.count()
+        if n_changes == 0:
+            # content-neutral window (compaction, schema/spec evolution):
+            # advance the checkpoint without committing a no-op merge
+            # snapshot to the rollup table
+            self._write_meta(cur)
+            return 0
         signed = ch.withColumn(
             "__sign",
             F.when(

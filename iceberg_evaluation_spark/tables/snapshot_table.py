@@ -233,6 +233,42 @@ class SnapshotTable:
         except OSError:
             return False
 
+    def _acquire_version_lock(self) -> tuple[str, str]:
+        """Acquire the VERSION lock (same acquire/steal protocol as
+        :meth:`_flip_version_monotonic`) and HOLD it for a multi-step
+        critical section (fast_forward's publish). Returns (lock path,
+        ownership token); the caller releases via ``_holds_lock`` +
+        remove. Hold times must stay well under the 2 s steal window."""
+        lock = self._version_file() + ".lock"
+        token = f"{os.getpid()}-{uuid.uuid4().hex}"
+        deadline = time.time() + 10.0
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                try:
+                    os.write(fd, token.encode())
+                finally:
+                    os.close(fd)
+                return lock, token
+            except FileExistsError:
+                try:
+                    age = time.time() - os.path.getmtime(lock)
+                except OSError:
+                    continue
+                if age > 2.0:
+                    grave = lock + f".steal-{uuid.uuid4().hex[:8]}"
+                    try:
+                        os.rename(lock, grave)
+                        os.remove(grave)
+                    except OSError:
+                        pass
+                    continue
+                if time.time() > deadline:
+                    raise ConcurrentCommitError(
+                        f"VERSION lock at {lock} held past deadline"
+                    )
+                time.sleep(0.005)
+
     def _read_snapshot(self, version: int) -> dict[str, Any]:
         with open(self._snapshot_path(version)) as f:
             return json.load(f)
@@ -924,7 +960,12 @@ class SnapshotTable:
             op = snap["operation"]
             if op == "append":
                 added.extend(f for f in snap["files"] if f not in prev)
-            elif op in ("rewrite_data_files", "add_column", "drop_column"):
+            elif op in (
+                "rewrite_data_files",
+                "add_column",
+                "drop_column",
+                "set_partition_spec",
+            ):
                 pass  # content-neutral: no new rows
             else:
                 raise ValueError(
@@ -1542,20 +1583,76 @@ class SnapshotTable:
         br = self.branch(name)
         with open(os.path.join(self._branches_dir, name, "FORK")) as f:
             fork_version = int(json.load(f)["fork_version"])
-        cur = self.current_version()
-        if cur != fork_version:
-            raise ConcurrentCommitError(
-                f"main advanced to v{cur} since branch {name!r} forked at "
-                f"v{fork_version}; re-branch from current state to rebase"
-            )
-        head = br.current_version()
-        for s in br._snapshots():
-            if s["version"] > fork_version:
+        # the whole publish runs under the HELD version lock: the
+        # divergence check, the manifest links, and the pointer write
+        # are one critical section, so a concurrent main commit either
+        # lands before (we raise on the re-check / manifest mismatch)
+        # or blocks on the lock for its pointer flip — never a silent
+        # no-op publish. A concurrent writer's manifest LINK is not
+        # lock-gated, so every link here handles EEXIST by content
+        # comparison: an alien manifest at a branch version number is a
+        # real conflict.
+        lock, token = self._acquire_version_lock()
+        linked: list[str] = []
+        try:
+            cur = self.current_version()
+            if cur != fork_version:
+                raise ConcurrentCommitError(
+                    f"main advanced to v{cur} since branch {name!r} forked "
+                    f"at v{fork_version}; re-branch from current state to "
+                    "rebase"
+                )
+            head = br.current_version()
+            for s in br._snapshots():
+                if s["version"] <= fork_version:
+                    continue
                 dst = self._snapshot_path(s["version"])
+                srcp = br._snapshot_path(s["version"])
                 if not os.path.exists(dst):
-                    shutil.copyfile(br._snapshot_path(s["version"]), dst)
-        self._flip_version_monotonic(head)
-        return head
+                    try:
+                        os.link(srcp, dst)  # exclusive, like _commit
+                        linked.append(dst)
+                        continue
+                    except FileExistsError:
+                        pass  # raced a concurrent commit — compare below
+                with open(dst) as f:
+                    theirs = json.load(f)
+                with open(srcp) as f:
+                    ours = json.load(f)
+                if theirs != ours:
+                    raise ConcurrentCommitError(
+                        f"main committed its own v{s['version']} while "
+                        f"branch {name!r} was being published; re-branch "
+                        "to rebase"
+                    )
+            if self.current_version() < head:
+                vtmp = self._version_file() + f".tmp-{uuid.uuid4().hex[:8]}"
+                with open(vtmp, "w") as f:
+                    f.write(str(head))
+                if not self._holds_lock(lock, token):
+                    os.remove(vtmp)
+                    raise ConcurrentCommitError(
+                        "VERSION lock stolen during publish (stall past the "
+                        "steal window); retry fast_forward"
+                    )
+                os.replace(vtmp, self._version_file())
+            return head
+        except BaseException:
+            # unpublish OUR manifest links while still holding the lock —
+            # no commit can adopt them while the flip lock is ours
+            if self._holds_lock(lock, token):
+                for dst in linked:
+                    try:
+                        os.remove(dst)
+                    except OSError:
+                        pass
+            raise
+        finally:
+            if self._holds_lock(lock, token):
+                try:
+                    os.remove(lock)
+                except OSError:
+                    pass
 
     def _external_snapshot_files(self) -> set[str]:
         """Root-relative files referenced by snapshot manifests OUTSIDE

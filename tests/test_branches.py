@@ -105,3 +105,47 @@ def test_abandoned_branch_files_become_orphans(spark, tmp_path):
     )
     assert removed > 0  # the abandoned append's files got collected
     assert sorted(r["id"] for r in t.read().collect()) == [1, 2]
+
+
+def test_concurrent_main_manifest_fails_publish_loudly(spark, tmp_path):
+    """Review fix: a main commit that lands its manifest at a branch
+    version number DURING the publish must make fast_forward raise —
+    never return success while the staged rows silently miss main."""
+    t = _mk(spark, tmp_path)
+    br = t.create_branch("wap")
+    br.append(spark.createDataFrame([(3, 30)], "id bigint, v bigint"))
+    # a concurrent appender linked ITS v2 manifest but has not flipped
+    # the pointer yet (the exact interleaving the old code turned into
+    # a silent no-op publish)
+    import json
+    import shutil
+
+    alien = dict(br._read_snapshot(2))
+    alien["summary"] = {"alien": True}  # different content, same version
+    with open(t._snapshot_path(2), "w") as f:
+        json.dump(alien, f)
+    with pytest.raises(ConcurrentCommitError, match="re-branch"):
+        t.fast_forward("wap")
+    assert t.current_version() == 1  # pointer untouched
+    assert sorted(r["id"] for r in br.read().collect()) == [1, 2, 3]
+
+
+def test_publish_failure_unpublishes_partial_links(spark, tmp_path):
+    """If the conflict is detected at a LATER branch version, the
+    manifests already linked by this publish are removed again — no
+    half-published history left for the adoption path to pick up."""
+    import json
+
+    t = _mk(spark, tmp_path)
+    br = t.create_branch("wap")
+    br.append(spark.createDataFrame([(3, 30)], "id bigint, v bigint"))   # v2
+    br.append(spark.createDataFrame([(4, 40)], "id bigint, v bigint"))   # v3
+    alien = dict(br._read_snapshot(3))
+    alien["summary"] = {"alien": True}
+    with open(t._snapshot_path(3), "w") as f:
+        json.dump(alien, f)
+    with pytest.raises(ConcurrentCommitError):
+        t.fast_forward("wap")
+    # v2 (linked before the v3 conflict) must have been unpublished
+    assert not os.path.exists(t._snapshot_path(2))
+    assert t.current_version() == 1

@@ -185,3 +185,31 @@ def test_mid_stream_model_refresh(spark, tmp_path):
     s.update_model(_weights(spark, -1.0))
     assert s.model_validations == 2
     assert {r["status"] for r in s.process_delta(d, append_new=False).collect()} == {"rejected"}
+
+
+def test_null_embedding_is_rejected_not_dropped(spark, tmp_path):
+    """Review fix: a NULL embedding (or NULL elements poisoning the
+    norm) must surface as 'rejected' — a bare `< min_norm` filter
+    evaluates NULL to false on both branches and loses the row."""
+    from iceberg_evaluation_spark.operators.incremental_dedup import (
+        build_semantic_state,
+    )
+    from iceberg_evaluation_spark.operators.ingest import gated_semantic_delta
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(8)]) for i in range(1, 3)],
+        "vec_id bigint, embedding array<double>",
+    )
+    state = build_semantic_state(spark, corpus, str(tmp_path / "nb"))
+    delta = spark.createDataFrame(
+        [
+            (11, [2.0] * 8),
+            (12, None),
+            (13, [1.0, None, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = {r["id"]: r["status"] for r in gated_semantic_delta(
+        state, delta, corpus, min_norm=1.0, append_new=False
+    ).collect()}
+    assert out == {11: "new", 12: "rejected", 13: "rejected"}

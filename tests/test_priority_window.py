@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import json
 
+import os
+
 from iceberg_evaluation_spark.plans import _registry
 from iceberg_evaluation_spark.plans.registry import (
     derive_priority,
@@ -13,6 +15,9 @@ from iceberg_evaluation_spark.plans.registry import (
 )
 
 WINDOW = 50  # the driver checks only the first 50 of queries()
+# the repo root of THIS checkout — not a hardcoded path, so a foreign
+# checkout never reads some other repository's CORRECTNESS history
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_new_query_sorts_into_window_without_manual_edit():
@@ -44,7 +49,7 @@ def test_live_registry_window_covers_all_unverdicted(tmp_path):
 
     names = list(all_queries())
     window = set(names[:WINDOW])
-    history = load_correctness_history("/root/repo")
+    history = load_correctness_history(REPO_ROOT)
     if not history:  # foreign checkout without CORRECTNESS files
         return
     for n in names:
@@ -57,7 +62,7 @@ def test_live_registry_window_covers_all_unverdicted(tmp_path):
 def test_future_registration_lands_in_window(tmp_path):
     """Register a synthetic query against the REAL history: it must sort
     into the window with no PRIORITY edit (the automation contract)."""
-    history = load_correctness_history("/root/repo")
+    history = load_correctness_history(REPO_ROOT)
     names = list(_registry.REGISTRY) + ["q998_added_next_round"]
     order = derive_priority(names, history, pinned_head=["q01_pricing_summary"])
     assert order.index("q998_added_next_round") < WINDOW

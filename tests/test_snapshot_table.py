@@ -1120,3 +1120,49 @@ def test_tags_pin_read_and_survive_expiry(spark, tmp_path):
     assert {s["version"] for s in t._snapshots()} == {4}
     with pytest.raises(ValueError, match="does not exist"):
         t.read_tag("baseline")
+
+
+def test_read_incremental_crosses_spec_evolution(spark, tmp_path):
+    """Review fix: set_partition_spec is content-neutral (same file
+    set, like add/drop_column) — an incremental window crossing it must
+    NOT raise, and a rollup refresh over it stays delta-cost."""
+    from iceberg_evaluation_spark.tables.rollup import MaterializedRollup
+
+    t = SnapshotTable(spark, str(tmp_path / "specinc"))
+    t.create_or_replace(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "id bigint, grp string, v bigint"
+        )
+    )
+    r = MaterializedRollup(spark, str(tmp_path / "r"), t, ["grp"], ["v"])
+    r.rebuild()
+    t.set_partition_spec(["grp"])                                    # v2
+    t.append(
+        spark.createDataFrame([(3, "a", 30)], "id bigint, grp string, v bigint")
+    )                                                                # v3
+    assert sorted(
+        r["id"] for r in t.read_incremental(1, 3).collect()
+    ) == [3]
+    assert r.refresh() == 1  # one delta row, no spurious rebuild demand
+    got = {row["grp"]: row["sum_v"] for row in r.read().collect()}
+    assert got == {"a": 40, "b": 20}
+
+
+def test_refresh_cdf_noop_window_commits_nothing(spark, tmp_path):
+    """Review fix: a content-neutral window (compaction) folds zero
+    change rows and must not commit a no-op merge snapshot."""
+    from iceberg_evaluation_spark.tables.rollup import MaterializedRollup
+
+    t = SnapshotTable(spark, str(tmp_path / "noop"))
+    t.create_or_replace(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "id bigint, grp string, v bigint"
+        )
+    )
+    r = MaterializedRollup(spark, str(tmp_path / "r2"), t, ["grp"], ["v"])
+    r.rebuild()
+    rv = r.table.current_version()
+    t.compact(target_files=1)
+    assert r.refresh_cdf(["id"]) == 0
+    assert r.table.current_version() == rv  # no junk snapshot
+    assert r.last_base_version() == t.current_version()  # checkpoint moved
