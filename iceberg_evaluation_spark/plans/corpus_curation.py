@@ -1315,10 +1315,11 @@ def q119_rollup_cdf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 #       base per refresh — the classic mergeable-summary design
 #       (Agarwal et al., "Mergeable Summaries"). Correctness is pinned
 #       the sketch-honest way: the oracle carries the EXACT per-group
-#       distinct count and the query emits a within-2%-relative-error
-#       flag (HllSketch lgK=12 gives ~1.6% σ; planted waves keep counts
-#       thousands-scale) — plus q108-style delta receipts proving the
-#       refreshes scanned only the appended rows.
+#       distinct count and the query emits a within-5%-relative-error
+#       flag (HllSketch lgK=12 gives ~1.6% relative standard error, so
+#       5% is ~3σ — a 2% bound was only ~1.25σ and could fail spuriously
+#       at other scale factors, ADVICE r6) — plus q108-style delta
+#       receipts proving the refreshes scanned only the appended rows.
 # ---------------------------------------------------------------------------
 @register(
     "q120_sketch_rollup",
@@ -1327,7 +1328,7 @@ def q119_rollup_cdf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_rows,
        CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct_users,
-       TRUE AS estimate_within_2pct,
+       TRUE AS estimate_within_5pct,
        (SELECT CAST(count(*) AS BIGINT) FROM events WHERE event_id % 3 = 0)
          AS last_delta_rows,
        CAST(0 AS BIGINT) AS noop_refresh_rows
@@ -1370,8 +1371,8 @@ def q120_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("approx_distinct_user_id")
                     - F.col("exact_distinct_users")
                 )
-                <= F.ceil(F.col("exact_distinct_users") * 0.02)
-            ).alias("estimate_within_2pct"),
+                <= F.ceil(F.col("exact_distinct_users") * 0.05)
+            ).alias("estimate_within_5pct"),
             F.lit(n3).cast("bigint").alias("last_delta_rows"),
             F.lit(n_noop).cast("bigint").alias("noop_refresh_rows"),
         )

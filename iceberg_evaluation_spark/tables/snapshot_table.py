@@ -201,6 +201,21 @@ class SnapshotTable:
             try:
                 if self.exists() and self.current_version() >= version:
                     return  # a later commit already advanced the pointer
+                # The manifest may have been UNPUBLISHED while we waited
+                # for the lock: fast_forward's rollback unlinks the branch
+                # manifests it linked (under ITS hold of this same lock),
+                # so an EEXIST adopter that validated one of them as a
+                # completed commit can reach this flip after the file is
+                # gone. Flipping the pointer to a vanished manifest would
+                # publish a dangling version — a permanent hole in the
+                # snapshot chain. Re-verify under the lock, immediately
+                # before the write, and surface a conflict instead.
+                if not os.path.exists(self._snapshot_path(version)):
+                    raise ConcurrentCommitError(
+                        f"snapshot v{version} was unpublished (concurrent "
+                        "branch-publish rollback) before its pointer flip; "
+                        "retry on fresh state"
+                    )
                 vtmp = self._version_file() + f".tmp-{uuid.uuid4().hex[:8]}"
                 with open(vtmp, "w") as f:
                     f.write(str(version))
@@ -1540,6 +1555,15 @@ class SnapshotTable:
         cur = self.current_version()
         os.makedirs(os.path.join(bdir, "snapshots"))
         for s in self._snapshots():
+            # seed ONLY history up to the fork point: a manifest above
+            # `cur` (a concurrently-landing main commit, or a crashed
+            # writer's completed-but-unadopted manifest) copied into the
+            # branch log would collide with the branch's own first
+            # commit (EEXIST) and fold a MAIN commit into the branch
+            # timeline — silently breaking WAP isolation while FORK
+            # still records the older version.
+            if s["version"] > cur:
+                continue
             shutil.copyfile(
                 self._snapshot_path(s["version"]),
                 os.path.join(bdir, "snapshots", f"v{s['version']:08d}.json"),
@@ -1593,7 +1617,7 @@ class SnapshotTable:
         # comparison: an alien manifest at a branch version number is a
         # real conflict.
         lock, token = self._acquire_version_lock()
-        linked: list[str] = []
+        linked: list[tuple[int, str]] = []
         try:
             cur = self.current_version()
             if cur != fork_version:
@@ -1606,12 +1630,27 @@ class SnapshotTable:
             for s in br._snapshots():
                 if s["version"] <= fork_version:
                     continue
+                # A publish can link MANY manifests — an unbounded hold.
+                # Re-verify ownership and refresh the lock mtime per
+                # manifest so (a) a LIVE publish never ages past the 2 s
+                # steal window however long it runs, and (b) a publisher
+                # that really did stall and get stolen from stops
+                # IMMEDIATELY, un-publishing its partial history (under a
+                # re-acquired lock) before any commit can adopt it.
+                if not self._holds_lock(lock, token):
+                    self._unpublish_links(linked)
+                    raise ConcurrentCommitError(
+                        "VERSION lock stolen mid-publish (stall past the "
+                        "steal window); the partially-linked manifests were "
+                        "withdrawn — retry fast_forward"
+                    )
+                os.utime(lock)
                 dst = self._snapshot_path(s["version"])
                 srcp = br._snapshot_path(s["version"])
                 if not os.path.exists(dst):
                     try:
                         os.link(srcp, dst)  # exclusive, like _commit
-                        linked.append(dst)
+                        linked.append((s["version"], dst))
                         continue
                     except FileExistsError:
                         pass  # raced a concurrent commit — compare below
@@ -1638,15 +1677,47 @@ class SnapshotTable:
                 os.replace(vtmp, self._version_file())
             return head
         except BaseException:
-            # unpublish OUR manifest links while still holding the lock —
-            # no commit can adopt them while the flip lock is ours
             if self._holds_lock(lock, token):
-                for dst in linked:
+                # unpublish OUR manifest links while still holding the
+                # lock — no adopter can flip the pointer to them while
+                # the flip lock is ours, and the flip path re-verifies
+                # the manifest still exists before any pointer write
+                for _, dst in linked:
                     try:
                         os.remove(dst)
                     except OSError:
                         pass
+            else:
+                # stolen mid-failure: withdraw whatever was not adopted,
+                # under a re-acquired lock (see _unpublish_links)
+                self._unpublish_links(linked)
             raise
+        finally:
+            if self._holds_lock(lock, token):
+                try:
+                    os.remove(lock)
+                except OSError:
+                    pass
+
+    def _unpublish_links(self, linked: list[tuple[int, str]]) -> None:
+        """Withdraw manifests a stolen-from publish linked, WITHOUT
+        breaking the chain: re-acquire the VERSION lock (an adopter's
+        pointer flip needs the same lock, so while we hold it the set of
+        adopted versions is frozen) and unlink only manifests still ABOVE
+        the current pointer — an already-adopted version must stay."""
+        try:
+            lock, token = self._acquire_version_lock()
+        except ConcurrentCommitError:
+            return  # lock unobtainable: leave the manifests; adoption
+            #         of a complete manifest is safe, just un-audited
+        try:
+            cur = self.current_version()
+            for v, dst in linked:
+                if v > cur:
+                    try:
+                        os.remove(dst)
+                    except OSError:
+                        pass
         finally:
             if self._holds_lock(lock, token):
                 try:

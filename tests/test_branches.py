@@ -149,3 +149,66 @@ def test_publish_failure_unpublishes_partial_links(spark, tmp_path):
     # v2 (linked before the v3 conflict) must have been unpublished
     assert not os.path.exists(t._snapshot_path(2))
     assert t.current_version() == 1
+
+
+def test_flip_refuses_vanished_manifest(spark, tmp_path):
+    """ADVICE r6 (medium): an EEXIST adopter that validated a manifest
+    linked by an in-progress fast_forward must NOT flip the pointer to
+    it after the publish rolled back and unlinked it — that would
+    publish a dangling version. The flip re-verifies the manifest
+    exists under the lock and raises instead."""
+    t = _mk(spark, tmp_path)
+    assert t.current_version() == 1
+    with pytest.raises(ConcurrentCommitError, match="unpublished"):
+        t._flip_version_monotonic(2)  # no v2 manifest exists
+    assert t.current_version() == 1  # pointer untouched
+    # and no stale lock left behind
+    assert not os.path.exists(t._version_file() + ".lock")
+
+
+def test_create_branch_seeds_only_up_to_fork(spark, tmp_path):
+    """ADVICE r6: a completed-but-unadopted manifest ABOVE the recorded
+    fork point (crashed writer, or a concurrently-landing main commit)
+    must not be copied into the branch log — the branch's first commit
+    would hit EEXIST on it and fold a main commit into the branch
+    timeline, breaking WAP isolation."""
+    import json
+
+    t = _mk(spark, tmp_path)  # main at v1
+    # plant a completed-but-unadopted v2 manifest: VERSION still reads 1
+    orphan = dict(t._read_snapshot(1))
+    orphan["version"] = 2
+    orphan["summary"] = {"orphan": True}
+    with open(t._snapshot_path(2), "w") as f:
+        json.dump(orphan, f)
+    assert t.current_version() == 1
+    br = t.create_branch("wap")
+    # the branch log holds only fork-reachable history
+    assert [s["version"] for s in br._snapshots()] == [1]
+    # and the branch's first commit claims v2 cleanly on ITS timeline
+    br.append(spark.createDataFrame([(3, 30)], "id bigint, v bigint"))
+    assert br.current_version() == 2
+    assert sorted(r["id"] for r in br.read().collect()) == [1, 2, 3]
+    assert br._read_snapshot(2)["operation"] == "append"
+
+
+def test_unpublish_links_spares_adopted_versions(spark, tmp_path):
+    """ADVICE r6: a stolen-from publisher withdraws only manifests
+    still ABOVE the current pointer — an already-adopted version is
+    part of the published chain and must stay."""
+    import json
+
+    t = _mk(spark, tmp_path)  # v1
+    t.append(spark.createDataFrame([(3, 30)], "id bigint, v bigint"))  # v2
+    # simulate a publish that linked v2 (now adopted: pointer == 2) and
+    # v3 (not adopted: pointer < 3)
+    phantom = dict(t._read_snapshot(2))
+    phantom["version"] = 3
+    with open(t._snapshot_path(3), "w") as f:
+        json.dump(phantom, f)
+    t._unpublish_links([(2, t._snapshot_path(2)), (3, t._snapshot_path(3))])
+    assert os.path.exists(t._snapshot_path(2))      # adopted: kept
+    assert not os.path.exists(t._snapshot_path(3))  # unadopted: withdrawn
+    assert t.current_version() == 2
+    assert sorted(r["id"] for r in t.read().collect()) == [1, 2, 3]
+    assert not os.path.exists(t._version_file() + ".lock")

@@ -868,6 +868,16 @@ def test_stolen_while_alive_holder_cannot_regress_pointer(spark, tmp_path):
     t_holder.create_or_replace(spark.createDataFrame([(1,)], "id long"))
     t_rival = SnapshotTable(spark, t_holder.root)
     lock = t_holder._version_file() + ".lock"
+    # plant completed manifests for the versions the two writers flip
+    # to — the flip path (r6 ADVICE) refuses a flip whose manifest is
+    # missing, so a bare pointer flip needs real targets
+    import json
+
+    for v in (2, 3):
+        snap = dict(t_holder._read_snapshot(1))
+        snap["version"] = v
+        with open(t_holder._snapshot_path(v), "w") as f:
+            json.dump(snap, f)
 
     real_check = SnapshotTable._holds_lock
     stalled = threading.Event()
