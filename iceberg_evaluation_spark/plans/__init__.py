@@ -19,40 +19,36 @@ from . import corpus_quality  # noqa: E402,F401
 # sort first automatically, then oldest-latest-verdict first. Only the
 # small PINNED head below — queries whose code paths THIS round touched —
 # is maintained by hand each round.
-_R6_PINNED = [
+_R7_PINNED = [
     # flagship stays first (driver entry() smoke-checks it anyway)
     "q01_pricing_summary",
-    # snapshot-table VERSION-lock ownership-token hardening (r6)
+    # pointer-flip manifest re-verify + publish hardening touch every
+    # commit path; re-verify the deepest multi-commit pipeline plus the
+    # branch/tag queries whose code changed (r7 ADVICE fixes)
     "q44_scd2_table_pipeline",
-    "q86_incremental_scan",
-    "q47_time_travel",
-    "q48_compaction",
-    # classifier weights validation + incremental-dedup state/drop-count
-    # changes + wds tmp sweep + curriculum empty-input fix (r6)
-    "q112_classifier_inference",
-    "q114_curriculum_export",
+    "q122_snapshot_tags",
+    "q123_wap_branch_publish",
+    # changelog/rollup CDF changes (append-window CDF, group-scoped
+    # sketch maintenance) + q120's widened tolerance (r7)
+    "q118_change_data_feed",
+    "q119_rollup_cdf_maintenance",
+    "q120_sketch_rollup",
+    # candidate-pruned partner reads rewire the incremental/gated dedup
+    # partner fetch (r7 verdict #3)
     "q104_incremental_crossrun_dedup",
     "q105_incremental_semantic_ingest",
-    "q106_streaming_artifact_dedup",
-    "q111_wds_shard_roundtrip",
-    # read_where's partition matcher generalized for spec evolution (r6)
-    # — re-verify the standing pruning queries under the new matcher
-    "q103_partitioned_table_scan",
-    "q49_partitioned_sink",
-    "q85_zorder_compaction",
-    "q101_stats_pruned_scan",
-    # rollup _partial/update gained sketch-column branches (r6)
-    "q108_incremental_rollup",
+    "q115_gated_streaming_ingest",
+    "q117_gated_semantic_ingest",
 ]
-# (q113/q115–q122, the other r6 additions, carry no driver verdict yet
-# and therefore sort into the window automatically — that is the
-# derive_priority contract, no hand edit needed.)
+# 11 pins + the r7 additions (never checked → auto-sorted next) + the
+# 35 r3-era stale verdicts = ≤ 50: the whole backlog clears this round
+# (r6 verdict #1 — the pin budget is the one manual discipline left).
 _REPO_ROOT = _os.path.dirname(
     _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
 )
 _HISTORY = _registry.load_correctness_history(_REPO_ROOT)
 _registry.PRIORITY[:] = _registry.derive_priority(
-    list(_registry.REGISTRY), _HISTORY, _R6_PINNED
+    list(_registry.REGISTRY), _HISTORY, _R7_PINNED
 )
 
 __all__ = ["Query", "REGISTRY", "register", "all_queries", "all_oracles"]
