@@ -101,13 +101,19 @@ def gated_semantic_delta(
         F.col("norm").isNull() | (F.col("norm") < min_norm)
     ).select("id", "norm", F.lit("rejected").alias("status"))
     kept = scored.filter(F.col("norm") >= min_norm)
+    if hasattr(corpus_lookup, "fetch"):
+        # BucketedLookup: pruned partner fetch happens inside the
+        # incremental dedup (cast-to-double applies at the verify)
+        lookup = corpus_lookup
+    else:
+        lookup = corpus_lookup.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        )
     deduped = incremental_semantic_dedup(
         state,
         kept,
-        corpus_lookup.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).cast("array<double>").alias("vec"),
-        ),
+        lookup,
         id_col="id",
         vec_col="vec",
         threshold=threshold,
@@ -125,10 +131,14 @@ class GatedIngestSession:
     """A standing (model, dedup-state, corpus-table) triple that
     processes deltas one foreachBatch micro-batch at a time.
 
-    ``corpus_table`` is the standing (id, text) snapshot table the
-    dedup artifacts were built FROM; the session appends accepted-new
-    rows to it, keeping the partner lookup and the artifacts in sync
-    (the check_lookup coverage guard holds by construction).
+    ``corpus_table`` is the standing (id, text) table the dedup
+    artifacts were built FROM; the session appends accepted-new rows to
+    it, keeping the partner lookup and the artifacts in sync (the
+    check_lookup coverage guard holds by construction). Pass a
+    ``tables.bucketed_lookup.BucketedLookup`` (the at-scale layout) and
+    each delta's partner fetch file-prunes to the candidate ids'
+    buckets instead of scanning the corpus per micro-batch; a plain
+    ``SnapshotTable`` keeps the scan-per-delta behavior.
     """
 
     def __init__(
@@ -202,9 +212,15 @@ class GatedIngestSession:
         ).select("id", "prob", F.lit("rejected").alias("status"))
 
         kept = scored.filter(F.col("label") == "keep")
-        lookup = self.corpus_table.read().select(
-            F.col(idc).alias("id"), F.col(txc).alias("text")
-        )
+        if hasattr(self.corpus_table, "fetch"):
+            # BucketedLookup: pass it through — the partner fetch inside
+            # incremental_neardup_dedup becomes a candidate-bucket
+            # pruned read instead of a full corpus scan per delta
+            lookup = self.corpus_table
+        else:
+            lookup = self.corpus_table.read().select(
+                F.col(idc).alias("id"), F.col(txc).alias("text")
+            )
         deduped = incremental_neardup_dedup(
             self.state,
             kept,

@@ -761,17 +761,24 @@ def _q115_session(spark: SparkSession, docs: DataFrame, tag: str):
     from ..operators.classifier import demo_weight_vector
     from ..operators.incremental_dedup import build_dedup_state
     from ..operators.ingest import GatedIngestSession
+    from ..tables.bucketed_lookup import BucketedLookup
 
-    corpus_table = SnapshotTable(spark, scratch_dir(f"q115{tag}_corpus_"))
-    corpus_table.create_or_replace(docs)
+    # the standing corpus lives ID-BUCKETED (r7: candidate-pruned
+    # partner reads) so each micro-batch's near-dup partner fetch
+    # file-prunes to the candidate ids' buckets instead of scanning
+    # the corpus once per delta
+    corpus = BucketedLookup.create(
+        spark, docs, scratch_dir(f"q115{tag}_corpus_"),
+        "doc_id", "text", n_buckets=16,
+    )
     state = build_dedup_state(
-        spark, corpus_table.read(), "doc_id", "text",
+        spark, corpus.read(), "doc_id", "text",
         scratch_dir(f"q115{tag}_fp_"), scratch_dir(f"q115{tag}_bands_"),
     )
     return GatedIngestSession(
         state,
         demo_weight_vector(spark, 1024),
-        corpus_table,
+        corpus,
         id_col="doc_id",
         text_col="text",
         num_buckets=1024,

@@ -1097,10 +1097,19 @@ def q104_incremental_crossrun_dedup(spark: SparkSession, sf_dir: str) -> DataFra
     )
     from ._tmpdirs import scratch_dir
 
+    from ..tables.bucketed_lookup import BucketedLookup
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     state = build_dedup_state(
         spark, docs, "doc_id", "text",
         scratch_dir("q104_fp_"), scratch_dir("q104_bands_"),
+    )
+    # the standing partner lookup lives id-bucketed (r7): each run's
+    # partner fetch file-prunes to candidate buckets, never re-scanning
+    # the corpus — same classifications, bounded IO
+    lookup = BucketedLookup.create(
+        spark, docs, scratch_dir("q104_lookup_"), "doc_id", "text",
+        n_buckets=16,
     )
 
     delta = _q104_delta(docs)
@@ -1119,17 +1128,20 @@ def q104_incremental_crossrun_dedup(spark: SparkSession, sf_dir: str) -> DataFra
         )
 
     r1 = counts(
-        incremental_neardup_dedup(state, delta, docs, "doc_id", "text")
+        incremental_neardup_dedup(state, delta, lookup, "doc_id", "text")
     ).localCheckpoint()
     # run 2 replays the SAME delta: the standing corpus now includes
     # run-1's ingested rows, so the partner lookup is corpus ∪ delta
     # (superset is fine — verify joins only touch candidate ids from the
-    # band index). append_new=False: the run-2 invariant is n_new_2 = 0,
-    # so there is nothing to fold back and the two empty append commits
-    # would be pure harness cost.
+    # band index; the whole delta is appended into the bucketed lookup,
+    # the mirror of the production corpus-table append).
+    # append_new=False: the run-2 invariant is n_new_2 = 0, so there is
+    # nothing to fold back and the two empty append commits would be
+    # pure harness cost.
+    lookup.append(delta)
     r2 = counts(
         incremental_neardup_dedup(
-            state, delta, docs.unionByName(delta), "doc_id", "text",
+            state, delta, lookup, "doc_id", "text",
             append_new=False,
         )
     ).localCheckpoint()
@@ -1515,14 +1527,23 @@ def q117_gated_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ingest import gated_semantic_delta
     from ._tmpdirs import scratch_dir
 
+    from ..tables.bucketed_lookup import BucketedLookup
+
     emb = _q105_emb(spark, sf_dir)
     delta = _q117_delta(emb)
     state = build_semantic_state(spark, emb, scratch_dir("q117_bands_"))
+    # id-bucketed standing lookup (r7): the partner fetch file-prunes
+    # to candidate buckets on both runs
+    lookup = BucketedLookup.create(
+        spark, emb, scratch_dir("q117_lookup_"), "vec_id", "embedding",
+        n_buckets=16,
+    )
     r1 = gated_semantic_delta(
-        state, delta, emb, append_new=True
+        state, delta, lookup, append_new=True
     ).localCheckpoint()
+    lookup.append(delta)
     r2 = gated_semantic_delta(
-        state, delta, emb.unionByName(delta), append_new=False
+        state, delta, lookup, append_new=False
     ).localCheckpoint()
     return (
         delta.select("vec_id")

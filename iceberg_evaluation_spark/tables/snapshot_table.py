@@ -789,12 +789,13 @@ class SnapshotTable:
         the read-side half of the feature Z-order compaction writes for).
 
         ``filters`` is a conjunction of ``(column, op, value)`` with op in
-        ``= < <= > >= between`` (``between`` takes a ``(lo, hi)`` value).
-        Files whose parquet-footer [min, max] range cannot satisfy the
-        conjunction are dropped from the scan WITHOUT being opened by
-        executors; the surviving files are read and the same predicate is
-        applied row-level, so the result is EXACTLY
-        ``read(version).filter(...)`` — pruning is a pure optimization.
+        ``= < <= > >= between in`` (``between`` takes a ``(lo, hi)``
+        value; ``in`` a list of values). Files whose parquet-footer
+        [min, max] range cannot satisfy the conjunction are dropped from
+        the scan WITHOUT being opened by executors; the surviving files
+        are read and the same predicate is applied row-level, so the
+        result is EXACTLY ``read(version).filter(...)`` — pruning is a
+        pure optimization.
 
         Stats come from the driver-side footer reads ``files_metadata``
         already does (manifest-scale cost, like Iceberg's own manifest
@@ -803,9 +804,46 @@ class SnapshotTable:
         the filter columns, tight predicates prune most files; on
         unclustered layouts pruning degrades gracefully to a full list.
         """
+        snap = self._read_snapshot(
+            self.current_version() if version is None else version
+        )
+        kept = self.pruned_files(filters, version=version)
+        # route through the MOR-aware scan: stats pruning only shrinks the
+        # data-file list; live equality-deletes must still apply
+        df = self._read_snapshot_df(snap, only_files=kept)
+        cond = F.lit(True)
+        for col, op, val in filters:
+            c = F.col(col)
+            if op == "=":
+                cond = cond & (c == val)
+            elif op == "<":
+                cond = cond & (c < val)
+            elif op == "<=":
+                cond = cond & (c <= val)
+            elif op == ">":
+                cond = cond & (c > val)
+            elif op == ">=":
+                cond = cond & (c >= val)
+            elif op == "in":
+                cond = cond & c.isin(list(val))
+            else:
+                cond = cond & c.between(val[0], val[1])
+        return df.filter(cond)
+
+    def pruned_files(
+        self,
+        filters: list[tuple[str, str, Any]],
+        version: int | None = None,
+    ) -> list[str]:
+        """The root-relative data files of a snapshot that MAY satisfy
+        ``filters`` (read_where's pruning half, exposed as the IO
+        receipt): partition-dir values prune without any footer read,
+        parquet footer min/max stats prune the rest; missing stats keep
+        the file conservatively. ``len(pruned_files(...))`` vs
+        ``len(files)`` is the scan-bound a pruned read pays."""
         import pyarrow.parquet as pq
 
-        ops = {"=", "<", "<=", ">", ">=", "between"}
+        ops = {"=", "<", "<=", ">", ">=", "between", "in"}
         for _, op, _v in filters:
             if op not in ops:
                 raise ValueError(f"unsupported op {op!r}; use one of {sorted(ops)}")
@@ -825,6 +863,8 @@ class SnapshotTable:
                 return mx > val
             if op == ">=":
                 return mx >= val
+            if op == "in":
+                return any(mn <= v <= mx for v in val)
             lo, hi = val
             return not (mx < lo or mn > hi)
 
@@ -927,26 +967,7 @@ class SnapshotTable:
                     break
             if keep:
                 kept.append(rel)
-
-        # route through the MOR-aware scan: stats pruning only shrinks the
-        # data-file list; live equality-deletes must still apply
-        df = self._read_snapshot_df(snap, only_files=kept)
-        cond = F.lit(True)
-        for col, op, val in filters:
-            c = F.col(col)
-            if op == "=":
-                cond = cond & (c == val)
-            elif op == "<":
-                cond = cond & (c < val)
-            elif op == "<=":
-                cond = cond & (c <= val)
-            elif op == ">":
-                cond = cond & (c > val)
-            elif op == ">=":
-                cond = cond & (c >= val)
-            else:
-                cond = cond & c.between(val[0], val[1])
-        return df.filter(cond)
+        return kept
 
     def read_incremental(
         self, from_version: int, to_version: int | None = None

@@ -1,0 +1,201 @@
+"""Candidate-pruned partner reads (tables/bucketed_lookup) — the r7
+fix for the per-delta full-corpus scan in the incremental/gated dedup
+loop: the standing corpus lives id-bucketed and a delta's partner fetch
+file-prunes to the candidate ids' buckets (IO receipt pinned here)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_evaluation_spark.operators.incremental_dedup import (
+    build_dedup_state,
+    build_semantic_state,
+    incremental_neardup_dedup,
+    incremental_semantic_dedup,
+)
+from iceberg_evaluation_spark.operators.ingest import GatedIngestSession
+from iceberg_evaluation_spark.tables.bucketed_lookup import BucketedLookup
+from iceberg_evaluation_spark.tables.snapshot_table import SnapshotTable
+
+
+def _corpus_rows(n=40):
+    return [
+        (i, f"document number {i} about topic {i % 7} with body text "
+            f"padding alpha beta gamma delta {i * 13 % 101}")
+        for i in range(1, n + 1)
+    ]
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_create_open_fetch_roundtrip(spark, tmp_path):
+    docs = _docs(spark, _corpus_rows())
+    lk = BucketedLookup.create(
+        spark, docs, str(tmp_path / "lk"), "doc_id", "text", n_buckets=8
+    )
+    # open() restores the geometry from disk
+    lk2 = BucketedLookup.open(spark, str(tmp_path / "lk"))
+    assert (lk2.id_col, lk2.payload_col, lk2.n_buckets) == ("doc_id", "text", 8)
+    assert lk2.read().count() == 40
+    ids = spark.createDataFrame([(3,), (17,)], "doc_id bigint")
+    fetched = {r["doc_id"] for r in lk2.fetch(ids).collect()}
+    assert {3, 17} <= fetched  # superset: the ids' buckets, whole
+    assert sorted(lk2.read().columns) == ["doc_id", "text"]
+
+
+def test_fetch_reads_only_candidate_buckets(spark, tmp_path):
+    """The IO receipt: a bounded candidate set touches a strict subset
+    of the corpus files — O(candidate-buckets), not O(corpus)."""
+    docs = _docs(spark, _corpus_rows(80))
+    lk = BucketedLookup.create(
+        spark, docs, str(tmp_path / "lk"), "doc_id", "text", n_buckets=16
+    )
+    all_files = lk.table._read_snapshot(lk.table.current_version())["files"]
+    ids = spark.createDataFrame([(5,)], "doc_id bigint")
+    touched = lk.fetch_files(ids)
+    n_buckets_hit = len(lk.candidate_buckets(ids))
+    assert n_buckets_hit == 1
+    assert 0 < len(touched) < len(all_files)
+    # every touched file sits under the candidate's bucket dir
+    (b,) = lk.candidate_buckets(ids)
+    assert all(f"_id_bucket={b}" in f for f in touched)
+    # empty candidate set reads nothing
+    empty = spark.createDataFrame([], "doc_id bigint")
+    assert lk.fetch_files(empty) == []
+    assert lk.fetch(empty).count() == 0
+
+
+def test_append_keeps_layout_and_pruning(spark, tmp_path):
+    docs = _docs(spark, _corpus_rows(30))
+    lk = BucketedLookup.create(
+        spark, docs, str(tmp_path / "lk"), "doc_id", "text", n_buckets=8
+    )
+    lk.append(_docs(spark, [(991, "fresh appended document")]))
+    assert lk.read().count() == 31
+    ids = spark.createDataFrame([(991,)], "doc_id bigint")
+    fetched = {r["doc_id"] for r in lk.fetch(ids).collect()}
+    assert 991 in fetched
+    # the append's files landed under bucket dirs → still prunable
+    touched = lk.fetch_files(ids)
+    all_files = lk.table._read_snapshot(lk.table.current_version())["files"]
+    assert 0 < len(touched) < len(all_files)
+
+
+def test_incremental_dedup_same_answers_with_pruned_lookup(spark, tmp_path):
+    """Classification must be IDENTICAL whether the lookup is a plain
+    DataFrame (per-delta scan) or a BucketedLookup (pruned read)."""
+    rows = _corpus_rows()
+    docs = _docs(spark, rows)
+    delta = _docs(
+        spark,
+        [
+            (101, rows[2][1]),                     # exact dup of id 3
+            (102, rows[5][1] + "  extra token"),   # near dup of id 6
+            (103, "entirely novel content nothing shares shingles here"),
+        ],
+    )
+
+    state_a = build_dedup_state(
+        spark, docs, "doc_id", "text",
+        str(tmp_path / "fp_a"), str(tmp_path / "b_a"),
+    )
+    plain = {
+        r["id"]: r["status"]
+        for r in incremental_neardup_dedup(
+            state_a, delta, docs, "doc_id", "text", append_new=False
+        ).collect()
+    }
+
+    state_b = build_dedup_state(
+        spark, docs, "doc_id", "text",
+        str(tmp_path / "fp_b"), str(tmp_path / "b_b"),
+    )
+    lk = BucketedLookup.create(
+        spark, docs, str(tmp_path / "lk"), "doc_id", "text", n_buckets=8
+    )
+    pruned = {
+        r["id"]: r["status"]
+        for r in incremental_neardup_dedup(
+            state_b, delta, lk, "doc_id", "text", append_new=False
+        ).collect()
+    }
+    assert plain == pruned
+    assert plain[101] == "exact_dup" and plain[103] == "new"
+
+
+def test_semantic_dedup_with_pruned_lookup(spark, tmp_path):
+    import random
+
+    def vec(seed):
+        rng = random.Random(seed)
+        v = [rng.uniform(-1, 1) for _ in range(16)]
+        n = sum(x * x for x in v) ** 0.5
+        return [x / n for x in v]
+
+    corpus = spark.createDataFrame(
+        [(i, vec(i)) for i in range(1, 21)],
+        "vec_id bigint, embedding array<double>",
+    )
+    state = build_semantic_state(
+        spark, corpus, str(tmp_path / "sem"), max_bucket=50
+    )
+    lk = BucketedLookup.create(
+        spark, corpus, str(tmp_path / "lk"), "vec_id", "embedding",
+        n_buckets=4,
+    )
+    delta = spark.createDataFrame(
+        [(101, vec(7)), (102, vec(9999))],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = {
+        r["id"]: r["status"]
+        for r in incremental_semantic_dedup(
+            state, delta, lk, append_new=False
+        ).collect()
+    }
+    assert got == {101: "dup", 102: "new"}
+
+
+def test_gated_session_with_bucketed_corpus(spark, tmp_path):
+    """End-to-end: the session's standing corpus is a BucketedLookup;
+    statuses match the plain-table session and accepted-new rows land
+    in the bucketed layout (fetchable + prunable next delta)."""
+    rows = _corpus_rows()
+    docs = _docs(spark, rows)
+    weights = spark.range(64).select(
+        F.col("id").cast("int").alias("bucket"), F.lit(1.0).alias("wt")
+    )
+
+    lk = BucketedLookup.create(
+        spark, docs, str(tmp_path / "corpus"), "doc_id", "text", n_buckets=8
+    )
+    state = build_dedup_state(
+        spark, lk.read(), "doc_id", "text",
+        str(tmp_path / "fp"), str(tmp_path / "bands"),
+    )
+    s = GatedIngestSession(
+        state, weights, lk, id_col="doc_id", text_col="text", num_buckets=64
+    )
+    delta = _docs(
+        spark,
+        [
+            (201, rows[0][1]),   # exact dup
+            (202, "fresh accepted document with plenty of scoreable words"),
+            (203, "   "),        # featureless → rejected
+        ],
+    )
+    got = {r["id"]: r["status"] for r in s.process_delta(delta).collect()}
+    assert got == {201: "exact_dup", 202: "new", 203: "rejected"}
+    # accepted-new row joined the bucketed corpus — next delta sees it
+    assert lk.read().count() == len(rows) + 1
+    delta2 = _docs(spark, [(301, "fresh accepted document with plenty of scoreable words")])
+    got2 = {r["id"]: r["status"] for r in s.process_delta(delta2).collect()}
+    assert got2 == {301: "exact_dup"}
+
+
+def test_open_missing_meta_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        BucketedLookup.open(spark, str(tmp_path / "nope"))
