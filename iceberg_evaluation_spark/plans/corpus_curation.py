@@ -1654,3 +1654,126 @@ def q123_wap_branch_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(refused).alias("diverged_publish_refused"),
         F.lit(t.read().count()).cast("bigint").alias("final_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q124: GROUP-SCOPED SKETCH MAINTENANCE through the CDF — q120's
+#       mergeable-HLL rollup kept fresh across OVERWRITE-class windows
+#       (r6 verdict #4: refresh_cdf used to refuse sketch columns;
+#       sketches are not retractable, so it now re-sketches ONLY the
+#       groups each change window touched — one base semi-join on the
+#       touched group keys + one sketch agg, cost proportional to the
+#       touched groups' rows, while counts fold retract/apply).
+#       Wave 1 (COW) deletes %5=1 rows and REWRITES %5=2 rows' user ids
+#       (both RETRACT distinct values — impossible for a sketch union);
+#       wave 2 (MOR) moves %5=3 rows into a new group. Correctness is
+#       sketch-honest like q120: exact per-group distincts in the
+#       oracle, a within-5%-relative-error flag from the query
+#       (~3 sigma at HllSketch lgK=12), and change-row receipts pinning
+#       the delta cost; untouched-group byte-stability is pinned by the
+#       property test (tests/test_snapshot_table.py).
+# ---------------------------------------------------------------------------
+@register(
+    "q124_sketch_rollup_cdf",
+    covers="incremental-view change-data-feed table-layer S5 S7 M5-shape A1 A3 P5",
+    oracle="""
+WITH e AS (
+  SELECT event_id, event_type, user_id FROM events
+), final AS (
+  SELECT CASE WHEN event_id % 5 = 3 THEN '9-moved' ELSE event_type END
+           AS event_type,
+         CASE WHEN event_id % 5 = 2 THEN user_id + 1000000 ELSE user_id END
+           AS user_id
+  FROM e WHERE event_id % 5 <> 1
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct_users,
+       TRUE AS estimate_within_5pct,
+       (SELECT CAST(count(*) FILTER (WHERE event_id % 5 = 1)
+               + 2 * count(*) FILTER (WHERE event_id % 5 = 2) AS BIGINT)
+        FROM e) AS wave1_change_rows,
+       (SELECT CAST(2 * count(*) FILTER (WHERE event_id % 5 = 3) AS BIGINT)
+        FROM e) AS wave2_change_rows,
+       CAST(0 AS BIGINT) AS noop_refresh_rows
+FROM final GROUP BY event_type
+""",
+)
+def q124_sketch_rollup_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables.rollup import MaterializedRollup
+    from ..tables.snapshot_table import MergeClause, SnapshotTable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    base = SnapshotTable(spark, scratch_dir(prefix="q124_base_"))
+    base.create_or_replace(ev)                                       # v1
+    roll = MaterializedRollup(
+        spark, scratch_dir(prefix="q124_roll_"), base,
+        group_cols=["event_type"], sum_cols=[],
+        approx_distinct_cols=["user_id"],
+    )
+    roll.rebuild()
+
+    # wave 1 (COW): delete %5=1, rewrite %5=2's user ids — both retract
+    # distinct values from their groups' sketches
+    src1 = (
+        ev.filter(F.col("event_id") % 5 == 1)
+        .select("event_id", "event_type", "user_id", F.lit("D").alias("__op"))
+        .unionByName(
+            ev.filter(F.col("event_id") % 5 == 2).select(
+                "event_id", "event_type",
+                (F.col("user_id") + 1_000_000).alias("user_id"),
+                F.lit("U").alias("__op"),
+            )
+        )
+    )
+    base.merge(
+        src1, on=["event_id"],
+        clause=MergeClause(
+            matched_update={"user_id": "s.user_id"},
+            matched_update_condition="s.__op = 'U'",
+            matched_delete_condition="s.__op = 'D'",
+            insert_when_not_matched=False,
+        ),
+    )
+    n1 = roll.refresh_cdf(["event_id"])
+
+    # wave 2 (MOR): move every %5=3 row into a NEW group — the sketch
+    # for '9-moved' is built fresh, the donor groups' re-sketched
+    base.merge(
+        ev.filter(F.col("event_id") % 5 == 3).select("event_id"),
+        on=["event_id"],
+        clause=MergeClause(
+            matched_update={"event_type": "'9-moved'"},
+            insert_when_not_matched=False,
+        ),
+        mode="merge-on-read",
+    )
+    n2 = roll.refresh_cdf(["event_id"])
+    n_noop = roll.refresh_cdf(["event_id"])
+
+    exact = base.read().groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias(
+            "exact_distinct_users"
+        )
+    )
+    return (
+        roll.read()
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_rows",
+            "exact_distinct_users",
+            (
+                F.abs(
+                    F.col("approx_distinct_user_id")
+                    - F.col("exact_distinct_users")
+                )
+                <= F.ceil(F.col("exact_distinct_users") * 0.05)
+            ).alias("estimate_within_5pct"),
+            F.lit(n1).cast("bigint").alias("wave1_change_rows"),
+            F.lit(n2).cast("bigint").alias("wave2_change_rows"),
+            F.lit(n_noop).cast("bigint").alias("noop_refresh_rows"),
+        )
+    )

@@ -61,8 +61,11 @@ class MaterializedRollup:
         # and UNIONED on refresh — approximate distinct counts stay
         # delta-cost maintainable under appends, where an exact
         # count(DISTINCT) would need the full base per refresh. Sketches
-        # are not retractable, so refresh_cdf refuses them (honest: a
-        # delete cannot be subtracted from an HLL).
+        # are not retractable (a delete cannot be subtracted from an
+        # HLL), so refresh_cdf rebuilds them GROUP-SCOPED: only the
+        # groups the change window touched are re-sketched from the
+        # base — cost proportional to the touched groups' rows, never
+        # the base (r6 verdict #4).
         self.approx_distinct_cols = list(approx_distinct_cols or [])
         self.table = SnapshotTable(spark, os.path.join(self.root, "agg"))
 
@@ -150,6 +153,14 @@ class MaterializedRollup:
         credits the other, and a group whose count reaches zero is
         DELETED from the rollup (never left as a stale zero row).
 
+        Approx-distinct sketch columns are NOT retractable (a delete
+        cannot be subtracted from an HLL), so they are re-sketched
+        GROUP-SCOPED: one semi-join of the base on the touched group
+        keys + one sketch agg over just those groups' rows, replacing
+        (not unioning) the stored sketches. Cost is proportional to the
+        touched groups' base rows — untouched groups' sketch bytes are
+        not recomputed (property-pinned in tests).
+
         ``row_keys``: the base table's row identity (its merge keys) —
         the CDF contract requires key-uniqueness over the window.
         Returns the number of change rows folded (the delta-cost
@@ -157,12 +168,6 @@ class MaterializedRollup:
         base size)."""
         from ..operators.changelog import table_changes
 
-        if self.approx_distinct_cols:
-            raise ValueError(
-                "refresh_cdf cannot maintain approx-distinct sketch columns: "
-                "an HLL sketch is not retractable (a delete cannot be "
-                "subtracted) — rebuild(), or drop the sketch columns"
-            )
         last = self.last_base_version()
         cur = self.base.current_version()
         if last == 0:
@@ -194,6 +199,31 @@ class MaterializedRollup:
         update = {"n_rows": "t.n_rows + s.n_rows"} | {
             f"sum_{c}": f"t.sum_{c} + s.sum_{c}" for c in self.sum_cols
         }
+        if self.approx_distinct_cols:
+            # group-scoped sketch rebuild: re-sketch ONLY the groups the
+            # window touched, from the CURRENT base (change rows name
+            # every touched group — including both sides of a
+            # cross-group move, via the pre- and post-images). The
+            # semi-join bounds the scan to touched groups' rows; the
+            # merge REPLACES the stored sketch (left join: a group
+            # emptied by the window has no base rows → NULL sketch on a
+            # row the delete condition removes anyway).
+            touched = ch.select(*self.group_cols).distinct()
+            sketches = (
+                self.base.read()
+                .join(touched, self.group_cols, "left_semi")
+                .groupBy(*self.group_cols)
+                .agg(
+                    *[
+                        F.expr(f"hll_sketch_agg({c})").alias(f"hll_{c}")
+                        for c in self.approx_distinct_cols
+                    ]
+                )
+            )
+            part = part.join(sketches, self.group_cols, "left")
+            update |= {
+                f"hll_{c}": f"s.hll_{c}" for c in self.approx_distinct_cols
+            }
         self.table.merge(
             part,
             on=self.group_cols,

@@ -1056,12 +1056,13 @@ def test_rollup_cdf_refresh_handles_updates_deletes_and_group_moves(
     assert r.refresh_cdf(["id"]) == 0
 
 
-def test_rollup_sketch_columns_merge_and_guard(spark, tmp_path):
-    """HLL sketch columns union across refreshes (estimate equals the
-    exact distinct at toy scale) and refresh_cdf refuses them — a
-    sketch cannot retract a delete."""
-    import pytest as _pytest
-
+def test_rollup_sketch_columns_merge_and_cdf_group_scoped(spark, tmp_path):
+    """HLL sketch columns union across append refreshes (estimate equals
+    the exact distinct at toy scale); refresh_cdf maintains them
+    GROUP-SCOPED (r7): an update window touching only one group
+    re-sketches that group from the base — retracting a distinct value
+    a union could never retract — while the untouched group's stored
+    sketch bytes stay identical."""
     from iceberg_evaluation_spark.tables.rollup import MaterializedRollup
 
     base = SnapshotTable(spark, str(tmp_path / "b"))
@@ -1089,8 +1090,48 @@ def test_rollup_sketch_columns_merge_and_guard(spark, tmp_path):
     }
     # g0 saw even u in 0..9 (5 values) + all of 10..19; g1 odd u only
     assert got == {"g0": 15, "g1": 5}  # exact at this cardinality
-    with _pytest.raises(ValueError, match="not retractable"):
-        r.refresh_cdf(["id"])
+
+    # update-heavy window touching ONLY g0: id=100 (g0's sole holder of
+    # u=10) moves to an existing value — g0's distinct count RETRACTS
+    # from 15 to 14, which a sketch union cannot express
+    sketch_before = {
+        row["grp"]: bytes(row["hll_u"]) for row in r.table.read().collect()
+    }
+    base.merge(
+        spark.createDataFrame(
+            [(100, "g0", 11)], "id bigint, grp string, u bigint"
+        ),
+        on=["id"],
+        clause=MergeClause(matched_update={"u": "s.u"}),
+    )
+    n = r.refresh_cdf(["id"])
+    assert n == 2  # one update = pre + post images
+    got = {
+        row["grp"]: row["approx_distinct_u"] for row in r.read().collect()
+    }
+    assert got == {"g0": 14, "g1": 5}
+    sketch_after = {
+        row["grp"]: bytes(row["hll_u"]) for row in r.table.read().collect()
+    }
+    # untouched group's sketch was not recomputed (byte-identical)
+    assert sketch_after["g1"] == sketch_before["g1"]
+    assert sketch_after["g0"] != sketch_before["g0"]
+
+    # counts/sums stay retract/apply-consistent alongside: whole rollup
+    # equals a from-scratch rebuild
+    r2 = MaterializedRollup(
+        spark, str(tmp_path / "r2"), base, ["grp"], [],
+        approx_distinct_cols=["u"],
+    )
+    r2.rebuild()
+    exp = {
+        (row["grp"], row["n_rows"], row["approx_distinct_u"])
+        for row in r2.read().collect()
+    }
+    assert {
+        (row["grp"], row["n_rows"], row["approx_distinct_u"])
+        for row in r.read().collect()
+    } == exp
 
 
 def test_tags_pin_read_and_survive_expiry(spark, tmp_path):
@@ -1176,3 +1217,92 @@ def test_refresh_cdf_noop_window_commits_nothing(spark, tmp_path):
     assert r.refresh_cdf(["id"]) == 0
     assert r.table.current_version() == rv  # no junk snapshot
     assert r.last_base_version() == t.current_version()  # checkpoint moved
+
+
+def test_rollup_sketch_cdf_random_waves_recompute_only_touched_groups(
+    spark, tmp_path
+):
+    """Property (r7 verdict #4): over randomized update-heavy waves
+    (value updates, cross-group moves, deletes, inserts; COW and MOR),
+    refresh_cdf keeps counts/sums retract/apply-exact AND sketch
+    estimates rebuild-identical, while recomputing sketches for EXACTLY
+    the groups each window touched — every untouched group's stored
+    sketch bytes are identical before and after the refresh."""
+    import random
+
+    from iceberg_evaluation_spark.tables.rollup import MaterializedRollup
+
+    rnd = random.Random(7)
+    groups = ["a", "b", "c", "d"]
+    model = {
+        i: (groups[i % 4], i % 6) for i in range(24)
+    }  # id -> (grp, u)
+    base = SnapshotTable(spark, str(tmp_path / "base"))
+    base.create_or_replace(
+        spark.createDataFrame(
+            [(k, g, u) for k, (g, u) in model.items()],
+            "id bigint, grp string, u bigint",
+        )
+    )
+    r = MaterializedRollup(
+        spark, str(tmp_path / "roll"), base, ["grp"], [],
+        approx_distinct_cols=["u"],
+    )
+    r.rebuild()
+    next_id = 100
+    for wave in range(4):
+        live = sorted(model)
+        upd = rnd.sample(live, k=3)
+        dele = rnd.sample([k for k in live if k not in upd], k=1)
+        ins = [next_id]
+        next_id += 1
+        rows = (
+            [(k, rnd.choice(groups), rnd.randrange(12)) for k in upd]
+            + [(k, model[k][0], -1) for k in dele]
+            + [(k, rnd.choice(groups), rnd.randrange(12)) for k in ins]
+        )
+        before = {
+            row["grp"]: bytes(row["hll_u"])
+            for row in r.table.read().collect()
+        }
+        src = spark.createDataFrame(rows, "id bigint, grp string, u bigint")
+        base.merge(
+            src, on=["id"],
+            clause=MergeClause(
+                matched_delete_condition="s.v = -1".replace("v", "u"),
+                matched_update={"grp": "s.grp", "u": "s.u"},
+            ),
+            mode=rnd.choice(["copy-on-write", "merge-on-read"]),
+        )
+        touched = set()
+        for k, g, u in rows:
+            if u == -1:
+                touched.add(model[k][0])
+                del model[k]
+                continue
+            if k in model and model[k] != (g, u):
+                touched.add(model[k][0])  # pre-image group
+                touched.add(g)
+            elif k not in model:
+                touched.add(g)
+            model[k] = (g, u)
+        r.refresh_cdf(["id"])
+        after = {
+            row["grp"]: bytes(row["hll_u"])
+            for row in r.table.read().collect()
+        }
+        for g in before:
+            if g not in touched and g in after:
+                assert after[g] == before[g], (
+                    f"wave {wave}: untouched group {g!r} was re-sketched"
+                )
+        # full-state equality with a from-scratch rebuild
+        rb = MaterializedRollup(
+            spark, str(tmp_path / f"rb{wave}"), base, ["grp"], [],
+            approx_distinct_cols=["u"],
+        )
+        rb.rebuild()
+        key = lambda row: (row["grp"], row["n_rows"], row["approx_distinct_u"])
+        assert {key(x) for x in r.read().collect()} == {
+            key(x) for x in rb.read().collect()
+        }, f"wave {wave}"
