@@ -1777,3 +1777,108 @@ def q124_sketch_rollup_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(n_noop).cast("bigint").alias("noop_refresh_rows"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q125: WAP MAINTENANCE GAUNTLET — branches composed with the REST of
+#       the table layer (r6 verdict #6): fork an audit branch off a
+#       TAGGED release version, run maintenance on main while the
+#       branch is open (compact + expire_snapshots + orphan GC), and
+#       verify the composition invariants: (a) branch reads are STABLE
+#       under main's maintenance (cross-timeline refs are GC roots, the
+#       tag pins the fork version through expiry), (b) fast_forward
+#       REFUSES the now-diverged main (compaction advanced it — the
+#       Iceberg publish-conflict case), (c) the abandoned branch's
+#       staged files become collectable orphans only after drop_branch,
+#       and (d) a re-branch from current main publishes cleanly. All
+#       row/sum arithmetic replays over nation in SQL; the zero GC
+#       receipts ARE the claim (maintenance could not break any ref).
+# ---------------------------------------------------------------------------
+@register(
+    "q125_wap_maintenance_gauntlet",
+    covers="table-layer S5 S7 S9 S10 M8 M9 A2 P5",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS base_rows,
+       CAST(2 * count(*) AS BIGINT) AS branch_rows_after_maintenance,
+       CAST(2 * sum(n_regionkey) + 100 * count(*) AS BIGINT)
+         AS branch_sum_after_maintenance,
+       CAST(0 AS BIGINT) AS maintenance_expired_files,
+       CAST(0 AS BIGINT) AS maintenance_gc_removed,
+       TRUE AS diverged_publish_refused,
+       TRUE AS orphans_collected_after_drop,
+       CAST(count(*) AS BIGINT) AS tag_rows_after_all,
+       CAST(sum(n_regionkey) AS BIGINT) AS tag_sum_after_all,
+       CAST(2 * count(*) AS BIGINT) AS republished_rows,
+       CAST(2 * sum(n_regionkey) + 100 * count(*) AS BIGINT)
+         AS republished_sum
+FROM nation
+""",
+)
+def q125_wap_maintenance_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables.snapshot_table import ConcurrentCommitError, SnapshotTable
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    staged = nation.select(
+        (F.col("n_nationkey") + 1000).alias("n_nationkey"),
+        "n_name",
+        (F.col("n_regionkey") + 100).alias("n_regionkey"),
+    )
+
+    t = SnapshotTable(spark, scratch_dir(prefix="q125_"))
+    t.create_or_replace(nation)                                      # v1
+    base_rows = t.read().count()
+    t.create_tag("rel-1")                                            # pins v1
+    br1 = t.create_branch("audit1")
+    br1.append(staged)                                               # branch v2
+
+    # maintenance on MAIN while the branch is open
+    t.compact(target_files=1)                                        # main v2
+    import time as _time
+
+    future = int((_time.time() + 60) * 1000)
+    expired = t.expire_snapshots(keep_last=1)   # tag keeps v1 → 0 files
+    gc0 = t.remove_orphan_files(older_than_ms=future)  # all refs live → 0
+
+    # branch reads stable under the maintenance above
+    branch_rows = br1.read().count()
+    branch_sum = br1.read().agg(F.sum("n_regionkey")).collect()[0][0]
+
+    # publish conflict: main advanced past the fork (compaction commit)
+    try:
+        t.fast_forward("audit1")
+        refused = False
+    except ConcurrentCommitError:
+        refused = True
+
+    # abandoning the branch releases its staged files to the next sweep
+    t.drop_branch("audit1")
+    gc1 = t.remove_orphan_files(older_than_ms=future)
+
+    # rebase: re-branch from CURRENT main, restage, publish cleanly
+    br2 = t.create_branch("audit2")
+    br2.append(staged)
+    t.fast_forward("audit2")
+    republished_rows = t.read().count()
+    republished_sum = t.read().agg(F.sum("n_regionkey")).collect()[0][0]
+    tag_rows = t.read_tag("rel-1").count()
+    tag_sum = t.read_tag("rel-1").agg(F.sum("n_regionkey")).collect()[0][0]
+
+    return nation.agg(
+        F.lit(base_rows).cast("bigint").alias("base_rows"),
+        F.lit(branch_rows).cast("bigint").alias(
+            "branch_rows_after_maintenance"
+        ),
+        F.lit(branch_sum).cast("bigint").alias(
+            "branch_sum_after_maintenance"
+        ),
+        F.lit(expired).cast("bigint").alias("maintenance_expired_files"),
+        F.lit(gc0).cast("bigint").alias("maintenance_gc_removed"),
+        F.lit(refused).alias("diverged_publish_refused"),
+        F.lit(gc1 > 0).alias("orphans_collected_after_drop"),
+        F.lit(tag_rows).cast("bigint").alias("tag_rows_after_all"),
+        F.lit(tag_sum).cast("bigint").alias("tag_sum_after_all"),
+        F.lit(republished_rows).cast("bigint").alias("republished_rows"),
+        F.lit(republished_sum).cast("bigint").alias("republished_sum"),
+    )

@@ -212,3 +212,122 @@ def test_unpublish_links_spares_adopted_versions(spark, tmp_path):
     assert t.current_version() == 2
     assert sorted(r["id"] for r in t.read().collect()) == [1, 2, 3]
     assert not os.path.exists(t._version_file() + ".lock")
+
+
+def test_publish_refusal_property_over_random_interleavings(spark, tmp_path):
+    """Property (r6 verdict #6): across random interleavings of branch
+    staging and main commits, fast_forward succeeds iff main made NO
+    commit since the fork; a refusal leaves both timelines intact and a
+    re-branch from current main always publishes cleanly."""
+    import random
+
+    rnd = random.Random(9)
+    for trial in range(6):
+        t = SnapshotTable(spark, str(tmp_path / f"t{trial}"))
+        t.create_or_replace(
+            spark.createDataFrame([(1, 10), (2, 20)], "id bigint, v bigint")
+        )
+        fork_rows = t.read().count()
+        br = t.create_branch("wap")
+        staged = 0
+        for i in range(rnd.randint(1, 2)):
+            br.append(
+                spark.createDataFrame(
+                    [(100 + trial * 10 + i, 1)], "id bigint, v bigint"
+                )
+            )
+            staged += 1
+        n_main = rnd.randint(0, 2)
+        for i in range(n_main):
+            t.append(
+                spark.createDataFrame(
+                    [(500 + trial * 10 + i, 2)], "id bigint, v bigint"
+                )
+            )
+        if n_main == 0:
+            head = t.fast_forward("wap")
+            assert head == br.current_version()
+            assert t.read().count() == fork_rows + staged
+        else:
+            with pytest.raises(ConcurrentCommitError, match="re-branch"):
+                t.fast_forward("wap")
+            # both timelines intact after the refusal
+            assert t.read().count() == fork_rows + n_main
+            assert br.read().count() == fork_rows + staged
+            # rebase from CURRENT main always publishes
+            br2 = t.create_branch("wap2")
+            br2.append(
+                spark.createDataFrame(
+                    [(900 + trial, 3)], "id bigint, v bigint"
+                )
+            )
+            t.fast_forward("wap2")
+            assert t.read().count() == fork_rows + n_main + 1
+
+
+def test_tag_aware_expiry_property_over_random_histories(spark, tmp_path):
+    """Property (r6 verdict #8): across random interleavings of appends,
+    create_tag/drop_tag, expire_snapshots, and remove_orphan_files —
+    tagged versions NEVER expire (their reads stay exact however old),
+    orphan GC never touches tag-reachable files, and dropping the tag
+    releases the version at the next expiry. Red under a mutation that
+    ignores tags as GC roots."""
+    import random
+    import time
+
+    rnd = random.Random(31)
+    t = SnapshotTable(spark, str(tmp_path / "hist"))
+    t.create_or_replace(spark.createDataFrame([(0, 0)], "id bigint, v bigint"))
+    expected = {1: 1}          # version -> row count at that version
+    tags: dict[str, int] = {}  # live tags -> version
+    rows = 1
+    next_id = 1
+    t.create_tag("t1")         # guarantee an OLD tagged version exists
+    tags["t1"] = 1
+    future = lambda: int((time.time() + 60) * 1000)
+
+    for step in range(12):
+        op = rnd.choice(["append", "append", "tag", "drop_tag", "expire", "gc"])
+        if op == "append":
+            n = rnd.randint(1, 2)
+            t.append(
+                spark.createDataFrame(
+                    [(next_id + i, step) for i in range(n)],
+                    "id bigint, v bigint",
+                )
+            )
+            next_id += n
+            rows += n
+            expected[t.current_version()] = rows
+        elif op == "tag":
+            name = f"t{t.current_version()}"
+            if name not in tags:
+                tags[name] = t.create_tag(name)
+        elif op == "drop_tag" and len(tags) > 1:  # keep t1 as the old root
+            name = rnd.choice(sorted(set(tags) - {"t1"}))
+            t.drop_tag(name)
+            del tags[name]
+        elif op == "expire":
+            t.expire_snapshots(keep_last=rnd.randint(1, 2))
+        elif op == "gc":
+            t.remove_orphan_files(older_than_ms=future())
+        # invariants after EVERY step: current + every tagged version read
+        assert t.read().count() == rows, f"step {step} ({op})"
+        for name, v in tags.items():
+            assert t.read(version=v).count() == expected[v], (
+                f"step {step} ({op}): tagged {name}=v{v} lost rows"
+            )
+            assert t.read_tag(name).count() == expected[v]
+
+    # the old tagged version survived everything; dropping the tag
+    # releases it at the next expiry
+    assert t.read_tag("t1").count() == expected[1]
+    t.drop_tag("t1")
+    t.expire_snapshots(keep_last=1)
+    t.remove_orphan_files(older_than_ms=future())
+    import os as _os
+
+    live = [s["version"] for s in t._snapshots()]
+    assert 1 not in live or t.current_version() == 1
+    assert t.read().count() == rows  # head unaffected
+    assert not _os.path.exists(t._version_file() + ".lock")
