@@ -82,6 +82,23 @@ def main() -> None:
     total = round(sum(queries.values()), 3)
     verify_total = round(sum(v["verify_s"] for v in verify_split.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Provenance (r6 verdict #2): BENCH_DETAIL is written by BOTH the
+    # driver's per-round snapshot and builder refreshes, at whatever sf
+    # the environment selected — two rounds of round-over-round analysis
+    # compared an sf0.001 artifact against sf0.1 runs because nothing
+    # labeled the invocation. Every artifact now records who/where/when;
+    # comparisons must be sf-matched (rule stated in BENCH_NOTES.md).
+    import datetime as _dt
+
+    invocation = {
+        "label": os.environ.get("SPARK_GRAFT_INVOCATION", "default"),
+        "sf_dir": sf_dir,
+        "iters": iters,
+        "threads": threads,
+        "utc": _dt.datetime.now(_dt.timezone.utc).isoformat(
+            timespec="seconds"
+        ),
+    }
     detail = {
         "metric": "corpus_total_wall",
         "value": total,
@@ -91,6 +108,7 @@ def main() -> None:
         "iterations": iters,
         "runs": runs,
         "sf": sf,
+        "invocation": invocation,
         # operator-only view: total with verification harness cost removed
         "verify_split": verify_split,
         "operator_total": round(total - verify_total, 3),
