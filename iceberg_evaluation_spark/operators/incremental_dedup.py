@@ -151,22 +151,44 @@ class DedupState:
     append_drops: int = 0
     # bloom words cached per fingerprint-table version: a streaming
     # ingest (q106) probes the SAME standing filter every micro-batch;
-    # rebuilding the distributed bit-OR per batch is pure waste. The
-    # cache invalidates itself when an append advances the version.
-    _bloom_cache: tuple[int, list[int]] | None = None
+    # rebuilding the distributed bit-OR per batch is pure waste. When
+    # appends advance the version, the cache updates INCREMENTALLY —
+    # bits are only ever added, so OR-ing the appended rows' words into
+    # the cached words equals a full rebuild (r7 probe finding: the
+    # per-version full rebuild was an O(corpus) stage per delta — the
+    # same bug class as the partner scan, one level up).
+    _bloom_cache: tuple[int, tuple[int, int], list[int]] | None = None
 
     def bloom_words(self, num_bits: int, num_hashes: int) -> list[int]:
         from .bloom_dedup import build_bloom_words
 
         v = self.fingerprints.current_version()
-        if self._bloom_cache is None or self._bloom_cache[0] != v:
-            self._bloom_cache = (
-                v,
-                build_bloom_words(
-                    self.fingerprints.read(), "fp", num_bits, num_hashes
-                ),
-            )
-        return self._bloom_cache[1]
+        key = (num_bits, num_hashes)
+        if self._bloom_cache is not None:
+            v0, k0, words = self._bloom_cache
+            if k0 == key:
+                if v0 == v:
+                    return words
+                if v0 < v:
+                    try:
+                        delta = self.fingerprints.read_incremental(v0, v)
+                    except ValueError:
+                        delta = None  # overwrite-class window: rebuild
+                    if delta is not None:
+                        new = build_bloom_words(
+                            delta, "fp", num_bits, num_hashes
+                        )
+                        words = [a | b for a, b in zip(words, new)]
+                        self._bloom_cache = (v, key, words)
+                        return words
+        self._bloom_cache = (
+            v,
+            key,
+            build_bloom_words(
+                self.fingerprints.read(), "fp", num_bits, num_hashes
+            ),
+        )
+        return self._bloom_cache[2]
 
 
 def build_dedup_state(
