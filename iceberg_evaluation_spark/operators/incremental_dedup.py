@@ -31,9 +31,14 @@ delta deduplicates against corpus + all prior deltas with no rebuild —
 the artifact is the accumulating state.
 
 Scale shape: band-table join keys on (band, bucket) — high cardinality,
-uniform by construction (xxhash64 buckets); the corpus side is
-16 rows/doc, linear. No all-pairs stage anywhere; candidate volume is
-bounded by the bucket cap, which is applied at BUILD time and
+uniform by construction (xxhash64 buckets); the index side is
+16 rows/doc. With ``index_partitions`` set at build, the index is laid
+out hash-partitioned on those keys and every delta's index read
+FILE-PRUNES to the partitions the delta's own band keys hash into — at
+100 TB that turns the per-delta index read from O(corpus × 16) into
+O(delta's touched partitions), the same metadata-pruning move as the
+BucketedLookup partner fetch. No all-pairs stage anywhere; candidate
+volume is bounded by the bucket cap, which is applied at BUILD time and
 RE-APPLIED to every append against standing bucket occupancy (so a hot
 bucket cannot grow without bound across many deltas).
 """
@@ -54,6 +59,8 @@ __all__ = [
     "SemanticState",
     "build_dedup_state",
     "build_semantic_state",
+    "open_dedup_state",
+    "open_semantic_state",
     "incremental_neardup_dedup",
     "incremental_semantic_dedup",
 ]
@@ -107,6 +114,52 @@ def _require_lookup_covers(cand: DataFrame, lookup_ids: DataFrame, op: str) -> N
         )
 
 
+# Derived hash-partition column for PARTITIONED band indexes: the index
+# is laid out identity-partitioned on pmod(xxhash64(keys...), m), and a
+# delta's probe reads ONLY the partitions its own band keys hash into —
+# the partner-fetch file-pruning trick applied to the index itself. At
+# toy scale a delta touches most partitions (no win, no loss); at 100 TB
+# with m sized like Iceberg partitions, the per-delta index read drops
+# from O(corpus × 16 rows/doc) to O(delta's touched partitions).
+_INDEX_PCOL = "_pband"
+
+
+def _pband_expr(keys: list[str], m: int):
+    return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(m))
+
+
+def _read_index_for(
+    table: SnapshotTable,
+    probe: DataFrame,
+    keys: list[str],
+    m: int | None,
+) -> DataFrame:
+    """Index rows that could match the probe's key set: the full table
+    when unpartitioned, a file-pruned read of the probe's touched hash
+    partitions otherwise (the distinct-partition collect is bounded by
+    ``m``, never data-sized)."""
+    if m is None:
+        return table.read()
+    vals = sorted(
+        r["p"]
+        for r in probe.select(_pband_expr(keys, m).alias("p"))
+        .distinct()
+        .collect()
+    )
+    if not vals:
+        return table.read().limit(0).drop(_INDEX_PCOL)
+    return table.read_where([(_INDEX_PCOL, "in", vals)]).drop(_INDEX_PCOL)
+
+
+def _append_index(
+    table: SnapshotTable, rows: DataFrame, keys: list[str], m: int | None
+) -> None:
+    if m is None:
+        table.append(rows)
+    else:
+        table.append(rows.withColumn(_INDEX_PCOL, _pband_expr(keys, m)))
+
+
 def _capped_append_rows(
     existing: DataFrame, new_rows: DataFrame, keys: list[str], max_bucket: int
 ) -> DataFrame:
@@ -136,12 +189,26 @@ def _capped_append_rows(
 
 @dataclass
 class DedupState:
-    """The persisted dedup artifacts plus build-time diagnostics."""
+    """The persisted dedup artifacts plus build-time diagnostics.
+
+    The signature GEOMETRY (shingle_n, max_bucket) travels with the
+    state — persisted to ``DEDUP_META`` at the band root by
+    ``build_dedup_state`` and restored by ``open_dedup_state``, so a
+    restarted pipeline (tomorrow's run, a new driver) probes the index
+    with exactly the signature it was built with. A mismatched
+    shingle_n would silently classify every near-dup as 'new' (delta
+    signatures land in different buckets than the index's) — the r5
+    SemanticState lesson, applied across sessions."""
 
     fingerprints: SnapshotTable  # (id, fp) — raw-text md5
     bands: SnapshotTable         # (id, band, bucket) — capped LSH index
     capped_drops: int            # band rows dropped by the BUILD-time cap
     max_bucket: int = 200        # build-time cap, re-applied to appends
+    shingle_n: int = 3           # word-shingle width the index was built with
+    # when set, the band index is identity-partitioned on
+    # pmod(xxhash64(band, bucket), index_partitions) and every delta's
+    # index read file-prunes to its touched partitions (see _read_index_for)
+    index_partitions: int | None = None
     # band rows the cap dropped at APPEND time, accumulated across every
     # delta folded into this state (ADVICE r5: recall loss from capped
     # appends was invisible — build_dedup_state reports capped_drops but
@@ -201,6 +268,7 @@ def build_dedup_state(
     *,
     max_bucket: int = 200,
     shingle_n: int = 3,
+    index_partitions: int | None = None,
 ) -> DedupState:
     """Run-1: fingerprint the corpus once and persist the artifacts.
 
@@ -209,6 +277,11 @@ def build_dedup_state(
     so every later delta pays it for free. ``capped_drops`` reports how
     many band rows the cap removed; callers whose exactness story needs
     the cap to be a no-op (planted-invariant oracles) can assert it is 0.
+
+    ``index_partitions`` lays the band index out hash-partitioned on
+    (band, bucket) so later deltas' index reads file-prune to their
+    touched partitions — size it like Iceberg partitions (a few hundred
+    MB of index per partition). Results are identical either way.
     """
     fp = corpus.select(
         F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("fp")
@@ -230,12 +303,67 @@ def build_dedup_state(
         .drop("_rn")
     )
     band_table = SnapshotTable(spark, band_root)
-    band_table.create_or_replace(capped)
+    if index_partitions is None:
+        band_table.create_or_replace(capped)
+    else:
+        band_table.create_or_replace(
+            capped.withColumn(
+                _INDEX_PCOL, _pband_expr(["band", "bucket"], index_partitions)
+            ),
+            partition_by=[_INDEX_PCOL],
+        )
     n_banded = banded.count()
     n_kept = band_table.read().count()
+    _write_state_meta(
+        band_table.root,
+        {
+            "max_bucket": max_bucket,
+            "shingle_n": shingle_n,
+            "index_partitions": index_partitions,
+        },
+    )
     return DedupState(
         fingerprints=fp_table, bands=band_table,
         capped_drops=n_banded - n_kept, max_bucket=max_bucket,
+        shingle_n=shingle_n, index_partitions=index_partitions,
+    )
+
+
+def _write_state_meta(root: str, meta: dict) -> None:
+    import json
+    import os
+
+    tmp = os.path.join(root, "DEDUP_META.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(root, "DEDUP_META"))
+
+
+def _read_state_meta(root: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(os.path.abspath(root), "DEDUP_META")) as f:
+        return json.load(f)
+
+
+def open_dedup_state(
+    spark: SparkSession, fp_root: str, band_root: str
+) -> DedupState:
+    """Re-open persisted artifacts in a NEW session (the daily-pipeline
+    restart): the signature geometry comes from the state's own
+    metadata, never from caller arguments. ``capped_drops`` /
+    ``append_drops`` are per-session observability counters and restart
+    at 0 — the artifacts themselves are the durable state."""
+    meta = _read_state_meta(band_root)
+    ip = meta.get("index_partitions")
+    return DedupState(
+        fingerprints=SnapshotTable(spark, fp_root),
+        bands=SnapshotTable(spark, band_root),
+        capped_drops=0,
+        max_bucket=int(meta["max_bucket"]),
+        shingle_n=int(meta["shingle_n"]),
+        index_partitions=None if ip is None else int(ip),
     )
 
 
@@ -247,7 +375,7 @@ def incremental_neardup_dedup(
     text_col: str,
     *,
     threshold: float = 0.7,
-    shingle_n: int = 3,
+    shingle_n: int | None = None,
     append_new: bool = True,
     check_lookup: bool = True,
 ) -> DataFrame:
@@ -282,7 +410,21 @@ def incremental_neardup_dedup(
     - ``new``: kept; with ``append_new`` its fingerprint and band rows
       are appended to the artifacts so the NEXT delta dedups against
       corpus + this delta without any rebuild.
+
+    ``shingle_n`` defaults to the STATE's build-time geometry; passing
+    a different value raises — a mismatched shingle width would probe
+    the index with incompatible signatures and silently classify every
+    near-dup as 'new'.
     """
+    if shingle_n is None:
+        shingle_n = state.shingle_n
+    elif shingle_n != state.shingle_n:
+        raise ValueError(
+            f"shingle_n={shingle_n} does not match the index's build-time "
+            f"geometry ({state.shingle_n}); delta signatures would land in "
+            "different buckets than the index's — rebuild the state or drop "
+            "the argument"
+        )
     spark = delta.sparkSession
     d = delta.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
 
@@ -298,10 +440,15 @@ def incremental_neardup_dedup(
     sh_delta = _shingle_frame(not_exact, "id", "text", shingle_n).localCheckpoint(
         eager=False
     )
-    delta_bands = _band_frame(sh_delta)
+    delta_bands = _band_frame(sh_delta).localCheckpoint(eager=False)
+    # index read file-pruned to the delta's touched hash partitions when
+    # the index was built partitioned (full read otherwise)
+    index = _read_index_for(
+        state.bands, delta_bands, ["band", "bucket"], state.index_partitions
+    )
     cand = (
         delta_bands.join(
-            state.bands.read().withColumnRenamed("id", "corpus_id"),
+            index.withColumnRenamed("id", "corpus_id"),
             ["band", "bucket"],
         )
         .select(F.col("_id").alias("id"), "corpus_id")
@@ -369,11 +516,19 @@ def incremental_neardup_dedup(
             new_bands = _band_frame(sh_new).select(
                 F.col("_id").alias("id"), "band", "bucket"
             ).localCheckpoint(eager=False)
+            # occupancy only needs the buckets the append touches — the
+            # same pruned read as the probe
             kept = _capped_append_rows(
-                state.bands.read(), new_bands,
+                _read_index_for(
+                    state.bands, new_bands, ["band", "bucket"],
+                    state.index_partitions,
+                ),
+                new_bands,
                 ["band", "bucket"], state.max_bucket,
             ).localCheckpoint(eager=False)
-            state.bands.append(kept)
+            _append_index(
+                state.bands, kept, ["band", "bucket"], state.index_partitions
+            )
             # delta-sized counts (the frames are already materialized by
             # the checkpoint feeding the write) — keeps append-time recall
             # loss observable instead of silent
@@ -404,6 +559,8 @@ class SemanticState:
     max_bucket: int           # build-time cap, re-applied to appends
     srp_params: dict          # srp_chunks kwargs the index was built with
     append_drops: int = 0     # band rows dropped by append-time capping
+    # hash-partitioned index layout, as in DedupState.index_partitions
+    index_partitions: int | None = None
 
 
 def build_semantic_state(
@@ -414,6 +571,7 @@ def build_semantic_state(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket: int = 200,
+    index_partitions: int | None = None,
     **srp_kwargs,
 ) -> SemanticState:
     """Persist the corpus's SRP band signature (id, chunk, cval) once.
@@ -434,9 +592,41 @@ def build_semantic_state(
         .select(F.col("_id").alias("id"), "chunk", "cval")
     )
     table = SnapshotTable(spark, band_root)
-    table.create_or_replace(capped)
+    if index_partitions is None:
+        table.create_or_replace(capped)
+    else:
+        table.create_or_replace(
+            capped.withColumn(
+                _INDEX_PCOL, _pband_expr(["chunk", "cval"], index_partitions)
+            ),
+            partition_by=[_INDEX_PCOL],
+        )
+    _write_state_meta(
+        table.root,
+        {
+            "max_bucket": max_bucket,
+            "srp_params": dict(srp_kwargs),
+            "index_partitions": index_partitions,
+        },
+    )
     return SemanticState(
-        bands=table, max_bucket=max_bucket, srp_params=dict(srp_kwargs)
+        bands=table, max_bucket=max_bucket, srp_params=dict(srp_kwargs),
+        index_partitions=index_partitions,
+    )
+
+
+def open_semantic_state(spark: SparkSession, band_root: str) -> SemanticState:
+    """Re-open a persisted SRP band index in a NEW session: the cap and
+    SRP geometry come from the state's own metadata (``DEDUP_META`` at
+    the band root) — a restarted pipeline cannot probe with a
+    mismatched signature (the r5 lesson, made durable)."""
+    meta = _read_state_meta(band_root)
+    ip = meta.get("index_partitions")
+    return SemanticState(
+        bands=SnapshotTable(spark, band_root),
+        max_bucket=int(meta["max_bucket"]),
+        srp_params=dict(meta["srp_params"]),
+        index_partitions=None if ip is None else int(ip),
     )
 
 
@@ -476,11 +666,12 @@ def incremental_semantic_dedup(
     delta_chunks = srp_chunks(
         d, id_col="id", vec_col="vec", **state.srp_params
     ).localCheckpoint(eager=False)
+    index = _read_index_for(
+        state.bands, delta_chunks, ["chunk", "cval"], state.index_partitions
+    )
     cand = (
         delta_chunks.join(
-            state.bands.read().select(
-                F.col("id").alias("corpus_id"), "chunk", "cval"
-            ),
+            index.select(F.col("id").alias("corpus_id"), "chunk", "cval"),
             ["chunk", "cval"],
         )
         .select(F.col("_id").alias("id"), "corpus_id")
@@ -532,10 +723,16 @@ def incremental_semantic_dedup(
                 F.col("_id").alias("id"), "chunk", "cval"
             ).localCheckpoint(eager=False)
             kept = _capped_append_rows(
-                state.bands.read(), new_chunks, ["chunk", "cval"],
+                _read_index_for(
+                    state.bands, new_chunks, ["chunk", "cval"],
+                    state.index_partitions,
+                ),
+                new_chunks, ["chunk", "cval"],
                 state.max_bucket,
             ).localCheckpoint(eager=False)
-            state.bands.append(kept)
+            _append_index(
+                state.bands, kept, ["chunk", "cval"], state.index_partitions
+            )
             state.append_drops += new_chunks.count() - kept.count()
     return dup.select("id", F.lit("dup").alias("status")).unionByName(
         new.select("id", F.lit("new").alias("status"))

@@ -153,7 +153,7 @@ class GatedIngestSession:
         bias: float = -0.05,
         keep_threshold: float = 0.5,
         dedup_threshold: float = 0.7,
-        shingle_n: int = 3,
+        shingle_n: int | None = None,
     ):
         validate_weights(weights, num_buckets)  # once per model version
         self.model_validations = 1
@@ -166,7 +166,10 @@ class GatedIngestSession:
         self.bias = bias
         self.keep_threshold = keep_threshold
         self.dedup_threshold = dedup_threshold
-        self.shingle_n = shingle_n
+        # default to the state's own build-time geometry; an explicit
+        # mismatch fails loudly at the first delta (incremental_neardup_
+        # dedup validates against the state)
+        self.shingle_n = state.shingle_n if shingle_n is None else shingle_n
 
     def update_model(self, weights: DataFrame) -> None:
         """Roll a NEW model version into the standing ingest loop.

@@ -774,6 +774,9 @@ def _q115_session(spark: SparkSession, docs: DataFrame, tag: str):
     state = build_dedup_state(
         spark, corpus.read(), "doc_id", "text",
         scratch_dir(f"q115{tag}_fp_"), scratch_dir(f"q115{tag}_bands_"),
+        # hash-partitioned band index (r7): per-delta index reads
+        # file-prune to the delta's touched partitions
+        index_partitions=32,
     )
     return GatedIngestSession(
         state,

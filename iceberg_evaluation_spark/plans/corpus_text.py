@@ -1562,3 +1562,142 @@ def q117_gated_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q126: DEDUP-STATE RESTART — q104's cross-run story across a SESSION
+#       boundary (r7): run 1 classifies a delta against freshly-built
+#       artifacts and folds the new rows in; then the pipeline
+#       "restarts" — state AND bucketed corpus lookup are REOPENED from
+#       disk alone (open_dedup_state / BucketedLookup.open, geometry
+#       from the persisted DEDUP_META/LOOKUP_META, no build kwargs) —
+#       and run 2 replays the same delta. The run-2 invariant n_new_2=0
+#       pins that the reopened state really is yesterday's accumulated
+#       state; the echoed geometry receipts pin that it came from the
+#       artifacts' own metadata. Dup-vs-new truth is exact raw /
+#       normalized text equality (q104's argument), fully
+#       SQL-derivable.
+# ---------------------------------------------------------------------------
+@register(
+    "q126_dedup_state_restart",
+    covers="dedup-incremental dedup-bloom table-layer S7 J5 J6 A2",
+    oracle=f"""
+WITH delta AS (
+  SELECT doc_id + 2000000 AS doc_id, text
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id, md5(text) AS text
+  FROM documents WHERE doc_id % 10 = 1
+  UNION ALL
+  SELECT doc_id + 4000000 AS doc_id, replace(text, ' ', '  ') AS text
+  FROM documents WHERE doc_id % 10 = 2
+), cls AS (
+  SELECT d.doc_id,
+         {_Q104_EXISTS_RAW} AS is_exact,
+         {_Q104_EXISTS_NORM} AS is_norm
+  FROM delta d
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS corpus_docs,
+       CAST(count(*) AS BIGINT) AS delta_docs,
+       CAST(coalesce(sum(CASE WHEN is_exact THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_exact_dup,
+       CAST(coalesce(sum(CASE WHEN NOT is_exact AND is_norm THEN 1 ELSE 0 END), 0)
+         AS BIGINT) AS n_near_dup,
+       CAST(coalesce(sum(CASE WHEN NOT is_norm THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_new,
+       CAST(coalesce(sum(CASE WHEN is_exact OR NOT is_norm THEN 1 ELSE 0 END), 0)
+         AS BIGINT) AS n_exact_dup_2,
+       CAST(coalesce(sum(CASE WHEN NOT is_exact AND is_norm THEN 1 ELSE 0 END), 0)
+         AS BIGINT) AS n_near_dup_2,
+       CAST(0 AS BIGINT) AS n_new_2,
+       CAST(200 AS BIGINT) AS reopened_max_bucket,
+       CAST(3 AS BIGINT) AS reopened_shingle_n,
+       CAST(64 AS BIGINT) AS reopened_lookup_buckets,
+       CAST(32 AS BIGINT) AS reopened_index_partitions
+FROM cls
+""",
+)
+def q126_dedup_state_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.incremental_dedup import (
+        build_dedup_state,
+        incremental_neardup_dedup,
+        open_dedup_state,
+    )
+    from ..tables.bucketed_lookup import BucketedLookup
+    from ._tmpdirs import scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fp_root = scratch_dir("q126_fp_")
+    band_root = scratch_dir("q126_bands_")
+    lookup_root = scratch_dir("q126_lookup_")
+
+    # --- "yesterday": build, classify, fold --------------------------
+    state1 = build_dedup_state(
+        spark, docs, "doc_id", "text", fp_root, band_root,
+        index_partitions=32,  # r7: hash-partitioned band index — every
+        #                        delta's index read file-prunes to its
+        #                        touched partitions
+    )
+    lookup1 = BucketedLookup.create(
+        spark, docs, lookup_root, "doc_id", "text", n_buckets=64
+    )
+    delta = _q104_delta(docs)
+
+    def counts(res: DataFrame) -> DataFrame:
+        return res.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("status") == "exact_dup", 1)), F.lit(0)
+            ).cast("bigint").alias("exact"),
+            F.coalesce(
+                F.sum(F.when(F.col("status") == "near_dup", 1)), F.lit(0)
+            ).cast("bigint").alias("near"),
+            F.coalesce(
+                F.sum(F.when(F.col("status") == "new", 1)), F.lit(0)
+            ).cast("bigint").alias("new"),
+        )
+
+    r1 = counts(
+        incremental_neardup_dedup(state1, delta, lookup1, "doc_id", "text")
+    ).localCheckpoint()
+    lookup1.append(delta)  # the production corpus-table append
+
+    # --- "today": REOPEN from disk alone, replay the same delta ------
+    state2 = open_dedup_state(spark, fp_root, band_root)
+    lookup2 = BucketedLookup.open(spark, lookup_root)
+    r2 = counts(
+        incremental_neardup_dedup(
+            state2, delta, lookup2, "doc_id", "text", append_new=False
+        )
+    ).localCheckpoint()
+
+    return (
+        docs.agg(F.count(F.lit(1)).cast("bigint").alias("corpus_docs"))
+        .crossJoin(delta.agg(F.count(F.lit(1)).cast("bigint").alias("delta_docs")))
+        .crossJoin(
+            r1.select(
+                F.col("exact").alias("n_exact_dup"),
+                F.col("near").alias("n_near_dup"),
+                F.col("new").alias("n_new"),
+            )
+        )
+        .crossJoin(
+            r2.select(
+                F.col("exact").alias("n_exact_dup_2"),
+                F.col("near").alias("n_near_dup_2"),
+                F.col("new").alias("n_new_2"),
+            )
+        )
+        .withColumn(
+            "reopened_max_bucket", F.lit(state2.max_bucket).cast("bigint")
+        )
+        .withColumn(
+            "reopened_shingle_n", F.lit(state2.shingle_n).cast("bigint")
+        )
+        .withColumn(
+            "reopened_lookup_buckets", F.lit(lookup2.n_buckets).cast("bigint")
+        )
+        .withColumn(
+            "reopened_index_partitions",
+            F.lit(state2.index_partitions).cast("bigint"),
+        )
+    )

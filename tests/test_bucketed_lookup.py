@@ -230,3 +230,204 @@ def test_bloom_cache_updates_incrementally_and_exactly(spark, tmp_path):
     # (num_bits, num_hashes)-keyed cache of another
     w3 = state.bloom_words(1 << 13, 4)
     assert len(w3) != len(w2)
+
+
+def test_dedup_state_reopens_with_persisted_geometry(spark, tmp_path):
+    """r7: the signature geometry is DURABLE state — a restarted
+    pipeline reopens the artifacts and classifies identically without
+    re-passing any build kwargs; an explicit mismatched shingle width
+    raises instead of silently mis-probing the index."""
+    from iceberg_evaluation_spark.operators.incremental_dedup import (
+        open_dedup_state,
+    )
+
+    rows = _corpus_rows()
+    docs = _docs(spark, rows)
+    build_dedup_state(
+        spark, docs, "doc_id", "text",
+        str(tmp_path / "fp"), str(tmp_path / "bands"),
+        max_bucket=123, shingle_n=4,
+    )
+    # "tomorrow's run": reopen from disk alone
+    state = open_dedup_state(
+        spark, str(tmp_path / "fp"), str(tmp_path / "bands")
+    )
+    assert (state.max_bucket, state.shingle_n) == (123, 4)
+    delta = _docs(spark, [(101, rows[0][1]), (102, "novel text entirely")])
+    got = {
+        r["id"]: r["status"]
+        for r in incremental_neardup_dedup(
+            state, delta, docs, "doc_id", "text", append_new=False
+        ).collect()
+    }
+    assert got == {101: "exact_dup", 102: "new"}
+    with pytest.raises(ValueError, match="build-time geometry"):
+        incremental_neardup_dedup(
+            state, delta, docs, "doc_id", "text",
+            shingle_n=3, append_new=False,
+        )
+
+
+def test_semantic_state_reopens_with_persisted_params(spark, tmp_path):
+    from iceberg_evaluation_spark.operators.incremental_dedup import (
+        open_semantic_state,
+    )
+    import random
+
+    def vec(seed):
+        rng = random.Random(seed)
+        v = [rng.uniform(-1, 1) for _ in range(16)]
+        n = sum(x * x for x in v) ** 0.5
+        return [x / n for x in v]
+
+    corpus = spark.createDataFrame(
+        [(i, vec(i)) for i in range(1, 16)],
+        "vec_id bigint, embedding array<double>",
+    )
+    build_semantic_state(
+        spark, corpus, str(tmp_path / "sem"), max_bucket=77,
+    )
+    state = open_semantic_state(spark, str(tmp_path / "sem"))
+    assert state.max_bucket == 77
+    delta = spark.createDataFrame(
+        [(101, vec(5)), (102, vec(5555))],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = {
+        r["id"]: r["status"]
+        for r in incremental_semantic_dedup(
+            state, delta, corpus, append_new=False
+        ).collect()
+    }
+    assert got == {101: "dup", 102: "new"}
+
+
+def test_partitioned_band_index_same_answers_and_pruned_reads(spark, tmp_path):
+    """r7: with index_partitions the band index is hash-partitioned on
+    (band, bucket) and a delta's index read file-prunes to its touched
+    partitions — identical classifications, bounded IO (receipt via
+    pruned_files), geometry restored by open_dedup_state."""
+    from iceberg_evaluation_spark.operators.incremental_dedup import (
+        _INDEX_PCOL,
+        _pband_expr,
+        open_dedup_state,
+    )
+
+    rows = _corpus_rows(60)
+    docs = _docs(spark, rows)
+    delta = _docs(
+        spark,
+        [
+            (101, rows[3][1]),                    # exact dup
+            (102, rows[8][1] + "  extra token"),  # near dup
+            (103, "fresh unseen content with no shared shingles at all"),
+        ],
+    )
+
+    plain_state = build_dedup_state(
+        spark, docs, "doc_id", "text",
+        str(tmp_path / "fp_p"), str(tmp_path / "b_p"),
+    )
+    plain = {
+        r["id"]: r["status"]
+        for r in incremental_neardup_dedup(
+            plain_state, delta, docs, "doc_id", "text"
+        ).collect()
+    }
+
+    part_state = build_dedup_state(
+        spark, docs, "doc_id", "text",
+        str(tmp_path / "fp_q"), str(tmp_path / "b_q"),
+        index_partitions=64,
+    )
+    part = {
+        r["id"]: r["status"]
+        for r in incremental_neardup_dedup(
+            part_state, delta, docs, "doc_id", "text"
+        ).collect()
+    }
+    assert plain == part
+    assert plain[101] == "exact_dup" and plain[103] == "new"
+    # both states accumulated the same band rows for the new doc
+    assert (
+        plain_state.bands.read().count()
+        == part_state.bands.read().select("id", "band", "bucket").count()
+    )
+
+    # IO receipt: a tiny probe (one doc -> 16 band keys) touches a
+    # strict subset of the index's files
+    snap = part_state.bands._read_snapshot(
+        part_state.bands.current_version()
+    )
+    one = _docs(spark, [(7, rows[6][1])])
+    from iceberg_evaluation_spark.operators.dedup import _shingle_frame
+    from iceberg_evaluation_spark.operators.incremental_dedup import _band_frame
+
+    probe = _band_frame(_shingle_frame(one, "doc_id", "text", 3))
+    vals = sorted(
+        r["p"]
+        for r in probe.select(
+            _pband_expr(["band", "bucket"], 64).alias("p")
+        ).distinct().collect()
+    )
+    pruned = part_state.bands.pruned_files([(_INDEX_PCOL, "in", vals)])
+    assert 0 < len(pruned) < len(snap["files"])
+
+    # restart restores the layout geometry from DEDUP_META
+    reopened = open_dedup_state(
+        spark, str(tmp_path / "fp_q"), str(tmp_path / "b_q")
+    )
+    assert reopened.index_partitions == 64
+    again = {
+        r["id"]: r["status"]
+        for r in incremental_neardup_dedup(
+            reopened, delta, docs.unionByName(delta), "doc_id", "text",
+            append_new=False,
+        ).collect()
+    }
+    assert again[103] in ("exact_dup", "near_dup")  # folded by run 1
+
+
+def test_partitioned_semantic_index_same_answers(spark, tmp_path):
+    import random
+
+    from iceberg_evaluation_spark.operators.incremental_dedup import (
+        open_semantic_state,
+    )
+
+    def vec(seed):
+        rng = random.Random(seed)
+        v = [rng.uniform(-1, 1) for _ in range(16)]
+        n = sum(x * x for x in v) ** 0.5
+        return [x / n for x in v]
+
+    corpus = spark.createDataFrame(
+        [(i, vec(i)) for i in range(1, 25)],
+        "vec_id bigint, embedding array<double>",
+    )
+    delta = spark.createDataFrame(
+        [(101, vec(9)), (102, vec(31337))],
+        "vec_id bigint, embedding array<double>",
+    )
+    plain = build_semantic_state(
+        spark, corpus, str(tmp_path / "s_p"), max_bucket=50
+    )
+    part = build_semantic_state(
+        spark, corpus, str(tmp_path / "s_q"), max_bucket=50,
+        index_partitions=16,
+    )
+    a = {
+        r["id"]: r["status"]
+        for r in incremental_semantic_dedup(
+            plain, delta, corpus, append_new=False
+        ).collect()
+    }
+    b = {
+        r["id"]: r["status"]
+        for r in incremental_semantic_dedup(
+            part, delta, corpus, append_new=False
+        ).collect()
+    }
+    assert a == b == {101: "dup", 102: "new"}
+    reopened = open_semantic_state(spark, str(tmp_path / "s_q"))
+    assert reopened.index_partitions == 16

@@ -89,6 +89,7 @@ def run_scale(spark, docs, label: str, n_deltas: int, delta_rows: int,
     state = build_dedup_state(
         spark, lookup.read(), "doc_id", "text",
         os.path.join(work, "fp"), os.path.join(work, "bands"),
+        index_partitions=n_buckets * 4,
     )
     build_s = time.time() - t0
     session = GatedIngestSession(
