@@ -771,12 +771,16 @@ def _q115_session(spark: SparkSession, docs: DataFrame, tag: str):
         spark, docs, scratch_dir(f"q115{tag}_corpus_"),
         "doc_id", "text", n_buckets=16,
     )
+    # the band index stays UNPARTITIONED here by the sizing rule
+    # (BENCH_NOTES "Gated ingest-loop scale probe"): partitioning pays
+    # only when a delta's touched partitions << total partitions, and at
+    # sf-scale a delta's ~16·|delta| band keys touch every partition —
+    # measured +2.5–4 s/delta of pure overhead. q126 carries the
+    # partitioned configuration; the at-scale pruning claim is pinned by
+    # the pruned_files receipt test, not by toy-scale wall clock.
     state = build_dedup_state(
         spark, corpus.read(), "doc_id", "text",
         scratch_dir(f"q115{tag}_fp_"), scratch_dir(f"q115{tag}_bands_"),
-        # hash-partitioned band index (r7): per-delta index reads
-        # file-prune to the delta's touched partitions
-        index_partitions=32,
     )
     return GatedIngestSession(
         state,

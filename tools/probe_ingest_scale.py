@@ -86,10 +86,17 @@ def run_scale(spark, docs, label: str, n_deltas: int, delta_rows: int,
         spark, docs, os.path.join(work, "corpus"), "doc_id", "text",
         n_buckets=n_buckets,
     )
+    # index partitioning follows the sizing rule (BENCH_NOTES): a probe
+    # delta's ~16·|delta| band keys touch EVERY partition at this scale,
+    # so the default measures the unpartitioned index; pass
+    # --index-partitions N to measure the partitioned trade-off
+    ip = None
+    if "--index-partitions" in sys.argv:
+        ip = int(sys.argv[sys.argv.index("--index-partitions") + 1])
     state = build_dedup_state(
         spark, lookup.read(), "doc_id", "text",
         os.path.join(work, "fp"), os.path.join(work, "bands"),
-        index_partitions=n_buckets * 4,
+        index_partitions=ip,
     )
     build_s = time.time() - t0
     session = GatedIngestSession(
