@@ -115,3 +115,40 @@ def test_incremental_dedup_contract(spark, tmp_path_factory, corpus, delta):
         ).collect()
     ]
     assert "new" not in got2, got2
+
+
+def test_bucketed_lookup_fetch_is_complete_for_any_id_set(
+    spark, tmp_path_factory
+):
+    """Property: for ANY candidate-id set, a BucketedLookup fetch
+    returns every stored row whose id is in the set (the bucket
+    superset can include extras, never miss — file pruning is a pure
+    optimization). Randomized over id distributions and bucket counts."""
+    import random
+
+    from iceberg_evaluation_spark.tables.bucketed_lookup import BucketedLookup
+
+    rnd = random.Random(55)
+    base = tmp_path_factory.mktemp("lkprop")
+    for trial, n_buckets in enumerate((1, 3, 8)):
+        ids = rnd.sample(range(-1000, 100000), k=60)
+        df = spark.createDataFrame(
+            [(i, f"payload-{i}") for i in ids], "doc_id bigint, text string"
+        )
+        lk = BucketedLookup.create(
+            spark, df, str(base / f"lk{trial}"), "doc_id", "text",
+            n_buckets=n_buckets,
+        )
+        lk.append(
+            spark.createDataFrame(
+                [(7777777 + trial, "appended")], "doc_id bigint, text string"
+            )
+        )
+        want = set(rnd.sample(ids, k=10)) | {7777777 + trial, -42}  # -42 absent
+        probe = spark.createDataFrame(
+            [(i,) for i in sorted(want)], "doc_id bigint"
+        )
+        fetched = {r["doc_id"] for r in lk.fetch(probe).collect()}
+        stored = set(ids) | {7777777 + trial}
+        assert (want & stored) <= fetched, f"trial {trial} missed ids"
+        assert fetched <= stored  # never invents rows
