@@ -1578,9 +1578,49 @@ def q117_gated_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 #       normalized text equality (q104's argument), fully
 #       SQL-derivable.
 # ---------------------------------------------------------------------------
+# operator-only variant (bench run_s): the production restart shape —
+# REOPEN the persisted state + bucketed lookup from disk and run ONE
+# delta classify against them; the registered query's two state builds
+# and double replay are the verification harness (verify_s).
+_Q126_CACHE: dict = {}
+
+
+def _q126_bare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.incremental_dedup import (
+        build_dedup_state,
+        incremental_neardup_dedup,
+        open_dedup_state,
+    )
+    from ..tables.bucketed_lookup import BucketedLookup
+    from ._tmpdirs import scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    key = (id(spark), sf_dir)
+    roots = _Q126_CACHE.get(key)
+    if roots is None:
+        fp_root = scratch_dir("q126b_fp_")
+        band_root = scratch_dir("q126b_bands_")
+        lookup_root = scratch_dir("q126b_lookup_")
+        build_dedup_state(
+            spark, docs, "doc_id", "text", fp_root, band_root,
+            index_partitions=32,
+        )
+        BucketedLookup.create(
+            spark, docs, lookup_root, "doc_id", "text", n_buckets=64
+        )
+        roots = (fp_root, band_root, lookup_root)
+        _Q126_CACHE[key] = roots
+    state = open_dedup_state(spark, roots[0], roots[1])
+    lookup = BucketedLookup.open(spark, roots[2])
+    return incremental_neardup_dedup(
+        state, _q104_delta(docs), lookup, "doc_id", "text", append_new=False
+    )
+
+
 @register(
     "q126_dedup_state_restart",
     covers="dedup-incremental dedup-bloom table-layer S7 J5 J6 A2",
+    bare=_q126_bare,
     oracle=f"""
 WITH delta AS (
   SELECT doc_id + 2000000 AS doc_id, text
