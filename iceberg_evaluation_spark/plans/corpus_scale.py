@@ -937,16 +937,18 @@ def q115_gated_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in set(_glob.glob(os.path.join(src, "*.parquet"))) - first:
         os.utime(p, (late, late))
 
+    from ..streaming.incremental import IdempotentEpochSink
+
     sink = SnapshotTable(spark, scratch_dir(prefix="q115_sink_"))
+    # exactly-once sink (r7): epoch ids ride in the snapshot summary so
+    # a crash-replayed micro-batch is skipped, never double-appended
+    esink = IdempotentEpochSink(sink, query_id="q115")
 
     def classify(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         out = session.process_delta(batch_df, append_new=True)
-        if not sink.exists():
-            sink.create_or_replace(out)
-        else:
-            sink.append(out)
+        esink.write(out, epoch_id)
 
     stream = (
         spark.readStream.schema("doc_id bigint, text string")

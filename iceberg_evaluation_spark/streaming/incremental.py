@@ -22,7 +22,62 @@ from pyspark.sql.streaming import StreamingQuery
 from ..operators.scd2 import scd2_complex
 from ..tables.snapshot_table import SnapshotTable
 
-__all__ = ["scd2_stream", "windowed_event_counts"]
+__all__ = [
+    "IdempotentEpochSink",
+    "scd2_stream",
+    "windowed_event_counts",
+]
+
+
+class IdempotentEpochSink:
+    """Exactly-once ``foreachBatch`` APPEND sink on the snapshot layer.
+
+    Structured Streaming's ``foreachBatch`` is at-least-once: a crash
+    between the sink write and the checkpoint commit REPLAYS the epoch,
+    and a plain append would double-write it (the failure mode Spark's
+    own docs tell you to dedup with ``batchId``). This sink records the
+    epoch id INSIDE the snapshot summary — the same atomic commit as
+    the data — so "was this epoch written?" and "write it" cannot
+    diverge across a crash. A replayed epoch is detected by scanning
+    the snapshot log (manifest-scale, driver-side) and skipped.
+
+    Per-query isolation: pass a stable ``query_id`` when several
+    streams share one sink table; epochs are tracked per query_id
+    (Spark restarts epoch numbering per checkpoint).
+    """
+
+    def __init__(self, table: SnapshotTable, query_id: str = "default"):
+        self.table = table
+        self.query_id = query_id
+
+    def last_epoch(self) -> int:
+        """Highest epoch this query_id has durably committed (-1 if none)."""
+        if not self.table.exists():
+            return -1
+        last = -1
+        for s in self.table._snapshots():
+            summ = s.get("summary") or {}
+            if summ.get("sink_query_id") == self.query_id:
+                last = max(last, int(summ.get("sink_epoch_id", -1)))
+        return last
+
+    def write(self, batch_df: DataFrame, epoch_id: int) -> bool:
+        """Append one micro-batch exactly once; returns False for a
+        replayed (already-committed) epoch. Empty batches are skipped
+        without consuming the epoch — replaying one is harmless."""
+        if int(epoch_id) <= self.last_epoch():
+            return False  # replay after a crash-before-checkpoint
+        if batch_df.isEmpty():
+            return False
+        extra = {
+            "sink_query_id": self.query_id,
+            "sink_epoch_id": int(epoch_id),
+        }
+        if self.table.exists():
+            self.table.append(batch_df, summary_extra=extra)
+        else:
+            self.table.create_or_replace(batch_df, summary_extra=extra)
+        return True
 
 
 def scd2_stream(

@@ -447,6 +447,7 @@ class SnapshotTable:
         df: DataFrame,
         partitions: int | None = None,
         partition_by: list[str] | None = None,
+        summary_extra: dict[str, Any] | None = None,
     ) -> int:
         """CTAS / bulk-load (reference ``writeTo(...).createOrReplace()``,
         pyspark_functions.py:30). ``partition_by`` declares identity
@@ -460,11 +461,15 @@ class SnapshotTable:
                 raise ValueError(f"partition_by columns {missing} not in frame")
         files = self._write_files(df, partitions, partition_by=partition_by)
         return self._commit(
-            files, "create_or_replace", {"added_files": len(files)}, df.schema.json(),
+            files, "create_or_replace",
+            {"added_files": len(files), **(summary_extra or {})},
+            df.schema.json(),
             partition_by=partition_by
         )
 
-    def append(self, df: DataFrame) -> int:
+    def append(
+        self, df: DataFrame, summary_extra: dict[str, Any] | None = None
+    ) -> int:
         """Append snapshot (reference ``writeTo(t).append()``, notebook cell 30).
 
         The frame is aligned to the table schema first (Iceberg writer
@@ -473,7 +478,7 @@ class SnapshotTable:
         producer was written); columns ``df`` has but the table lacks
         are an error — evolve the schema explicitly, never silently."""
         if not self.exists():
-            return self.create_or_replace(df)
+            return self.create_or_replace(df, summary_extra=summary_extra)
         base = self.current_version()
         prev = self._read_snapshot(base)
         from pyspark.sql.types import StructType
@@ -511,7 +516,7 @@ class SnapshotTable:
         return self._commit(
             prev["files"] + files,
             "append",
-            {"added_files": len(files)},
+            {"added_files": len(files), **(summary_extra or {})},
             prev["schema"],
             expected_version=base,
             delete_files=prev.get("delete_files"),

@@ -99,3 +99,42 @@ def test_batch_semantics_match_q27_shape(spark, sf_smoke):
         )
         assert key in batch, f"streaming session not found in batch result: {key}"
         assert abs(batch[key] - r["total_value"]) < 1e-9
+
+
+def test_idempotent_epoch_sink_skips_replayed_batches(spark, tmp_path):
+    """foreachBatch is at-least-once: a crash between sink write and
+    checkpoint commit replays the epoch. The sink records epoch ids in
+    the SAME atomic snapshot commit as the data, so a replay is
+    detected and skipped — exactly-once by construction."""
+    from iceberg_evaluation_spark.streaming.incremental import (
+        IdempotentEpochSink,
+    )
+    from iceberg_evaluation_spark.tables.snapshot_table import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "sink"))
+    sink = IdempotentEpochSink(t, query_id="qA")
+    b0 = spark.createDataFrame([(1, "a")], "id bigint, v string")
+    b1 = spark.createDataFrame([(2, "b")], "id bigint, v string")
+
+    assert sink.write(b0, 0) is True
+    assert sink.write(b0, 0) is False           # replayed epoch: skipped
+    assert t.read().count() == 1
+    assert sink.write(b1, 1) is True
+    assert sink.write(b1, 1) is False           # replay again
+    assert sink.write(b1, 0) is False           # stale epoch after restart
+    assert t.read().count() == 2
+    assert sink.last_epoch() == 1
+
+    # a SECOND query sharing the table tracks its own epochs
+    sink_b = IdempotentEpochSink(t, query_id="qB")
+    assert sink_b.last_epoch() == -1
+    assert sink_b.write(b0, 0) is True
+    assert t.read().count() == 3
+    assert sink.last_epoch() == 1               # qA unaffected
+
+    # empty batches never consume the epoch
+    empty = spark.createDataFrame([], "id bigint, v string")
+    assert sink.write(empty, 5) is False
+    assert sink.last_epoch() == 1
+    assert sink.write(b0.selectExpr("id + 10 AS id", "v"), 5)
+    assert sink.last_epoch() == 5
