@@ -484,6 +484,7 @@ _Q106_CACHE: dict = {}
 
 
 def _q106_bare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.incremental import IdempotentEpochSink
     from ..operators.incremental_dedup import (
         build_dedup_state,
         incremental_neardup_dedup,
@@ -507,6 +508,7 @@ def _q106_bare(spark: SparkSession, sf_dir: str) -> DataFrame:
     state, src = hit
 
     sink = SnapshotTable(spark, scratch_dir(prefix="q106b_sink_"))
+    esink = IdempotentEpochSink(sink, query_id="q106b")
 
     def classify(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -514,10 +516,7 @@ def _q106_bare(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = incremental_neardup_dedup(
             state, batch_df, docs, "doc_id", "text", append_new=False
         )
-        if not sink.exists():
-            sink.create_or_replace(out)
-        else:
-            sink.append(out)
+        esink.write(out, epoch_id)
 
     stream = (
         spark.readStream.schema("doc_id bigint, text string")
@@ -562,6 +561,7 @@ FROM delta d
 """,
 )
 def q106_streaming_artifact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.incremental import IdempotentEpochSink
     from ..operators.incremental_dedup import (
         build_dedup_state,
         incremental_neardup_dedup,
@@ -580,6 +580,8 @@ def q106_streaming_artifact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     delta.repartition(4, "doc_id").write.mode("overwrite").parquet(src)
 
     sink = SnapshotTable(spark, scratch_dir(prefix="q106_sink_"))
+    # exactly-once sink (r7): replayed micro-batches are skipped
+    esink = IdempotentEpochSink(sink, query_id="q106")
 
     def classify(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -587,10 +589,7 @@ def q106_streaming_artifact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
         out = incremental_neardup_dedup(
             state, batch_df, docs, "doc_id", "text", append_new=False
         )
-        if not sink.exists():
-            sink.create_or_replace(out)
-        else:
-            sink.append(out)
+        esink.write(out, epoch_id)
 
     stream = (
         spark.readStream.schema(delta.schema)
