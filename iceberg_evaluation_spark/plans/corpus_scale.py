@@ -999,3 +999,58 @@ def q115_gated_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(session.model_validations).cast("bigint"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q127: EXACTLY-ONCE SINK semantics under replay — the IdempotentEpochSink
+#       driven through the at-least-once failure sequence foreachBatch
+#       can produce (crash between sink write and checkpoint commit →
+#       the SAME epoch is delivered again; a restart can also re-deliver
+#       an older epoch). Two epochs are applied, then three replays (same
+#       epoch twice, stale epoch once) are offered and must be SKIPPED:
+#       the sink table ends exactly = batch0 ∪ batch1, per-row
+#       hash-checked, with the applied/skipped receipts pinned. The
+#       epoch markers ride in the snapshot summary — the same atomic
+#       commit as the data — so the check cannot diverge from the write
+#       across a crash (tests/test_sessionize_stream.py pins the
+#       crash-ordering unit cases; this query gives the semantics a
+#       driver verdict).
+# ---------------------------------------------------------------------------
+@register(
+    "q127_exactly_once_sink",
+    covers="streaming-shape table-layer S5 S7 S9 P3 P5",
+    oracle="""
+SELECT doc_id,
+       CAST(2 AS BIGINT) AS applied_epochs,
+       CAST(3 AS BIGINT) AS skipped_replays,
+       CAST(1 AS BIGINT) AS last_epoch,
+       CAST(2 AS BIGINT) AS sink_commits
+FROM documents WHERE doc_id % 3 < 2
+""",
+)
+def q127_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.incremental import IdempotentEpochSink
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    b0 = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+
+    table = SnapshotTable(spark, scratch_dir(prefix="q127_sink_"))
+    sink = IdempotentEpochSink(table, query_id="q127")
+    applied = int(sink.write(b0, 0)) + int(sink.write(b1, 1))
+    skipped = sum(
+        1
+        for ok in (
+            sink.write(b0, 0),   # crash-replay of epoch 0
+            sink.write(b1, 1),   # crash-replay of epoch 1
+            sink.write(b1, 0),   # stale epoch after restart
+        )
+        if not ok
+    )
+    return table.read().select(
+        "doc_id",
+        F.lit(applied).cast("bigint").alias("applied_epochs"),
+        F.lit(skipped).cast("bigint").alias("skipped_replays"),
+        F.lit(sink.last_epoch()).cast("bigint").alias("last_epoch"),
+        F.lit(table.history().count()).cast("bigint").alias("sink_commits"),
+    )
