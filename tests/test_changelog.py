@@ -353,3 +353,80 @@ def test_cdf_total_over_random_append_merge_interleavings(spark, tmp_path):
             for r in table_changes(t, ["id"], i, j).collect()
         }
         assert got == exp, f"window v{i}->v{j}"
+
+
+def test_apply_changes_round_trip_over_random_windows(spark, tmp_path):
+    """Property (CDC consumer): for ANY window (i, j) over randomized
+    append/merge histories, a replica standing at version i synced via
+    apply_changes(table_changes(src, i, j)) holds EXACTLY version j's
+    content — the changelog round-trips."""
+    import random
+
+    from iceberg_evaluation_spark.operators.changelog import apply_changes
+
+    rnd = random.Random(88)
+    t = SnapshotTable(spark, str(tmp_path / "src"))
+    model = {i: i * 10 for i in range(6)}
+    t.create_or_replace(
+        spark.createDataFrame(
+            [(k, v) for k, v in model.items()], "id bigint, v bigint"
+        )
+    )
+    next_id = 100
+    for wave in range(5):
+        if rnd.random() < 0.4:
+            rows = [(next_id, next_id * 10)]
+            next_id += 1
+            t.append(spark.createDataFrame(rows, "id bigint, v bigint"))
+        else:
+            live = sorted(
+                r["id"] for r in t.read().select("id").collect()
+            )
+            upd = rnd.sample(live, k=2)
+            dele = rnd.sample([k for k in live if k not in upd], k=1)
+            rows = (
+                [(k, 5000 + wave * 10 + k) for k in upd]
+                + [(k, -1) for k in dele]
+                + [(next_id, next_id * 10)]
+            )
+            next_id += 1
+            t.merge(
+                spark.createDataFrame(rows, "id bigint, v bigint"),
+                on=["id"],
+                clause=MergeClause(
+                    matched_delete_condition="s.v = -1",
+                    matched_update={"v": "s.v"},
+                ),
+                mode=rnd.choice(["copy-on-write", "merge-on-read"]),
+            )
+
+    versions = list(range(1, t.current_version() + 1))
+    for trial in range(6):
+        i, j = sorted(rnd.sample(versions, 2))
+        rep = SnapshotTable(spark, str(tmp_path / f"rep{trial}"))
+        rep.create_or_replace(t.read(version=i))
+        apply_changes(rep, table_changes(t, ["id"], i, j), ["id"])
+        got = sorted(map(tuple, rep.read().collect()))
+        want = sorted(map(tuple, t.read(version=j).collect()))
+        assert got == want, f"window v{i}->v{j}"
+
+
+def test_apply_changes_round_trips_duplicate_key_appends(spark, tmp_path):
+    from collections import Counter
+
+    from iceberg_evaluation_spark.operators.changelog import apply_changes
+
+    t = SnapshotTable(spark, str(tmp_path / "dupsrc"))
+    t.create_or_replace(
+        spark.createDataFrame([(1, 10), (1, 11)], "id bigint, v bigint")
+    )
+    rep = SnapshotTable(spark, str(tmp_path / "duprep"))
+    rep.create_or_replace(t.read())
+    t.append(
+        spark.createDataFrame([(1, 12), (2, 20)], "id bigint, v bigint")
+    )
+    n = apply_changes(rep, table_changes(t, ["id"], 1, 2), ["id"])
+    assert n == 2
+    assert Counter(map(tuple, rep.read().collect())) == Counter(
+        map(tuple, t.read().collect())
+    )
