@@ -210,7 +210,7 @@ class MaterializedRollup:
             # row the delete condition removes anyway).
             touched = ch.select(*self.group_cols).distinct()
             sketches = (
-                self.base.read()
+                self._base_for_groups(touched)
                 .join(touched, self.group_cols, "left_semi")
                 .groupBy(*self.group_cols)
                 .agg(
@@ -235,6 +235,32 @@ class MaterializedRollup:
         )
         self._write_meta(cur)
         return n_changes
+
+    def _base_for_groups(self, touched: DataFrame) -> DataFrame:
+        """The base scan feeding a group-scoped rebuild — FILE-pruned to
+        the touched groups' partitions when the base table is identity-
+        partitioned by (a subset of) the group columns, a full scan
+        otherwise. The per-column IN filters select a superset of the
+        touched combinations; the semi-join above restores exactness,
+        so pruning stays a pure optimization. The driver-side value
+        collect is bounded by the touched-group count (and skipped past
+        a safety cap)."""
+        snap = self.base._read_snapshot(self.base.current_version())
+        pb = [
+            c for c in (snap.get("partition_by") or [])
+            if c in self.group_cols
+        ]
+        if not pb:
+            return self.base.read()
+        vals = touched.select(*pb).distinct().limit(1001).collect()
+        if len(vals) > 1000:  # unusually wide window: full scan is safer
+            return self.base.read()
+        if any(r[c] is None for r in vals for c in pb):
+            # a NULL group key lives in the default partition, which IN
+            # pruning cannot name — keep the full scan, stay exact
+            return self.base.read()
+        filters = [(c, "in", sorted({r[c] for r in vals})) for c in pb]
+        return self.base.read_where(filters)
 
     # ------------------------------------------------------------- read
     def read(self) -> DataFrame:

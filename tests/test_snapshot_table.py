@@ -1306,3 +1306,57 @@ def test_rollup_sketch_cdf_random_waves_recompute_only_touched_groups(
         assert {key(x) for x in r.read().collect()} == {
             key(x) for x in rb.read().collect()
         }, f"wave {wave}"
+
+
+def test_sketch_rebuild_prunes_to_touched_group_partitions(spark, tmp_path):
+    """r7: when the base table is identity-partitioned by the group
+    column, the group-scoped sketch rebuild FILE-prunes to the touched
+    groups' partitions (IO receipt via pruned_files) and stays exact."""
+    from pyspark.sql import functions as F
+
+    from iceberg_evaluation_spark.tables.rollup import MaterializedRollup
+
+    base = SnapshotTable(spark, str(tmp_path / "b"))
+    base.create_or_replace(
+        spark.createDataFrame(
+            [(i, "g%d" % (i % 4), i % 9) for i in range(48)],
+            "id bigint, grp string, u bigint",
+        ),
+        partition_by=["grp"],
+    )
+    r = MaterializedRollup(
+        spark, str(tmp_path / "r"), base, ["grp"], [],
+        approx_distinct_cols=["u"],
+    )
+    r.rebuild()
+    # update touching ONLY g1 (value rewrite retracts a distinct)
+    base.merge(
+        spark.createDataFrame([(1, "g1", 8)], "id bigint, grp string, u bigint"),
+        on=["id"],
+        clause=MergeClause(matched_update={"u": "s.u"}),
+    )
+    # the pruned base read for the touched group hits a strict subset
+    # of the base's files
+    snap = base._read_snapshot(base.current_version())
+    pruned = base.pruned_files([("grp", "in", ["g1"])])
+    assert 0 < len(pruned) < len(snap["files"])
+    before = {
+        row["grp"]: bytes(row["hll_u"]) for row in r.table.read().collect()
+    }
+    r.refresh_cdf(["id"])
+    got = {
+        row["grp"]: row["approx_distinct_u"] for row in r.read().collect()
+    }
+    exact = {
+        row["grp"]: row["n"]
+        for row in base.read()
+        .groupBy("grp")
+        .agg(F.count_distinct("u").alias("n"))
+        .collect()
+    }
+    assert got == exact
+    after = {
+        row["grp"]: bytes(row["hll_u"]) for row in r.table.read().collect()
+    }
+    for g in ("g0", "g2", "g3"):
+        assert after[g] == before[g]  # untouched groups never re-sketched
