@@ -133,6 +133,13 @@ class BucketedLookup:
             )
         )
 
+    def compact(self, target_file_mb: int = 128) -> int:
+        """Bin-pack the lookup's files (appends add one file per touched
+        bucket per delta — periodic compaction keeps the per-bucket file
+        count flat). Binpack preserves the bucket-partition layout, so
+        candidate pruning survives (test-pinned)."""
+        return self.table.compact(target_file_mb=target_file_mb)
+
     # ------------------------------------------------------------ reads
     def read(self) -> DataFrame:
         """Full scan (the layout column stays internal)."""

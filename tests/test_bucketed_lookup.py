@@ -431,3 +431,30 @@ def test_partitioned_semantic_index_same_answers(spark, tmp_path):
     assert a == b == {101: "dup", 102: "new"}
     reopened = open_semantic_state(spark, str(tmp_path / "s_q"))
     assert reopened.index_partitions == 16
+
+
+def test_compaction_preserves_bucket_pruning(spark, tmp_path):
+    """Appends add one file per touched bucket per delta; compaction
+    bin-packs them back WITHOUT losing the bucket layout — candidate
+    pruning still reads a strict file subset afterwards."""
+    docs = _docs(spark, _corpus_rows(40))
+    lk = BucketedLookup.create(
+        spark, docs, str(tmp_path / "lk"), "doc_id", "text", n_buckets=8
+    )
+    for wave in range(3):
+        lk.append(
+            _docs(spark, [(900 + wave, f"delta doc {wave} body")])
+        )
+    files_before = len(
+        lk.table._read_snapshot(lk.table.current_version())["files"]
+    )
+    lk.compact()
+    snap = lk.table._read_snapshot(lk.table.current_version())
+    assert len(snap["files"]) < files_before
+    assert lk.read().count() == 43
+    ids = spark.createDataFrame([(902,)], "doc_id bigint")
+    fetched = {r["doc_id"] for r in lk.fetch(ids).collect()}
+    assert 902 in fetched
+    touched = lk.fetch_files(ids)
+    assert 0 < len(touched) < len(snap["files"])
+    assert all("_id_bucket=" in f for f in touched)
