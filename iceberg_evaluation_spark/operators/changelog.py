@@ -86,15 +86,22 @@ def table_changes(
     # append-only window: the changes ARE the appended rows. Emit them
     # straight from the incremental append scan — no join, no pre/post
     # pairing, and therefore NO key-uniqueness requirement (duplicate-
-    # key append streams are first-class here).
+    # key append streams are first-class here). Classification needs
+    # the INTERMEDIATE manifests; if expire_snapshots removed any
+    # (endpoints survive as tag/head GC roots), fall back to the
+    # endpoint key diff, which never reads them.
     _append_safe = {
         "append", "rewrite_data_files", "add_column", "drop_column",
         "set_partition_spec",
     }
-    if all(
-        table._read_snapshot(v)["operation"] in _append_safe
-        for v in range(from_version + 1, to_version + 1)
-    ):
+    window_ops: list[str] | None = []
+    for v in range(from_version + 1, to_version + 1):
+        try:
+            window_ops.append(table._read_snapshot(v)["operation"])
+        except FileNotFoundError:
+            window_ops = None  # expired history: cannot classify
+            break
+    if window_ops is not None and all(op in _append_safe for op in window_ops):
         ins = table.read_incremental(from_version, to_version)
         for c in sel:  # dropped-then-read columns surface as NULL
             if c not in ins.columns:
@@ -191,22 +198,33 @@ def apply_changes(
         for c in changes.columns
         if c not in keys and c not in ("_change_type", "_commit_version")
     ]
-    ups = changes.filter(
+    # the change feed (typically table_changes' full-outer diff) is
+    # consumed by the type census AND the merge/append below —
+    # checkpoint it so the diff executes once, keeping the documented
+    # cost-is-|changes| claim true
+    ch = changes.localCheckpoint(eager=False)
+    census = {
+        r["_change_type"]: r["n"]
+        for r in ch.groupBy("_change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n = sum(
+        census.get(t, 0) for t in ("insert", "update_postimage", "delete")
+    )
+    if n == 0:
+        return 0
+    ups = ch.filter(
         F.col("_change_type").isin("insert", "update_postimage")
     ).withColumn("__op", F.lit("U"))
-    dels = changes.filter(F.col("_change_type") == "delete").withColumn(
+    dels = ch.filter(F.col("_change_type") == "delete").withColumn(
         "__op", F.lit("D")
     )
     src = ups.unionByName(dels).drop("_change_type", "_commit_version")
-    n = src.count()
-    if n == 0:
-        return 0
     # an INSERT-ONLY window (append-only source history) applies as a
     # plain append: duplicate-key append streams round-trip too, where
     # a MERGE would reject the non-key-unique source
-    if (
-        changes.filter(F.col("_change_type") != "insert").isEmpty()
-    ):
+    if set(census) <= {"insert"}:
         target.append(src.drop("__op"))
         return n
     target.merge(

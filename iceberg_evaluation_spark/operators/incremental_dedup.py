@@ -239,8 +239,10 @@ class DedupState:
                 if v0 < v:
                     try:
                         delta = self.fingerprints.read_incremental(v0, v)
-                    except ValueError:
-                        delta = None  # overwrite-class window: rebuild
+                    except (ValueError, FileNotFoundError):
+                        # overwrite-class window, or intermediate
+                        # manifests expired: full rebuild
+                        delta = None
                     if delta is not None:
                         new = build_bloom_words(
                             delta, "fp", num_bits, num_hashes
@@ -330,21 +332,19 @@ def build_dedup_state(
 
 
 def _write_state_meta(root: str, meta: dict) -> None:
-    import json
     import os
 
-    tmp = os.path.join(root, "DEDUP_META.tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(root, "DEDUP_META"))
+    from ..tables._meta import write_json_meta
+
+    write_json_meta(os.path.join(root, "DEDUP_META"), meta)
 
 
 def _read_state_meta(root: str) -> dict:
-    import json
     import os
 
-    with open(os.path.join(os.path.abspath(root), "DEDUP_META")) as f:
-        return json.load(f)
+    from ..tables._meta import read_json_meta
+
+    return read_json_meta(os.path.join(root, "DEDUP_META"))
 
 
 def open_dedup_state(

@@ -44,22 +44,38 @@ class IdempotentEpochSink:
     Per-query isolation: pass a stable ``query_id`` when several
     streams share one sink table; epochs are tracked per query_id
     (Spark restarts epoch numbering per checkpoint).
+
+    Cost shape: the snapshot log is scanned INCREMENTALLY — a version
+    watermark caches how far the log has been read, so each micro-batch
+    reads only the manifests committed since the previous one (a naive
+    full-log rescan would be O(batches²) driver IO over a long stream).
+    Expiring the sink table's history is safe as long as the retained
+    snapshots cover the possible replay window (Spark only replays the
+    last unacknowledged epoch, whose marker rides the newest commits).
     """
 
     def __init__(self, table: SnapshotTable, query_id: str = "default"):
         self.table = table
         self.query_id = query_id
+        self._scanned_version = 0  # log watermark for the incremental scan
+        self._last_epoch = -1
 
     def last_epoch(self) -> int:
         """Highest epoch this query_id has durably committed (-1 if none)."""
         if not self.table.exists():
             return -1
-        last = -1
-        for s in self.table._snapshots():
-            summ = s.get("summary") or {}
+        cur = self.table.current_version()
+        for v in range(self._scanned_version + 1, cur + 1):
+            try:
+                summ = self.table._read_snapshot(v).get("summary") or {}
+            except FileNotFoundError:
+                continue  # expired manifest: its marker is superseded
             if summ.get("sink_query_id") == self.query_id:
-                last = max(last, int(summ.get("sink_epoch_id", -1)))
-        return last
+                self._last_epoch = max(
+                    self._last_epoch, int(summ.get("sink_epoch_id", -1))
+                )
+        self._scanned_version = max(self._scanned_version, cur)
+        return self._last_epoch
 
     def write(self, batch_df: DataFrame, epoch_id: int) -> bool:
         """Append one micro-batch exactly once; returns False for a

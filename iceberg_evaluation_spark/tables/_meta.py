@@ -1,0 +1,28 @@
+"""Atomic single-file JSON metadata persist/load.
+
+The durable-geometry pattern shared by DEDUP_META (dedup-state
+geometry), LOOKUP_META (bucketed-lookup layout), and ROLLUP_META
+(refresh checkpoint): write to a tmp sibling, then ``os.replace`` so a
+crash mid-write can never leave a torn file — readers see the old meta
+or the new one, nothing in between.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+__all__ = ["read_json_meta", "write_json_meta"]
+
+
+def write_json_meta(path: str, meta: dict[str, Any]) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, path)
+
+
+def read_json_meta(path: str) -> dict[str, Any]:
+    with open(os.path.abspath(path)) as f:
+        return json.load(f)

@@ -33,12 +33,12 @@ either way; ``compact()`` bin-packs stragglers).
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ._meta import read_json_meta, write_json_meta
 from .snapshot_table import SnapshotTable
 
 __all__ = ["BucketedLookup"]
@@ -75,17 +75,14 @@ class BucketedLookup:
         return os.path.join(self.table.root, "LOOKUP_META")
 
     def _write_meta(self) -> None:
-        tmp = self._meta_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(
-                {
-                    "id_col": self.id_col,
-                    "payload_col": self.payload_col,
-                    "n_buckets": self.n_buckets,
-                },
-                f,
-            )
-        os.replace(tmp, self._meta_path())
+        write_json_meta(
+            self._meta_path(),
+            {
+                "id_col": self.id_col,
+                "payload_col": self.payload_col,
+                "n_buckets": self.n_buckets,
+            },
+        )
 
     @classmethod
     def create(
@@ -114,8 +111,7 @@ class BucketedLookup:
         (the bucket count MUST travel with the data — a mismatched
         ``n_buckets`` would fetch the wrong buckets and silently miss
         partners, the SemanticState lesson of r6)."""
-        with open(os.path.join(os.path.abspath(root), "LOOKUP_META")) as f:
-            m = json.load(f)
+        m = read_json_meta(os.path.join(root, "LOOKUP_META"))
         return cls(
             spark, root, m["id_col"], m["payload_col"], int(m["n_buckets"])
         )

@@ -29,6 +29,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ._meta import write_json_meta
 from .snapshot_table import MergeClause, SnapshotTable
 
 __all__ = ["MaterializedRollup"]
@@ -82,10 +83,7 @@ class MaterializedRollup:
 
     def _write_meta(self, base_version: int) -> None:
         os.makedirs(self.root, exist_ok=True)
-        tmp = self._meta_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"base_version": base_version}, f)
-        os.replace(tmp, self._meta_path())
+        write_json_meta(self._meta_path(), {"base_version": base_version})
 
     # ------------------------------------------------------------ aggs
     def _partial(self, rows: DataFrame) -> DataFrame:

@@ -809,9 +809,14 @@ class SnapshotTable:
         the filter columns, tight predicates prune most files; on
         unclustered layouts pruning degrades gracefully to a full list.
         """
-        snap = self._read_snapshot(
-            self.current_version() if version is None else version
-        )
+        # resolve the version ONCE and thread it through: letting
+        # pruned_files re-resolve current_version() independently would
+        # let a concurrent commit land between the two reads, pairing
+        # v_n's manifest with v_{n+1}'s file list — a phantom,
+        # non-snapshot-isolated read
+        if version is None:
+            version = self.current_version()
+        snap = self._read_snapshot(version)
         kept = self.pruned_files(filters, version=version)
         # route through the MOR-aware scan: stats pruning only shrinks the
         # data-file list; live equality-deletes must still apply
@@ -1661,10 +1666,13 @@ class SnapshotTable:
                 # manifest so (a) a LIVE publish never ages past the 2 s
                 # steal window however long it runs, and (b) a publisher
                 # that really did stall and get stolen from stops
-                # IMMEDIATELY, un-publishing its partial history (under a
-                # re-acquired lock) before any commit can adopt it.
+                # IMMEDIATELY. The raise lands in the except handler
+                # below, whose not-holding branch withdraws the
+                # partially-linked manifests (under a re-acquired lock)
+                # before any commit can adopt them — no inline withdraw
+                # here, or the cleanup would run (and contend for the
+                # lock) twice.
                 if not self._holds_lock(lock, token):
-                    self._unpublish_links(linked)
                     raise ConcurrentCommitError(
                         "VERSION lock stolen mid-publish (stall past the "
                         "steal window); the partially-linked manifests were "

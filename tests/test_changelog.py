@@ -430,3 +430,32 @@ def test_apply_changes_round_trips_duplicate_key_appends(spark, tmp_path):
     assert Counter(map(tuple, rep.read().collect())) == Counter(
         map(tuple, t.read().collect())
     )
+
+
+def test_cdf_survives_expired_intermediate_manifests(spark, tmp_path):
+    """Code-review r7: the append-only classification reads intermediate
+    manifests; when expire_snapshots removed them (endpoints survive as
+    tag/head GC roots) table_changes must FALL BACK to the endpoint key
+    diff instead of crashing."""
+    t = SnapshotTable(spark, str(tmp_path / "exp"))
+    t.create_or_replace(
+        spark.createDataFrame([(1, 10), (2, 20)], "id bigint, v bigint")
+    )                                                                # v1
+    t.create_tag("base")  # pins v1 through the expiry below
+    t.append(spark.createDataFrame([(3, 30)], "id bigint, v bigint"))  # v2
+    t.append(spark.createDataFrame([(4, 40)], "id bigint, v bigint"))  # v3
+    t.merge(
+        spark.createDataFrame([(1, 11)], "id bigint, v bigint"),
+        on=["id"], clause=MergeClause(matched_update={"v": "s.v"}),
+    )                                                                # v4
+    t.expire_snapshots(keep_last=1)  # v2/v3 manifests gone, v1 tagged
+    got = {
+        (r["id"], r["v"], r["_change_type"])
+        for r in table_changes(t, ["id"], 1, 4).collect()
+    }
+    assert got == {
+        (3, 30, "insert"),
+        (4, 40, "insert"),
+        (1, 10, "update_preimage"),
+        (1, 11, "update_postimage"),
+    }
