@@ -127,6 +127,29 @@ def main() -> None:
     tracked = rollup.read().agg(F.sum("n_rows")).first()[0]
     assert total == tracked, (total, tracked)
     print(f"final corpus {total} docs; rollup tracks {tracked} — consistent")
+
+    # ---- day 4, after a RESTART: reopen the state from disk alone ---
+    # (the production shape — tomorrow's run is a new driver; the
+    # signature geometry travels with the artifacts, never with code)
+    from iceberg_evaluation_spark.operators.incremental_dedup import (
+        open_dedup_state,
+    )
+
+    state2 = open_dedup_state(
+        spark, os.path.join(root, "fp"), os.path.join(root, "bands")
+    )
+    replay = deltas[2]  # day-3 docs re-sent to the reopened state
+    verdicts = incremental_neardup_dedup(
+        state2, replay, lookup, "doc_id", "text", append_new=False
+    )
+    n_dup = verdicts.filter(F.col("status") != "new").count()
+    assert n_dup == replay.count(), "reopened state lost accumulation"
+    print(
+        f"day 4 (restarted driver): reopened artifacts at "
+        f"v{state2.fingerprints.current_version()} "
+        f"(shingle_n={state2.shingle_n}, cap={state2.max_bucket}); "
+        f"replayed {n_dup} docs all recognized as dups"
+    )
     spark.stop()
 
 
