@@ -34,8 +34,10 @@ Scale shape — file-diff pruning, then ONE key join:
    ZERO rows).
 
 APPEND-ONLY WINDOWS take a cheaper, more general path (r6 verdict #5):
-when every snapshot in the window is an append or content-neutral
-(compaction, schema/spec evolution), the changes are exactly the
+when every snapshot in the window is an append or visible-content-
+neutral (compaction, column ADD, spec evolution — but NOT column drop,
+which turns pre-existing rows' dropped values into NULLs and therefore
+routes through the diff), the changes are exactly the
 appended rows — ``read_incremental`` emits them as ``insert``s with NO
 join and NO key-uniqueness requirement, so plain-append tables with
 duplicate keys are fully supported. The full-outer key diff is
@@ -90,9 +92,19 @@ def table_changes(
     # the INTERMEDIATE manifests; if expire_snapshots removed any
     # (endpoints survive as tag/head GC roots), fall back to the
     # endpoint key diff, which never reads them.
+    #
+    # add_column IS append-safe: pre-existing rows read NULL for the new
+    # column at BOTH endpoints (name mapping), so the endpoint diff
+    # emits nothing for them either — the two paths agree (test-pinned:
+    # test_add_column_window_agrees_across_paths). drop_column is NOT:
+    # pre-existing rows' visible content changes (old value → NULL), so
+    # a drop window must take the endpoint diff, which reports those
+    # rows as updates — otherwise the same logical window would yield
+    # different feeds depending on later commits, and apply_changes
+    # would leave a replica holding the dropped column's stale values
+    # (r8 ADVICE).
     _append_safe = {
-        "append", "rewrite_data_files", "add_column", "drop_column",
-        "set_partition_spec",
+        "append", "rewrite_data_files", "add_column", "set_partition_spec",
     }
     window_ops: list[str] | None = []
     for v in range(from_version + 1, to_version + 1):
@@ -116,7 +128,14 @@ def table_changes(
     same_deletes = (snap_a.get("delete_files") or []) == (
         snap_b.get("delete_files") or []
     )
-    if same_deletes:
+    # file pruning assumes a common file's LIVE VISIBLE rows are
+    # identical at both endpoints. A column dropped inside the window
+    # breaks that without rewriting a byte — every pre-existing row's
+    # dropped value now reads NULL — so drop windows keep all files.
+    # (Columns ADDED in the window don't: old files read NULL for them
+    # at both endpoints, matching the NULL the diff pads onto side a.)
+    dropped_cols = set(names_a) - set(names_b)
+    if same_deletes and not dropped_cols:
         sus_a = sorted(files_a - files_b)
         sus_b = sorted(files_b - files_a)
     else:  # MOR window: new equality deletes can kill rows in ANY old file

@@ -41,9 +41,15 @@ class IdempotentEpochSink:
     diverge across a crash. A replayed epoch is detected by scanning
     the snapshot log (manifest-scale, driver-side) and skipped.
 
-    Per-query isolation: pass a stable ``query_id`` when several
-    streams share one sink table; epochs are tracked per query_id
-    (Spark restarts epoch numbering per checkpoint).
+    Per-query isolation: ``query_id`` is REQUIRED and must be stable
+    across restarts (derive it from the stream's checkpoint location);
+    epochs are tracked per query_id because Spark restarts epoch
+    numbering per checkpoint. A shared default would silently alias two
+    streams' epoch sequences on a shared sink table — stream B's epoch
+    N skipped because stream A already committed an epoch ≥ N (r8
+    ADVICE) — so there is none, and two sinks claiming the same
+    query_id on one table is exactly the replay case the epoch marker
+    already de-duplicates.
 
     Cost shape: the snapshot log is scanned INCREMENTALLY — a version
     watermark caches how far the log has been read, so each micro-batch
@@ -54,7 +60,13 @@ class IdempotentEpochSink:
     last unacknowledged epoch, whose marker rides the newest commits).
     """
 
-    def __init__(self, table: SnapshotTable, query_id: str = "default"):
+    def __init__(self, table: SnapshotTable, query_id: str):
+        if not query_id or not isinstance(query_id, str):
+            raise ValueError(
+                "query_id is required and must be a non-empty string: "
+                "two streams sharing a sink table without distinct ids "
+                "would silently drop each other's epochs"
+            )
         self.table = table
         self.query_id = query_id
         self._scanned_version = 0  # log watermark for the incremental scan

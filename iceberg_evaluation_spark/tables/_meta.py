@@ -20,7 +20,22 @@ def write_json_meta(path: str, meta: dict[str, Any]) -> None:
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(meta, f)
+        # fsync BEFORE the rename: without it the rename can persist
+        # ahead of the data on a power loss, leaving an empty/truncated
+        # meta file behind the atomic-replace promise (r8 ADVICE)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, path)
+    # best-effort directory fsync so the rename itself is durable;
+    # platforms that cannot open directories skip it
+    try:
+        dfd = os.open(os.path.dirname(os.path.abspath(path)), os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+    except OSError:
+        pass
 
 
 def read_json_meta(path: str) -> dict[str, Any]:

@@ -208,7 +208,7 @@ class MaterializedRollup:
             # row the delete condition removes anyway).
             touched = ch.select(*self.group_cols).distinct()
             sketches = (
-                self._base_for_groups(touched)
+                self._base_for_groups(touched, cur)
                 .join(touched, self.group_cols, "left_semi")
                 .groupBy(*self.group_cols)
                 .agg(
@@ -234,7 +234,7 @@ class MaterializedRollup:
         self._write_meta(cur)
         return n_changes
 
-    def _base_for_groups(self, touched: DataFrame) -> DataFrame:
+    def _base_for_groups(self, touched: DataFrame, version: int) -> DataFrame:
         """The base scan feeding a group-scoped rebuild — FILE-pruned to
         the touched groups' partitions when the base table is identity-
         partitioned by (a subset of) the group columns, a full scan
@@ -242,23 +242,30 @@ class MaterializedRollup:
         touched combinations; the semi-join above restores exactness,
         so pruning stays a pure optimization. The driver-side value
         collect is bounded by the touched-group count (and skipped past
-        a safety cap)."""
-        snap = self.base._read_snapshot(self.base.current_version())
+        a safety cap).
+
+        ``version`` pins the scan to the change window's endpoint: the
+        scan executes LAZILY at merge time, so reading the base unpinned
+        would let a concurrent base commit land between window
+        computation and the merge and make the stored sketches include
+        rows beyond the folded window while n_rows/sum_* do not (r8
+        ADVICE — snapshot-isolate the sketch rebuild)."""
+        snap = self.base._read_snapshot(version)
         pb = [
             c for c in (snap.get("partition_by") or [])
             if c in self.group_cols
         ]
         if not pb:
-            return self.base.read()
+            return self.base.read(version)
         vals = touched.select(*pb).distinct().limit(1001).collect()
         if len(vals) > 1000:  # unusually wide window: full scan is safer
-            return self.base.read()
+            return self.base.read(version)
         if any(r[c] is None for r in vals for c in pb):
             # a NULL group key lives in the default partition, which IN
             # pruning cannot name — keep the full scan, stay exact
-            return self.base.read()
+            return self.base.read(version)
         filters = [(c, "in", sorted({r[c] for r in vals})) for c in pb]
-        return self.base.read_where(filters)
+        return self.base.read_where(filters, version=version)
 
     # ------------------------------------------------------------- read
     def read(self) -> DataFrame:

@@ -459,3 +459,86 @@ def test_cdf_survives_expired_intermediate_manifests(spark, tmp_path):
         (1, 10, "update_preimage"),
         (1, 11, "update_postimage"),
     }
+
+
+def test_drop_column_window_takes_diff_path(spark, tmp_path):
+    """r8 ADVICE (medium): a drop_column commit changes pre-existing
+    rows' VISIBLE content (old value -> NULL), so a window containing
+    one must route through the endpoint diff and report those rows as
+    updates — the append fast path would emit nothing for them, making
+    the feed for one logical window depend on unrelated later commits."""
+    t = _mk(spark, tmp_path)
+    t.drop_column("v")                                                # v2
+    t.append(
+        spark.createDataFrame([(9, "z")], "id bigint, k string")
+    )                                                                 # v3
+    got = {
+        (r["id"], r["_change_type"]): (r["k"], r["v"])
+        for r in table_changes(t, ["id"], 1, 3).collect()
+    }
+    assert got == {
+        (1, "update_preimage"): ("a", 10),
+        (1, "update_postimage"): ("a", None),
+        (2, "update_preimage"): ("a", 20),
+        (2, "update_postimage"): ("a", None),
+        (3, "update_preimage"): ("b", 30),
+        (3, "update_postimage"): ("b", None),
+        (4, "update_preimage"): (None, 40),
+        (4, "update_postimage"): (None, None),
+        (9, "insert"): ("z", None),
+    }
+
+
+def test_apply_changes_syncs_drop_column_window(spark, tmp_path):
+    """The replica round-trip the diff path exists for: after applying a
+    drop_column window, the replica holds version j's visible content on
+    the union schema — the dropped column reads NULL everywhere, never
+    the stale pre-drop values."""
+    from iceberg_evaluation_spark.operators.changelog import apply_changes
+
+    t = _mk(spark, tmp_path)
+    rep = SnapshotTable(spark, str(tmp_path / "rep"))
+    rep.create_or_replace(t.read())                    # replica at v1
+    t.drop_column("v")                                                # v2
+    t.append(
+        spark.createDataFrame([(9, "z")], "id bigint, k string")
+    )                                                                 # v3
+    n = apply_changes(rep, table_changes(t, ["id"], 1, 3), ["id"])
+    assert n == 5  # 4 post-images + 1 insert
+    got = {
+        (r["id"], r["k"], r["v"]) for r in rep.read().collect()
+    }
+    assert got == {
+        (1, "a", None),
+        (2, "a", None),
+        (3, "b", None),
+        (4, None, None),
+        (9, "z", None),
+    }
+
+
+def test_add_column_window_agrees_across_paths(spark, tmp_path):
+    """add_column STAYS on the append fast path: pre-existing rows read
+    NULL for the new column at BOTH endpoints (name mapping), so the
+    endpoint diff — forced here by expiring the intermediate manifests —
+    emits exactly the same feed. Pins the safety argument that keeps
+    add_column in _append_safe while drop_column was evicted."""
+    t = _mk(spark, tmp_path)
+    t.create_tag("base")  # pins v1 through the expiry below
+    t.add_column("extra", "bigint")                                   # v2
+    t.append(
+        spark.createDataFrame(
+            [(9, "z", 90, 900)],
+            "id bigint, k string, v bigint, extra bigint",
+        )
+    )                                                                 # v3
+    def feed():
+        return {
+            (r["id"], r["_change_type"], r["v"], r["extra"])
+            for r in table_changes(t, ["id"], 1, 3).collect()
+        }
+
+    fast = feed()
+    assert fast == {(9, "insert", 90, 900)}
+    t.expire_snapshots(keep_last=1)  # v2 manifest gone -> diff path
+    assert feed() == fast

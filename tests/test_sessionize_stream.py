@@ -8,6 +8,8 @@ exactly the gap-closed sessions are emitted.
 
 from __future__ import annotations
 
+import pytest
+
 from datetime import datetime
 
 from iceberg_evaluation_spark.streaming.sessionize import sessionize_stream
@@ -138,3 +140,67 @@ def test_idempotent_epoch_sink_skips_replayed_batches(spark, tmp_path):
     assert sink.last_epoch() == 1
     assert sink.write(b0.selectExpr("id + 10 AS id", "v"), 5)
     assert sink.last_epoch() == 5
+
+
+def test_epoch_sink_requires_explicit_query_id(spark, tmp_path):
+    """r8 ADVICE: a shared default query_id would silently alias two
+    streams' epoch sequences on one sink table — the id is required."""
+    from iceberg_evaluation_spark.streaming.incremental import (
+        IdempotentEpochSink,
+    )
+    from iceberg_evaluation_spark.tables.snapshot_table import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "sink"))
+    with pytest.raises(TypeError):
+        IdempotentEpochSink(t)
+    with pytest.raises(ValueError):
+        IdempotentEpochSink(t, query_id="")
+    with pytest.raises(ValueError):
+        IdempotentEpochSink(t, query_id=None)
+
+
+def test_two_writers_one_sink_interleaved_epochs_exactly_once(spark, tmp_path):
+    """r8 verdict #6: two streams sharing one sink table, interleaved
+    commits WITH replays after crashes — each query_id's epochs land
+    exactly once, neither drops the other's, and a restarted sink
+    (fresh object, same query_id) recovers its watermark from the log."""
+    from iceberg_evaluation_spark.streaming.incremental import (
+        IdempotentEpochSink,
+    )
+    from iceberg_evaluation_spark.tables.snapshot_table import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "shared"))
+    a = IdempotentEpochSink(t, query_id="A")
+    b = IdempotentEpochSink(t, query_id="B")
+
+    def batch(stream, epoch):
+        return spark.createDataFrame(
+            [(stream, epoch)], "stream string, epoch bigint"
+        )
+
+    # deterministic interleaving: (sink, epoch, expect_written)
+    schedule = [
+        (a, 0, True), (b, 0, True),
+        (a, 0, False),              # A crashes, replays epoch 0
+        (b, 1, True), (a, 1, True),
+        (b, 1, False), (b, 0, False),  # B replays both its epochs
+        (a, 2, True),
+        (b, 2, True), (a, 2, False),
+    ]
+    for sink, epoch, expect in schedule:
+        got = sink.write(batch(sink.query_id, epoch), epoch)
+        assert got is expect, (sink.query_id, epoch, expect)
+
+    rows = {(r["stream"], r["epoch"]) for r in t.read().collect()}
+    assert rows == {(s, e) for s in ("A", "B") for e in (0, 1, 2)}
+    assert t.read().count() == 6  # exactly once each — no duplicates
+
+    # restart shape: fresh sink objects share nothing in-memory; the
+    # epoch watermark comes back from the snapshot log, per query_id
+    a2 = IdempotentEpochSink(t, query_id="A")
+    b2 = IdempotentEpochSink(t, query_id="B")
+    assert a2.last_epoch() == 2 and b2.last_epoch() == 2
+    assert a2.write(batch("A", 2), 2) is False
+    assert b2.write(batch("B", 3), 3) is True
+    assert a2.write(batch("A", 3), 3) is True
+    assert t.read().count() == 8

@@ -1360,3 +1360,61 @@ def test_sketch_rebuild_prunes_to_touched_group_partitions(spark, tmp_path):
     }
     for g in ("g0", "g2", "g3"):
         assert after[g] == before[g]  # untouched groups never re-sketched
+
+
+def test_refresh_cdf_sketch_isolated_from_concurrent_base_commit(
+    spark, tmp_path, monkeypatch
+):
+    """r8 ADVICE: the group-scoped sketch rebuild executes LAZILY at
+    merge time, so a base commit landing between window computation and
+    the merge must not leak into the stored sketches — the scan is
+    pinned to the window endpoint. Simulated by injecting an append
+    right before refresh_cdf's merge executes; the sketch must estimate
+    the endpoint's distinct count, and the next refresh_cdf folds the
+    late append normally."""
+    from iceberg_evaluation_spark.tables.rollup import MaterializedRollup
+
+    base = SnapshotTable(spark, str(tmp_path / "b"))
+    base.create_or_replace(
+        spark.createDataFrame(
+            [(i, "g0", i % 5) for i in range(20)],
+            "id bigint, grp string, u bigint",
+        )
+    )                                                                # v1
+    r = MaterializedRollup(
+        spark, str(tmp_path / "r"), base, ["grp"], [],
+        approx_distinct_cols=["u"],
+    )
+    r.rebuild()
+    base.merge(                                                      # v2
+        spark.createDataFrame([(0, "g0", 4)], "id bigint, grp string, u bigint"),
+        on=["id"],
+        clause=MergeClause(matched_update={"u": "s.u"}),
+    )
+
+    late = spark.createDataFrame(
+        [(1000 + i, "g0", 100 + i) for i in range(50)],
+        "id bigint, grp string, u bigint",
+    )
+    orig_merge = r.table.merge
+
+    def racy_merge(*args, **kwargs):
+        # the concurrent writer: 50 new distinct values land AFTER the
+        # window was computed but BEFORE the sketch scan executes
+        base.append(late)                                            # v3
+        return orig_merge(*args, **kwargs)
+
+    monkeypatch.setattr(r.table, "merge", racy_merge)
+    n = r.refresh_cdf(["id"])
+    monkeypatch.undo()
+    assert n == 2  # the v1->v2 window: one update's two images
+    got = {row["grp"]: row["approx_distinct_u"] for row in r.read().collect()}
+    # endpoint (v2) has u in {0..4}: 5 distincts — NOT 55
+    assert got == {"g0": 5}
+    # exact columns agree with the sketch's snapshot: 20 rows at v2
+    assert {row["n_rows"] for row in r.table.read().collect()} == {20}
+
+    # the late append is not lost — the next refresh folds it
+    r.refresh_cdf(["id"])
+    got = {row["grp"]: row["approx_distinct_u"] for row in r.read().collect()}
+    assert got == {"g0": 55}
