@@ -1,0 +1,333 @@
+"""Durable IVF ANN index state: persisted centroids + cell-partitioned
+inverted lists, restart-safe across sessions (r7 verdict #2).
+
+``ivf_cosine_topk`` retrains k-means per call — a full-corpus pass per
+query run, which a standing pipeline pays DAILY against a growing
+corpus. This module makes the similarity-search leg durable the same
+way dedup state became durable (``open_dedup_state``,
+operators/incremental_dedup.py) and partner reads became pruned
+(``BucketedLookup``, tables/bucketed_lookup.py):
+
+- **centroids**: a SnapshotTable of ``(cell, centroid)`` — n_cells rows,
+  collected to the driver and broadcast per query (bounded).
+- **assignments**: a SnapshotTable of ``(id, vec, cell)``
+  identity-PARTITIONED BY cell — the IVF inverted lists as table
+  layout. A top-k probe of ``nprobe`` cells routes through
+  ``read_where(cell IN probe_cells)``, so partition-dir pruning reads
+  O(nprobe / n_cells) of the corpus without opening the rest
+  (``probe_files`` is the IO receipt, mirroring
+  ``BucketedLookup.fetch_files``).
+- **ANN_META** at the assignments root: index geometry (n_cells, dim,
+  kmeans_iters, column names) plus staleness counters. Geometry travels
+  with the artifacts — ``open_ann_state`` never takes geometry from the
+  caller, so a restarted pipeline cannot probe with mismatched cells
+  (the SemanticState lesson). A geometry fingerprint is ALSO stamped
+  into every snapshot commit summary and cross-checked on open, so
+  artifacts rebuilt underneath a stale meta refuse loudly
+  (r7 verdict #5 applied from birth).
+
+**Appends do not retrain**: ``append`` assigns the delta to the
+EXISTING centroids (one broadcast-matmul Arrow pass over the delta, no
+corpus shuffle, no corpus read) and bumps ``n_appended``. When the
+appended fraction crosses ``retrain_fraction``, ``stale()`` turns True
+and the caller runs ``retrain()`` — the only full-corpus pass, amortized
+across every delta since the last one. That is the 100 TB shape: daily
+cost tracks |delta| + probed cells, not the corpus.
+
+The reference has no vector search; this extends the LLM-data-pipeline
+surface mandated alongside SURVEY.md §2 (similarity search at scale).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..tables._meta import read_json_meta, write_json_meta
+from ..tables.snapshot_table import SnapshotTable
+from .similarity import _as_double, cells_udf, cosine, train_centroids
+
+__all__ = ["AnnState", "build_ann_state", "open_ann_state"]
+
+ANN_META = "ANN_META"
+CELL_COL = "_ann_cell"
+
+
+def _geometry_fp(n_cells: int, dim: int, id_col: str, vec_col: str) -> str:
+    return f"ivf:{n_cells}:{dim}:{id_col}:{vec_col}"
+
+
+@dataclass
+class AnnState:
+    """Persisted IVF index + geometry. Construct via ``build_ann_state``
+    / ``open_ann_state``, never directly."""
+
+    centroids: SnapshotTable    # (cell int, centroid array<double>)
+    assignments: SnapshotTable  # (id, vec, _ann_cell) partitioned by cell
+    id_col: str
+    vec_col: str
+    n_cells: int
+    dim: int
+    kmeans_iters: int
+    retrain_fraction: float
+    n_at_train: int
+    n_appended: int
+
+    # ------------------------------------------------------------- meta
+    def _meta_path(self) -> str:
+        return os.path.join(self.assignments.root, ANN_META)
+
+    def _write_meta(self) -> None:
+        write_json_meta(
+            self._meta_path(),
+            {
+                "id_col": self.id_col,
+                "vec_col": self.vec_col,
+                "n_cells": self.n_cells,
+                "dim": self.dim,
+                "kmeans_iters": self.kmeans_iters,
+                "retrain_fraction": self.retrain_fraction,
+                "n_at_train": self.n_at_train,
+                "n_appended": self.n_appended,
+            },
+        )
+
+    def _geometry_extra(self) -> dict:
+        return {
+            "ann_geometry": _geometry_fp(
+                self.n_cells, self.dim, self.id_col, self.vec_col
+            )
+        }
+
+    def stale(self) -> bool:
+        """True once the un-retrained fraction crosses the threshold —
+        the caller's signal to schedule ``retrain()``. Probes stay
+        correct while stale (appends are assigned to real centroids);
+        staleness is a recall-quality signal, not a correctness one."""
+        return self.n_appended > self.retrain_fraction * max(self.n_at_train, 1)
+
+    # ---------------------------------------------------------- helpers
+    def _centroid_matrix(self):
+        """Driver-side centroid fetch: n_cells rows, bounded."""
+        import numpy as np
+
+        rows = self.centroids.read().orderBy("cell").collect()
+        return np.stack(
+            [np.asarray(r["centroid"], dtype="float64") for r in rows]
+        )
+
+    def _assign(self, df: DataFrame, bc) -> DataFrame:
+        v = df.select(
+            F.col(self.id_col),
+            _as_double(F.col(self.vec_col)).alias(self.vec_col),
+        )
+        return v.withColumn(
+            CELL_COL, F.element_at(cells_udf(bc, 1)(F.col(self.vec_col)), 1)
+        )
+
+    # ------------------------------------------------------------ writes
+    def append(self, delta: DataFrame) -> int:
+        """Fold new vectors in WITHOUT retraining: one broadcast-matmul
+        assignment pass over the delta, appended into the cell
+        partitions they belong to (only those cells get new files).
+        Returns the number of vectors appended."""
+        bc = self.assignments.spark.sparkContext.broadcast(
+            self._centroid_matrix()
+        )
+        assigned = self._assign(delta, bc).localCheckpoint(eager=False)
+        n = assigned.count()  # delta-sized, consumed twice below
+        self.assignments.append(assigned, summary_extra=self._geometry_extra())
+        self.n_appended += int(n)
+        self._write_meta()
+        return int(n)
+
+    def retrain(self) -> int:
+        """Full k-means rebuild from the CURRENT corpus — the amortized
+        full-corpus pass. Re-trains centroids, re-assigns every vector,
+        rewrites both artifacts atomically (snapshot commits), resets
+        the staleness counters. Returns the corpus size trained on."""
+        corpus = self.assignments.read().drop(CELL_COL)
+        v = corpus.select(
+            F.col(self.id_col),
+            _as_double(F.col(self.vec_col)).alias("_v"),
+        )
+        M = train_centroids(
+            v, id_col=self.id_col, n_cells=self.n_cells,
+            kmeans_iters=self.kmeans_iters,
+        )
+        spark = self.assignments.spark
+        self.centroids.create_or_replace(
+            spark.createDataFrame(
+                [(i + 1, [float(x) for x in M[i]]) for i in range(M.shape[0])],
+                "cell int, centroid array<double>",
+            ),
+            summary_extra=self._geometry_extra(),
+        )
+        bc = spark.sparkContext.broadcast(M)
+        self.assignments.create_or_replace(
+            self._assign(corpus, bc),
+            partition_by=[CELL_COL],
+            summary_extra=self._geometry_extra(),
+        )
+        self.n_at_train = self.assignments.read().count()
+        self.n_appended = 0
+        self._write_meta()
+        return self.n_at_train
+
+    # ------------------------------------------------------------- reads
+    def probe_cells(self, queries: DataFrame, nprobe: int) -> list[int]:
+        """The distinct cells a query set probes — a ≤ n_cells-element
+        driver-side list (bounded collect, like candidate_buckets)."""
+        bc = self.assignments.spark.sparkContext.broadcast(
+            self._centroid_matrix()
+        )
+        qv = queries.select(_as_double(F.col(self.vec_col)).alias("_qv"))
+        return sorted(
+            r["c"]
+            for r in qv.select(
+                F.explode(cells_udf(bc, nprobe)(F.col("_qv"))).alias("c")
+            )
+            .distinct()
+            .collect()
+        )
+
+    def probe_files(self, queries: DataFrame, nprobe: int) -> list[str]:
+        """IO receipt: the data files a ``topk`` probe would scan (tests
+        pin ``len(probe_files) << len(all files)`` — the inverted-list
+        read is partition-pruned, never a corpus scan)."""
+        cells = self.probe_cells(queries, nprobe)
+        if not cells:
+            return []
+        return self.assignments.pruned_files([(CELL_COL, "in", cells)])
+
+    def topk(
+        self,
+        queries: DataFrame,
+        *,
+        k: int = 5,
+        nprobe: int = 4,
+        query_id_col: str = "query_id",
+    ) -> DataFrame:
+        """Approximate top-k through the PERSISTED index: each query
+        probes its ``nprobe`` nearest cells; the corpus read is pruned
+        to those cells' partitions. Output: (query_id, id, cosine_sim,
+        rk) — same contract as ``ivf_cosine_topk`` without the per-call
+        training pass."""
+        bc = self.assignments.spark.sparkContext.broadcast(
+            self._centroid_matrix()
+        )
+        qv = queries.select(
+            F.col(query_id_col),
+            _as_double(F.col(self.vec_col)).alias("_qv"),
+        )
+        q = qv.withColumn(
+            "cell_list", cells_udf(bc, nprobe)(F.col("_qv"))
+        ).select(
+            query_id_col, "_qv", F.explode("cell_list").alias(CELL_COL)
+        )
+        cells = self.probe_cells(queries, nprobe)
+        if not cells:
+            probe = self.assignments.read().limit(0)
+        else:
+            probe = self.assignments.read_where([(CELL_COL, "in", cells)])
+        scored = probe.join(F.broadcast(q), CELL_COL).select(
+            query_id_col,
+            self.id_col,
+            F.round(cosine(F.col(self.vec_col), F.col("_qv")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+        w = W.partitionBy(query_id_col).orderBy(
+            F.col("cosine_sim").desc(), F.col(self.id_col)
+        )
+        return scored.withColumn("rk", F.row_number().over(w)).filter(
+            F.col("rk") <= k
+        )
+
+
+def build_ann_state(
+    spark: SparkSession,
+    corpus: DataFrame,
+    centroid_root: str,
+    assign_root: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    kmeans_iters: int = 2,
+    retrain_fraction: float = 0.5,
+    train_sample_mod: int | None = None,
+) -> AnnState:
+    """Run-1: train the quantizer once and persist the index artifacts
+    (centroid table + cell-partitioned assignments + geometry meta)."""
+    v = corpus.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("_v")
+    )
+    M = train_centroids(
+        v, id_col=id_col, n_cells=n_cells, kmeans_iters=kmeans_iters,
+        train_sample_mod=train_sample_mod,
+    )
+    if M is None:
+        raise ValueError("cannot build an ANN index over an empty corpus")
+    dim = int(M.shape[1])
+    st = AnnState(
+        centroids=SnapshotTable(spark, centroid_root),
+        assignments=SnapshotTable(spark, assign_root),
+        id_col=id_col, vec_col=vec_col, n_cells=int(M.shape[0]), dim=dim,
+        kmeans_iters=kmeans_iters, retrain_fraction=retrain_fraction,
+        n_at_train=0, n_appended=0,
+    )
+    st.centroids.create_or_replace(
+        spark.createDataFrame(
+            [(i + 1, [float(x) for x in M[i]]) for i in range(M.shape[0])],
+            "cell int, centroid array<double>",
+        ),
+        summary_extra=st._geometry_extra(),
+    )
+    bc = spark.sparkContext.broadcast(M)
+    st.assignments.create_or_replace(
+        st._assign(corpus, bc),
+        partition_by=[CELL_COL],
+        summary_extra=st._geometry_extra(),
+    )
+    st.n_at_train = st.assignments.read().count()
+    st._write_meta()
+    return st
+
+
+def open_ann_state(
+    spark: SparkSession, centroid_root: str, assign_root: str
+) -> AnnState:
+    """Re-open a persisted index in a NEW session (the daily-pipeline
+    restart): geometry comes from the state's own metadata, never from
+    caller arguments, and is cross-checked against the geometry
+    fingerprint stamped into the artifacts' snapshot summaries — an
+    index rebuilt underneath a stale meta (or vice versa) refuses
+    loudly instead of probing the wrong cells."""
+    meta = read_json_meta(os.path.join(assign_root, ANN_META))
+    st = AnnState(
+        centroids=SnapshotTable(spark, centroid_root),
+        assignments=SnapshotTable(spark, assign_root),
+        id_col=meta["id_col"], vec_col=meta["vec_col"],
+        n_cells=int(meta["n_cells"]), dim=int(meta["dim"]),
+        kmeans_iters=int(meta["kmeans_iters"]),
+        retrain_fraction=float(meta["retrain_fraction"]),
+        n_at_train=int(meta["n_at_train"]),
+        n_appended=int(meta["n_appended"]),
+    )
+    expect = _geometry_fp(st.n_cells, st.dim, st.id_col, st.vec_col)
+    for t in (st.centroids, st.assignments):
+        summ = t._read_snapshot(t.current_version()).get("summary") or {}
+        got = summ.get("ann_geometry")
+        if got != expect:
+            raise ValueError(
+                f"ANN geometry mismatch at {t.root}: artifacts carry "
+                f"{got!r}, meta expects {expect!r} — the index was "
+                "rebuilt with different geometry; rebuild state or "
+                "restore the matching artifacts"
+            )
+    return st

@@ -60,6 +60,99 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom == 0, F.lit(0.0)).otherwise(_dot(a, b) / denom)
 
 
+def _rownorm_np(M):
+    """Row-normalize a numpy matrix (zero rows pass through)."""
+    import numpy as np
+
+    nrm = np.linalg.norm(M, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    return M / nrm
+
+
+def cells_udf(bc, n: int):
+    """Arrow-batched nearest-cell assignment against a BROADCAST
+    row-normalized centroid matrix: each batch is one BLAS matmul, no
+    shuffle touches the vectors. Self-contained closure (broadcast
+    handle + int only) — workers don't need this package on sys.path.
+    Returns the ``n`` nearest 1-based cell ids per vector."""
+
+    def _cells(v_ser):
+        import numpy as _np
+        import pandas as _pd
+
+        Mn = bc.value
+        A = _np.stack([_np.asarray(x, dtype="float64") for x in v_ser])
+        an = _np.linalg.norm(A, axis=1, keepdims=True)
+        an[an == 0] = 1.0
+        sims = (A / an) @ Mn.T
+        # ties break to the lower cell id (stable argsort)
+        idx = _np.argsort(-sims, axis=1, kind="stable")[:, :n] + 1
+        return _pd.Series([r.tolist() for r in idx])
+
+    return F.pandas_udf(_cells, "array<int>")
+
+
+def train_centroids(
+    v: DataFrame,
+    *,
+    id_col: str,
+    n_cells: int,
+    kmeans_iters: int = 2,
+    train_sample_mod: int | None = None,
+):
+    """Spherical k-means on (id, ``_v`` array<double>) rows; returns the
+    row-normalized centroid matrix (numpy, n_cells × dim) or None for an
+    empty input. Shared by the one-shot ``ivf_cosine_topk`` and the
+    durable ``AnnState`` (build/retrain). Init is deterministic (the
+    n_cells lexicographically-first vectors by id); each Lloyd round is
+    one assignment pass + one skinny (cell, dim) mean shuffle; the only
+    driver round-trips are the bounded n_cells×dim mean collects."""
+    import numpy as np
+
+    sc = v.sparkSession.sparkContext
+    # orderBy+limit = TakeOrderedAndProject (per-partition top-k, driver
+    # merge of n_cells rows) — never a global single-partition window
+    cent_vecs = [
+        np.asarray(r["_v"], dtype="float64")
+        for r in v.orderBy(id_col).limit(n_cells).collect()
+    ]
+    if not cent_vecs:
+        return None
+    M = _rownorm_np(np.stack(cent_vecs))
+    train = v
+    if train_sample_mod and train_sample_mod > 1:
+        train = v.filter(F.pmod(F.xxhash64(F.col(id_col)), train_sample_mod) == 0)
+    # unit vectors staged as a real column so the HOF lambda doesn't
+    # re-evaluate the norm per element
+    train = train.withColumn("_n", _norm(F.col("_v"))).select(
+        "_v",
+        F.when(F.col("_n") == 0, F.col("_v"))
+        .otherwise(F.transform("_v", lambda x: x / F.col("_n")))
+        .alias("_vu"),
+    )
+    for _ in range(max(0, kmeans_iters)):
+        bc_i = sc.broadcast(M)
+        means = (
+            train.withColumn(
+                "cell", F.element_at(cells_udf(bc_i, 1)(F.col("_v")), 1)
+            )
+            .select("cell", F.posexplode("_vu").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        M2 = M.copy()
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["cell"] - 1, {})[r["pos"]] = r["m"]
+        for ci, dims in by_cell.items():
+            vec = np.array([dims.get(p, 0.0) for p in range(M.shape[1])])
+            if np.linalg.norm(vec) > 0:
+                M2[ci] = vec
+        M = _rownorm_np(M2)
+    return M
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -165,17 +258,15 @@ def ivf_cosine_topk(
     nearest cells, so the scored fraction is ~nprobe/n_cells. Output:
     (query_id, vec_id, cosine_sim, rk).
     """
-    import numpy as np
-
-    sc = corpus.sparkSession.sparkContext
     v = _spread(corpus).select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
-    # orderBy+limit = TakeOrderedAndProject (per-partition top-k, driver
-    # merge of n_cells rows) — never a global single-partition window
-    cent_vecs = [
-        np.asarray(r["_v"], dtype="float64")
-        for r in v.orderBy(id_col).limit(n_cells).collect()
-    ]
-    if not cent_vecs:  # empty corpus → empty result, stable schema
+    M = train_centroids(
+        v,
+        id_col=id_col,
+        n_cells=n_cells,
+        kmeans_iters=kmeans_iters,
+        train_sample_mod=train_sample_mod,
+    )
+    if M is None:  # empty corpus → empty result, stable schema
         return (
             queries.select(F.col(query_id_col))
             .limit(0)
@@ -184,60 +275,7 @@ def ivf_cosine_topk(
             .withColumn("rk", F.lit(0))
         )
 
-    def _rownorm(M: "np.ndarray") -> "np.ndarray":
-        nrm = np.linalg.norm(M, axis=1, keepdims=True)
-        nrm[nrm == 0] = 1.0
-        return M / nrm
-
-    def cells_udf(bc, n: int):
-        # self-contained closure (broadcast handle + int only): workers
-        # don't need this package on their sys.path
-        def _cells(v_ser):
-            import numpy as _np
-            import pandas as _pd
-
-            Mn = bc.value
-            A = _np.stack([_np.asarray(x, dtype="float64") for x in v_ser])
-            an = _np.linalg.norm(A, axis=1, keepdims=True)
-            an[an == 0] = 1.0
-            sims = (A / an) @ Mn.T
-            # ties break to the lower cell id (stable argsort)
-            idx = _np.argsort(-sims, axis=1, kind="stable")[:, :n] + 1
-            return _pd.Series([r.tolist() for r in idx])
-
-        return F.pandas_udf(_cells, "array<int>")
-
-    M = _rownorm(np.stack(cent_vecs))
-    train = v
-    if train_sample_mod and train_sample_mod > 1:
-        train = v.filter(F.pmod(F.xxhash64(F.col(id_col)), train_sample_mod) == 0)
-    # unit vectors staged as a real column so the HOF lambda doesn't
-    # re-evaluate the norm per element
-    train = train.withColumn("_n", _norm(F.col("_v"))).select(
-        "_v",
-        F.when(F.col("_n") == 0, F.col("_v"))
-        .otherwise(F.transform("_v", lambda x: x / F.col("_n")))
-        .alias("_vu"),
-    )
-    for _ in range(max(0, kmeans_iters)):
-        bc_i = sc.broadcast(M)
-        means = (
-            train.withColumn("cell", F.element_at(cells_udf(bc_i, 1)(F.col("_v")), 1))
-            .select("cell", F.posexplode("_vu").alias("pos", "val"))
-            .groupBy("cell", "pos")
-            .agg(F.avg("val").alias("m"))
-            .collect()
-        )
-        M2 = M.copy()
-        by_cell: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cell.setdefault(r["cell"] - 1, {})[r["pos"]] = r["m"]
-        for ci, dims in by_cell.items():
-            vec = np.array([dims.get(p, 0.0) for p in range(M.shape[1])])
-            if np.linalg.norm(vec) > 0:
-                M2[ci] = vec
-        M = _rownorm(M2)
-
+    sc = corpus.sparkSession.sparkContext
     bc = sc.broadcast(M)
     assigned = v.withColumn("cell", F.element_at(cells_udf(bc, 1)(F.col("_v")), 1))
     qv = queries.select(F.col(query_id_col), _as_double(F.col(vec_col)).alias("_qv"))

@@ -1882,3 +1882,150 @@ def q125_wap_maintenance_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame
         F.lit(republished_rows).cast("bigint").alias("republished_rows"),
         F.lit(republished_sum).cast("bigint").alias("republished_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q128: CDF REPLICA SYNC — the CONSUMER half of the changelog
+#       (operators/changelog.apply_changes): a downstream replica is
+#       bootstrapped at v1, then kept in lockstep by applying each
+#       commit window's change feed — the reference's whole CDC-consumer
+#       shape (updating_db_with_deltas_iceberg.ipynb cell 26 applies
+#       daily deltas into a downstream Iceberg table). Three window
+#       kinds are exercised: a COW conditional MERGE (update+delete+
+#       insert in one commit), a plain APPEND (insert-only feed →
+#       apply_changes takes the no-merge append fast path, duplicate-key
+#       safe), and a MERGE-ON-READ update (the feed diffs across live
+#       equality deletes). The ENTIRE final replica is hash-checked
+#       against the oracle's recomputation, plus per-wave applied-count
+#       receipts (insert + update_postimage + delete rows — a feed that
+#       leaked pre-images or re-scanned the base would mismatch).
+#       Scale shape: each apply is ONE delete-aware MERGE whose cost is
+#       |changes| (file pruning rewrites only matched replica files),
+#       never the replica size — the probe in tools/probe_cdf_sync.py
+#       measures exactly that curve.
+# ---------------------------------------------------------------------------
+@register(
+    "q128_cdf_replica_sync",
+    covers="change-data-feed cdc-consumer table-layer S5 S7 S10 J4 M5-shape U1 P5",
+    oracle="""
+WITH s AS (
+  SELECT s_suppkey, s_name,
+         CAST(round(s_acctbal * 100, 0) AS BIGINT) AS acctbal_cents,
+         CAST(s_nationkey AS BIGINT) AS s_nationkey
+  FROM supplier
+),
+final AS (
+  SELECT s_suppkey, s_name,
+         acctbal_cents
+           + CASE WHEN s_suppkey % 7 = 0 THEN 10000 ELSE 0 END AS acctbal_cents,
+         s_nationkey
+           + CASE WHEN s_suppkey % 7 = 4 THEN 100 ELSE 0 END AS s_nationkey
+  FROM s WHERE s_suppkey % 7 <> 1
+  UNION ALL
+  SELECT s_suppkey + 1000000, s_name, acctbal_cents, s_nationkey
+  FROM s WHERE s_suppkey % 7 = 2
+  UNION ALL
+  SELECT s_suppkey + 2000000, s_name, acctbal_cents, s_nationkey
+  FROM s WHERE s_suppkey % 7 = 3
+)
+SELECT f.s_suppkey, f.s_name, f.acctbal_cents, f.s_nationkey,
+  (SELECT CAST(count(*) FILTER (WHERE s_suppkey % 7 IN (0, 1, 2)) AS BIGINT)
+   FROM s) AS wave1_applied,
+  (SELECT CAST(count(*) FILTER (WHERE s_suppkey % 7 = 3) AS BIGINT)
+   FROM s) AS wave2_applied,
+  (SELECT CAST(count(*) FILTER (WHERE s_suppkey % 7 = 4) AS BIGINT)
+   FROM s) AS wave3_applied
+FROM final f
+""",
+)
+def q128_cdf_replica_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.changelog import apply_changes, table_changes
+    from ..tables.snapshot_table import MergeClause, SnapshotTable
+    from ._exact import cents
+
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_name",
+        cents(F.col("s_acctbal")).alias("acctbal_cents"),
+        F.col("s_nationkey").cast("bigint").alias("s_nationkey"),
+    )
+    base = SnapshotTable(spark, scratch_dir(prefix="q128_base_"))
+    base.create_or_replace(sup, partitions=4)                        # v1
+    replica = SnapshotTable(spark, scratch_dir(prefix="q128_rep_"))
+    replica.create_or_replace(base.read(1))   # consumer bootstraps at v1
+
+    # producer wave 1 (COW conditional MERGE): +100.00 on %7=0, delete
+    # %7=1, insert +1M-key clones of %7=2
+    src1 = (
+        sup.filter(F.col("s_suppkey") % 7 == 0)
+        .select(
+            "s_suppkey", "s_name",
+            (F.col("acctbal_cents") + 10000).alias("acctbal_cents"),
+            "s_nationkey", F.lit("U").alias("__op"),
+        )
+        .unionByName(
+            sup.filter(F.col("s_suppkey") % 7 == 1).select(
+                "s_suppkey", "s_name", "acctbal_cents", "s_nationkey",
+                F.lit("D").alias("__op"),
+            )
+        )
+        .unionByName(
+            sup.filter(F.col("s_suppkey") % 7 == 2).select(
+                (F.col("s_suppkey") + 1_000_000).alias("s_suppkey"),
+                "s_name", "acctbal_cents", "s_nationkey",
+                F.lit("I").alias("__op"),
+            )
+        )
+    )
+    base.merge(                                                      # v2
+        src1,
+        on=["s_suppkey"],
+        clause=MergeClause(
+            matched_update={"acctbal_cents": "s.acctbal_cents"},
+            matched_update_condition="s.__op = 'U'",
+            matched_delete_condition="s.__op = 'D'",
+            insert_values={
+                "s_suppkey": "s.s_suppkey",
+                "s_name": "s.s_name",
+                "acctbal_cents": "s.acctbal_cents",
+                "s_nationkey": "s.s_nationkey",
+            },
+        ),
+    )
+    # producer wave 2 (plain append): +2M-key copies of %7=3
+    base.append(                                                     # v3
+        sup.filter(F.col("s_suppkey") % 7 == 3).select(
+            (F.col("s_suppkey") + 2_000_000).alias("s_suppkey"),
+            "s_name", "acctbal_cents", "s_nationkey",
+        )
+    )
+    # producer wave 3 (MERGE-ON-READ update): +100 nationkey on %7=4
+    base.merge(                                                      # v4
+        sup.filter(F.col("s_suppkey") % 7 == 4).select(
+            "s_suppkey",
+            (F.col("s_nationkey") + 100).alias("s_nationkey"),
+        ),
+        on=["s_suppkey"],
+        clause=MergeClause(
+            matched_update={"s_nationkey": "s.s_nationkey"},
+            insert_when_not_matched=False,
+        ),
+        mode="merge-on-read",
+    )
+
+    # consumer loop: checkpoint = last applied version, one
+    # table_changes + apply_changes per commit window
+    applied = [
+        apply_changes(
+            replica,
+            table_changes(base, ["s_suppkey"], v, v + 1),
+            ["s_suppkey"],
+        )
+        for v in (1, 2, 3)
+    ]
+    return replica.read().select(
+        "s_suppkey", "s_name", "acctbal_cents", "s_nationkey",
+        F.lit(applied[0]).cast("bigint").alias("wave1_applied"),
+        F.lit(applied[1]).cast("bigint").alias("wave2_applied"),
+        F.lit(applied[2]).cast("bigint").alias("wave3_applied"),
+    )

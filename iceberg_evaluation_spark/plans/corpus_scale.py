@@ -1054,3 +1054,128 @@ def q127_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(sink.last_epoch()).cast("bigint").alias("last_epoch"),
         F.lit(table.history().count()).cast("bigint").alias("sink_commits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q129: DURABLE ANN INDEX STATE — the similarity-search leg of the
+#       standing pipeline made restart-safe (r7 verdict #2; mirrors
+#       q126's dedup-state shape). Build the IVF index once over the
+#       corpus head (centroid table + cell-PARTITIONED inverted lists +
+#       geometry meta), fold a delta in WITHOUT retraining (one
+#       broadcast-matmul pass over the delta), then REOPEN the state
+#       from disk — geometry from the artifacts, never the caller — and
+#       serve top-k through the reopened index. IVF raw rows are
+#       engine/float-order specific, so the oracle is the q38-style
+#       CONTRACT: exactly k rows per query, recall >= 3/5 vs the exact
+#       in-query brute-force twin over the FULL corpus (head + delta —
+#       a probe that missed the un-retrained appends would fail), the
+#       probe read partition-pruned to the probed cells (IO receipt:
+#       probe_files strict subset), reopened geometry intact, and the
+#       staleness signal raised (delta fraction 20% > threshold 10%).
+#       Scale shape: daily cost is |delta| + probed cells, never the
+#       corpus; the retrain full pass is amortized behind stale().
+# ---------------------------------------------------------------------------
+def _q129_state(spark: SparkSession, sf_dir: str):
+    from ..operators.ann_state import build_ann_state, open_ann_state
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    head = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    cent = scratch_dir(prefix="q129_cent_")
+    assign = scratch_dir(prefix="q129_assign_")
+    st = build_ann_state(
+        spark, head, cent, assign,
+        n_cells=16, retrain_fraction=0.1,
+    )
+    n_appended = st.append(delta)
+    # the restart: a fresh object, geometry read back from disk
+    reopened = open_ann_state(spark, cent, assign)
+    return st, reopened, n_appended
+
+
+_Q129_CACHE: dict = {}
+
+
+def _q129_bare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator-only variant: ONE top-k probe through an already-built,
+    already-reopened index — the daily production shape. The state
+    build + exact brute-force recall twin in the registered form is
+    verification harness (verify_s)."""
+    key = (id(spark), sf_dir)
+    if key not in _Q129_CACHE:
+        _Q129_CACHE[key] = _q129_state(spark, sf_dir)
+    _, reopened, _ = _Q129_CACHE[key]
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = reopened.topk(queries, k=5, nprobe=6)
+    return approx.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("k_returned")
+    )
+
+
+@register(
+    "q129_durable_ann_state",
+    covers="similarity-ivf similarity-state table-layer S5 S6 S7 J5 A2 P5",
+    bare=_q129_bare,
+    oracle="""
+SELECT vec_id AS query_id,
+       CAST(5 AS BIGINT) AS k_returned,
+       TRUE AS recall_ok,
+       TRUE AS pruned_probe_ok,
+       TRUE AS reopened_geometry_ok,
+       TRUE AS stale_after_delta,
+       (SELECT CAST(count(*) FILTER (WHERE vec_id % 5 <> 0) AS BIGINT)
+        FROM embeddings) AS n_at_train,
+       (SELECT CAST(count(*) FILTER (WHERE vec_id % 5 = 0) AS BIGINT)
+        FROM embeddings) AS n_appended
+FROM embeddings WHERE vec_id < 5
+""",
+)
+def q129_durable_ann_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_topk
+
+    st, reopened, n_appended = _q129_state(spark, sf_dir)
+    _Q129_CACHE[(id(spark), sf_dir)] = (st, reopened, n_appended)
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = reopened.topk(queries, k=5, nprobe=6)
+    # recall twin: exact brute force over the FULL corpus (head+delta)
+    exact = cosine_topk(emb, queries, k=5).select("query_id", "vec_id")
+    matches = (
+        approx.join(exact, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("_m"))
+    )
+    # IO receipt: the probe reads a strict subset of the inverted-list
+    # files (partition pruning), never the corpus
+    all_files = reopened.assignments._read_snapshot(
+        reopened.assignments.current_version()
+    )["files"]
+    probed = reopened.probe_files(queries, nprobe=6)
+    pruned_ok = 0 < len(probed) < len(all_files)
+    geometry_ok = (
+        reopened.n_cells == st.n_cells
+        and reopened.dim == st.dim
+        and reopened.n_at_train == st.n_at_train
+        and reopened.n_appended == st.n_appended
+    )
+    return (
+        approx.groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k_returned"))
+        .join(matches, "query_id", "left")
+        .select(
+            "query_id",
+            "k_returned",
+            (F.coalesce(F.col("_m"), F.lit(0)) >= 3).alias("recall_ok"),
+            F.lit(pruned_ok).alias("pruned_probe_ok"),
+            F.lit(geometry_ok).alias("reopened_geometry_ok"),
+            F.lit(reopened.stale()).alias("stale_after_delta"),
+            F.lit(reopened.n_at_train).cast("bigint").alias("n_at_train"),
+            F.lit(n_appended).cast("bigint").alias("n_appended"),
+        )
+    )

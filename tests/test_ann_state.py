@@ -1,0 +1,148 @@
+"""Durable IVF ANN index (operators/ann_state): persisted centroids +
+cell-partitioned inverted lists, restart-safe geometry, pruned probes,
+append-without-retrain and staleness-triggered retrain."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_evaluation_spark.operators.ann_state import (
+    build_ann_state,
+    open_ann_state,
+)
+from iceberg_evaluation_spark.operators.similarity import cosine_topk
+
+
+def _vectors(spark, n, dim=8, seed_shift=0):
+    # deterministic structured vectors: 4 well-separated direction
+    # groups plus per-id jitter, no RNG
+    return spark.range(n).select(
+        (F.col("id") + seed_shift).alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda p: (
+                F.when((p % 4) == (F.col("id") + seed_shift) % 4, 1.0)
+                .otherwise(0.0)
+                + ((F.col("id") + seed_shift) * (p + 1) % 97) / 970.0
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+
+
+def _roots(tmp_path):
+    return str(tmp_path / "cent"), str(tmp_path / "assign")
+
+
+def test_full_probe_equals_brute_force(spark, tmp_path):
+    """nprobe = n_cells scores the whole corpus — the persisted-index
+    path must then EQUAL exact brute-force top-k, row for row."""
+    corpus = _vectors(spark, 120)
+    cent, assign = _roots(tmp_path)
+    st = build_ann_state(spark, corpus, cent, assign, n_cells=8)
+    queries = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {
+        (r["query_id"], r["vec_id"], r["rk"])
+        for r in st.topk(queries, k=5, nprobe=8).collect()
+    }
+    exact = {
+        (r["query_id"], r["vec_id"], r["rk"])
+        for r in cosine_topk(corpus, queries, k=5).collect()
+    }
+    assert got == exact
+
+
+def test_probe_reads_are_partition_pruned(spark, tmp_path):
+    """The inverted-list read must be file-pruned to the probed cells —
+    a 2-cell probe over a 8-cell index reads a strict minority of
+    files (the BucketedLookup receipt pattern)."""
+    corpus = _vectors(spark, 200)
+    cent, assign = _roots(tmp_path)
+    st = build_ann_state(spark, corpus, cent, assign, n_cells=8)
+    all_files = st.assignments._read_snapshot(
+        st.assignments.current_version()
+    )["files"]
+    queries = corpus.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    probed = st.probe_files(queries, nprobe=2)
+    assert 0 < len(probed) < len(all_files)
+    assert len(st.probe_cells(queries, 2)) == 2
+    # results through the pruned read match results through a full probe
+    # on the overlap of probed cells (sanity: the pruned top-k is a
+    # subset of the corpus, k rows returned)
+    assert st.topk(queries, k=5, nprobe=2).count() == 5
+
+
+def test_append_then_reopen_preserves_geometry_and_finds_delta(
+    spark, tmp_path
+):
+    """The standing-pipeline restart shape: build, append WITHOUT
+    retrain, reopen from disk (geometry from meta, not the caller), and
+    the reopened index must return appended vectors for their own
+    queries. Staleness flips once appends cross the threshold."""
+    corpus = _vectors(spark, 100)
+    cent, assign = _roots(tmp_path)
+    st = build_ann_state(
+        spark, corpus, cent, assign, n_cells=4, retrain_fraction=0.5
+    )
+    assert st.n_at_train == 100 and not st.stale()
+
+    delta = _vectors(spark, 60, seed_shift=1000)
+    assert st.append(delta) == 60
+    assert st.stale()  # 60/100 > 0.5
+
+    st2 = open_ann_state(spark, cent, assign)
+    assert (st2.n_cells, st2.dim) == (4, 8)
+    assert st2.n_at_train == 100 and st2.n_appended == 60
+    assert st2.stale()
+    # a delta vector queried against the reopened index finds ITSELF
+    q = delta.filter(F.col("vec_id") == 1001).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top1 = st2.topk(q, k=1, nprobe=4).collect()
+    assert top1[0]["vec_id"] == 1001
+
+    # retrain folds the appends into a fresh quantizer and resets counters
+    assert st2.retrain() == 160
+    assert st2.n_appended == 0 and not st2.stale()
+    st3 = open_ann_state(spark, cent, assign)
+    assert st3.n_at_train == 160
+    assert st3.topk(q, k=1, nprobe=4).collect()[0]["vec_id"] == 1001
+
+
+def test_open_refuses_geometry_mismatch(spark, tmp_path):
+    """r7 verdict #5 applied from birth: artifacts rebuilt underneath a
+    stale meta (different n_cells) must refuse to open, never silently
+    probe the wrong cells."""
+    import os
+    import shutil
+
+    corpus = _vectors(spark, 80)
+    cent, assign = _roots(tmp_path)
+    build_ann_state(spark, corpus, cent, assign, n_cells=4)
+    meta_bak = str(tmp_path / "meta_bak")
+    shutil.copy(os.path.join(assign, "ANN_META"), meta_bak)
+    # rebuild the artifacts with DIFFERENT geometry at the same roots
+    build_ann_state(spark, corpus, cent, assign, n_cells=8)
+    # restore the stale meta: meta says 4 cells, artifacts carry 8
+    shutil.copy(meta_bak, os.path.join(assign, "ANN_META"))
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        open_ann_state(spark, cent, assign)
+
+
+def test_empty_query_set_and_empty_corpus(spark, tmp_path):
+    corpus = _vectors(spark, 40)
+    cent, assign = _roots(tmp_path)
+    st = build_ann_state(spark, corpus, cent, assign, n_cells=4)
+    empty_q = corpus.limit(0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    assert st.topk(empty_q, k=3, nprobe=2).count() == 0
+    assert st.probe_files(empty_q, 2) == []
+    with pytest.raises(ValueError, match="empty corpus"):
+        build_ann_state(
+            spark, corpus.limit(0), str(tmp_path / "c2"), str(tmp_path / "a2")
+        )
