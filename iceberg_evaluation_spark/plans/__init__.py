@@ -19,36 +19,37 @@ from . import corpus_quality  # noqa: E402,F401
 # sort first automatically, then oldest-latest-verdict first. Only the
 # small PINNED head below — queries whose code paths THIS round touched —
 # is maintained by hand each round.
-_R7_PINNED = [
+#
+# FRESHNESS SLA (r7 verdict #4): with a 50-slot window over this corpus,
+# keeping the pin budget ≤ 10 makes "no driver verdict older than 3
+# rounds" the steady-state fixed point — the auto-sort rotates the whole
+# oldest cohort through each round. Exceeding the pin budget silently
+# ages the tail; don't.
+_R8_PINNED = [
     # flagship stays first (driver entry() smoke-checks it anyway)
     "q01_pricing_summary",
-    # pointer-flip manifest re-verify + publish hardening touch every
-    # commit path; re-verify the deepest multi-commit pipeline plus the
-    # branch/tag queries whose code changed (r7 ADVICE fixes)
-    "q44_scd2_table_pipeline",
-    "q122_snapshot_tags",
-    "q123_wap_branch_publish",
-    # changelog/rollup CDF changes (append-window CDF, group-scoped
-    # sketch maintenance) + q120's widened tolerance (r7)
+    # changelog append-safe set + diff-path pruning changed (r8 ADVICE:
+    # drop_column windows now take the endpoint diff)
     "q118_change_data_feed",
+    # rollup group-scoped sketch rebuild is now snapshot-pinned to the
+    # window endpoint (r8 ADVICE)
     "q119_rollup_cdf_maintenance",
     "q120_sketch_rollup",
-    # candidate-pruned partner reads rewire the incremental/gated dedup
-    # partner fetch (r7 verdict #3)
-    "q104_incremental_crossrun_dedup",
-    "q105_incremental_semantic_ingest",
+    "q124_sketch_rollup_cdf",
+    # IdempotentEpochSink query_id became required (r8 ADVICE); q127 is
+    # its contract query, q115 its deepest consumer
+    "q127_exactly_once_sink",
     "q115_gated_streaming_ingest",
-    "q117_gated_semantic_ingest",
 ]
-# 11 pins + the r7 additions (never checked → auto-sorted next) + the
-# 35 r3-era stale verdicts = ≤ 50: the whole backlog clears this round
-# (r6 verdict #1 — the pin budget is the one manual discipline left).
+# 7 pins + 2 new (q128/q129, never checked → auto-sorted in) + the 36
+# r5-era verdicts = 45 of 50; the remaining slots pull the oldest r6
+# verdicts forward. After this round no verdict predates r6.
 _REPO_ROOT = _os.path.dirname(
     _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
 )
 _HISTORY = _registry.load_correctness_history(_REPO_ROOT)
 _registry.PRIORITY[:] = _registry.derive_priority(
-    list(_registry.REGISTRY), _HISTORY, _R7_PINNED
+    list(_registry.REGISTRY), _HISTORY, _R8_PINNED
 )
 
 __all__ = ["Query", "REGISTRY", "register", "all_queries", "all_oracles"]
