@@ -151,13 +151,46 @@ def _read_index_for(
     return table.read_where([(_INDEX_PCOL, "in", vals)]).drop(_INDEX_PCOL)
 
 
+def _geometry_fp(meta: dict) -> str:
+    """Deterministic fingerprint of a state's signature geometry — the
+    witness stamped into every band-artifact commit and cross-checked
+    against DEDUP_META on open (r7 verdict #5: artifacts rebuilt with
+    different geometry under a stale meta must refuse loudly, never
+    silently probe mismatched buckets)."""
+    import json as _json
+
+    return "geom:" + _json.dumps(meta, sort_keys=True)
+
+
+def _check_geometry(table: SnapshotTable, meta: dict, what: str) -> None:
+    from ..tables.bucketed_lookup import latest_summary_value
+
+    got = latest_summary_value(table, "dedup_geometry")
+    expect = _geometry_fp(meta)
+    if got is not None and got != expect:
+        raise ValueError(
+            f"{what} geometry mismatch at {table.root}: artifacts carry "
+            f"{got!r}, DEDUP_META expects {expect!r} — the index was "
+            "rebuilt with different geometry; rebuild the state or "
+            "restore the matching meta"
+        )
+
+
 def _append_index(
-    table: SnapshotTable, rows: DataFrame, keys: list[str], m: int | None
+    table: SnapshotTable,
+    rows: DataFrame,
+    keys: list[str],
+    m: int | None,
+    geometry: str | None = None,
 ) -> None:
+    extra = {"dedup_geometry": geometry} if geometry else None
     if m is None:
-        table.append(rows)
+        table.append(rows, summary_extra=extra)
     else:
-        table.append(rows.withColumn(_INDEX_PCOL, _pband_expr(keys, m)))
+        table.append(
+            rows.withColumn(_INDEX_PCOL, _pband_expr(keys, m)),
+            summary_extra=extra,
+        )
 
 
 def _capped_append_rows(
@@ -216,6 +249,15 @@ class DedupState:
     # pipeline whose exactness story needs capping to be a no-op asserts
     # both stay 0.
     append_drops: int = 0
+    def _geometry(self) -> str:
+        return _geometry_fp(
+            {
+                "max_bucket": self.max_bucket,
+                "shingle_n": self.shingle_n,
+                "index_partitions": self.index_partitions,
+            }
+        )
+
     # bloom words cached per fingerprint-table version: a streaming
     # ingest (q106) probes the SAME standing filter every micro-batch;
     # rebuilding the distributed bit-OR per batch is pure waste. When
@@ -305,25 +347,25 @@ def build_dedup_state(
         .drop("_rn")
     )
     band_table = SnapshotTable(spark, band_root)
+    meta = {
+        "max_bucket": max_bucket,
+        "shingle_n": shingle_n,
+        "index_partitions": index_partitions,
+    }
+    extra = {"dedup_geometry": _geometry_fp(meta)}
     if index_partitions is None:
-        band_table.create_or_replace(capped)
+        band_table.create_or_replace(capped, summary_extra=extra)
     else:
         band_table.create_or_replace(
             capped.withColumn(
                 _INDEX_PCOL, _pband_expr(["band", "bucket"], index_partitions)
             ),
             partition_by=[_INDEX_PCOL],
+            summary_extra=extra,
         )
     n_banded = banded.count()
     n_kept = band_table.read().count()
-    _write_state_meta(
-        band_table.root,
-        {
-            "max_bucket": max_bucket,
-            "shingle_n": shingle_n,
-            "index_partitions": index_partitions,
-        },
-    )
+    _write_state_meta(band_table.root, meta)
     return DedupState(
         fingerprints=fp_table, bands=band_table,
         capped_drops=n_banded - n_kept, max_bucket=max_bucket,
@@ -357,9 +399,11 @@ def open_dedup_state(
     at 0 — the artifacts themselves are the durable state."""
     meta = _read_state_meta(band_root)
     ip = meta.get("index_partitions")
+    bands = SnapshotTable(spark, band_root)
+    _check_geometry(bands, meta, "dedup-state")
     return DedupState(
         fingerprints=SnapshotTable(spark, fp_root),
-        bands=SnapshotTable(spark, band_root),
+        bands=bands,
         capped_drops=0,
         max_bucket=int(meta["max_bucket"]),
         shingle_n=int(meta["shingle_n"]),
@@ -527,7 +571,8 @@ def incremental_neardup_dedup(
                 ["band", "bucket"], state.max_bucket,
             ).localCheckpoint(eager=False)
             _append_index(
-                state.bands, kept, ["band", "bucket"], state.index_partitions
+                state.bands, kept, ["band", "bucket"],
+                state.index_partitions, geometry=state._geometry(),
             )
             # delta-sized counts (the frames are already materialized by
             # the checkpoint feeding the write) — keeps append-time recall
@@ -562,6 +607,15 @@ class SemanticState:
     # hash-partitioned index layout, as in DedupState.index_partitions
     index_partitions: int | None = None
 
+    def _geometry(self) -> str:
+        return _geometry_fp(
+            {
+                "max_bucket": self.max_bucket,
+                "srp_params": self.srp_params,
+                "index_partitions": self.index_partitions,
+            }
+        )
+
 
 def build_semantic_state(
     spark: SparkSession,
@@ -592,23 +646,23 @@ def build_semantic_state(
         .select(F.col("_id").alias("id"), "chunk", "cval")
     )
     table = SnapshotTable(spark, band_root)
+    meta = {
+        "max_bucket": max_bucket,
+        "srp_params": dict(srp_kwargs),
+        "index_partitions": index_partitions,
+    }
+    extra = {"dedup_geometry": _geometry_fp(meta)}
     if index_partitions is None:
-        table.create_or_replace(capped)
+        table.create_or_replace(capped, summary_extra=extra)
     else:
         table.create_or_replace(
             capped.withColumn(
                 _INDEX_PCOL, _pband_expr(["chunk", "cval"], index_partitions)
             ),
             partition_by=[_INDEX_PCOL],
+            summary_extra=extra,
         )
-    _write_state_meta(
-        table.root,
-        {
-            "max_bucket": max_bucket,
-            "srp_params": dict(srp_kwargs),
-            "index_partitions": index_partitions,
-        },
-    )
+    _write_state_meta(table.root, meta)
     return SemanticState(
         bands=table, max_bucket=max_bucket, srp_params=dict(srp_kwargs),
         index_partitions=index_partitions,
@@ -622,8 +676,10 @@ def open_semantic_state(spark: SparkSession, band_root: str) -> SemanticState:
     mismatched signature (the r5 lesson, made durable)."""
     meta = _read_state_meta(band_root)
     ip = meta.get("index_partitions")
+    bands = SnapshotTable(spark, band_root)
+    _check_geometry(bands, meta, "semantic-state")
     return SemanticState(
-        bands=SnapshotTable(spark, band_root),
+        bands=bands,
         max_bucket=int(meta["max_bucket"]),
         srp_params=dict(meta["srp_params"]),
         index_partitions=None if ip is None else int(ip),
@@ -731,7 +787,8 @@ def incremental_semantic_dedup(
                 state.max_bucket,
             ).localCheckpoint(eager=False)
             _append_index(
-                state.bands, kept, ["chunk", "cval"], state.index_partitions
+                state.bands, kept, ["chunk", "cval"],
+                state.index_partitions, geometry=state._geometry(),
             )
             state.append_drops += new_chunks.count() - kept.count()
     return dup.select("id", F.lit("dup").alias("status")).unionByName(

@@ -46,6 +46,23 @@ __all__ = ["BucketedLookup"]
 BUCKET_COL = "_id_bucket"
 
 
+def _geometry_fp(id_col: str, payload_col: str, n_buckets: int) -> str:
+    return f"bucket:{n_buckets}:{id_col}:{payload_col}"
+
+
+def latest_summary_value(table: SnapshotTable, key: str):
+    """Newest snapshot-summary value for ``key`` — the geometry WITNESS
+    stamped by every layout-defining write. Manifest-scale backward
+    scan; None when no surviving snapshot carries the key (compaction
+    snapshots don't re-stamp, and expiry can erase stamped manifests —
+    the meta file stays the source of truth then)."""
+    for s in reversed(table._snapshots()):
+        summ = s.get("summary") or {}
+        if key in summ:
+            return summ[key]
+    return None
+
+
 class BucketedLookup:
     """A SnapshotTable of (id, payload) laid out partitioned by
     ``pmod(xxhash64(id), n_buckets)`` so that fetching the partners of a
@@ -101,20 +118,39 @@ class BucketedLookup:
                 BUCKET_COL, lk._bucket_expr(id_col)
             ),
             partition_by=[BUCKET_COL],
+            summary_extra={"lookup_geometry": lk._geometry()},
         )
         lk._write_meta()
         return lk
+
+    def _geometry(self) -> str:
+        return _geometry_fp(self.id_col, self.payload_col, self.n_buckets)
 
     @classmethod
     def open(cls, spark: SparkSession, root: str) -> "BucketedLookup":
         """Re-open a standing lookup with the geometry it was built with
         (the bucket count MUST travel with the data — a mismatched
         ``n_buckets`` would fetch the wrong buckets and silently miss
-        partners, the SemanticState lesson of r6)."""
+        partners, the SemanticState lesson of r6).
+
+        The meta is cross-checked against the geometry fingerprint
+        stamped into the artifacts' snapshot summaries (r7 verdict #5):
+        a corpus re-created at the same root with different ``n_buckets``
+        under a stale LOOKUP_META refuses loudly instead of silently
+        fetching the wrong buckets."""
         m = read_json_meta(os.path.join(root, "LOOKUP_META"))
-        return cls(
+        lk = cls(
             spark, root, m["id_col"], m["payload_col"], int(m["n_buckets"])
         )
+        got = latest_summary_value(lk.table, "lookup_geometry")
+        if got is not None and got != lk._geometry():
+            raise ValueError(
+                f"bucketed-lookup geometry mismatch at {root}: artifacts "
+                f"carry {got!r}, LOOKUP_META expects {lk._geometry()!r} — "
+                "the corpus was re-laid-out with different geometry; "
+                "re-create the lookup or restore the matching meta"
+            )
+        return lk
 
     # ----------------------------------------------------------- writes
     def _bucket_expr(self, col: str):
@@ -122,12 +158,77 @@ class BucketedLookup:
 
     def append(self, df: DataFrame) -> int:
         """Append delta rows in the bucketed layout (only the buckets
-        the rows hash to get new files — append cost is delta-sized)."""
+        the rows hash to get new files — append cost is delta-sized).
+
+        Schema evolution is supported: columns the TABLE gained via
+        ``add_column`` pass through when the delta carries them (absent
+        ones fill NULL, per append semantics); columns the delta carries
+        that the table never declared are still projected away — the
+        (id, payload, +declared extras) contract, not a free-for-all."""
+        import json as _json
+
+        if self.table.exists():
+            declared = {
+                f["name"]
+                for f in _json.loads(
+                    self.table._read_snapshot(self.table.current_version())[
+                        "schema"
+                    ]
+                )["fields"]
+            }
+        else:
+            declared = {self.id_col, self.payload_col}
+        keep = [self.id_col, self.payload_col] + [
+            c
+            for c in df.columns
+            if c in declared and c not in (self.id_col, self.payload_col, BUCKET_COL)
+        ]
         return self.table.append(
-            df.select(self.id_col, self.payload_col).withColumn(
+            df.select(*keep).withColumn(
                 BUCKET_COL, self._bucket_expr(self.id_col)
-            )
+            ),
+            summary_extra={"lookup_geometry": self._geometry()},
         )
+
+    def bucket_sizes(self) -> dict[int, int]:
+        """On-disk bytes per bucket — the signal that drives
+        ``rebucket()``. Driver-side manifest/footer scale (the same cost
+        class as ``files_metadata``), never a data read. A bucket grown
+        far past ``target_file_mb`` × a small factor means every delta
+        whose candidates hash into it pays that bucket's WHOLE size per
+        fetch; compaction bounds the file COUNT but not the bytes."""
+        import re
+
+        sizes: dict[int, int] = {}
+        for r in self.table.files_metadata().collect():
+            m = re.search(rf"{BUCKET_COL}=(\d+)/", r["file"])
+            if m:
+                b = int(m.group(1))
+                sizes[b] = sizes.get(b, 0) + int(r["file_size_bytes"])
+        return sizes
+
+    def rebucket(self, new_n_buckets: int) -> "BucketedLookup":
+        """Bucket evolution (the Iceberg bucket-spec-evolution analog,
+        r7 verdict #4): re-lay the corpus out under a new bucket count in
+        ONE full rewrite — the mitigation once hot buckets outgrow the
+        fetch-cost budget. After the rewrite per-fetch IO is bounded by
+        ~corpus/new_n_buckets again; the rewrite itself is the same cost
+        class as a compaction (one pass, one shuffle on the new bucket
+        key). Meta and the geometry stamp update with the commit, so a
+        reader re-``open``-ing mid-evolution sees old geometry + old
+        layout or new + new, never a mix. Evolved payload columns ride
+        through (the rewrite keeps the full declared schema)."""
+        lk = BucketedLookup(
+            self.spark, self.table.root, self.id_col, self.payload_col,
+            int(new_n_buckets),
+        )
+        lk.table.create_or_replace(
+            self.read().withColumn(BUCKET_COL, lk._bucket_expr(self.id_col)),
+            partition_by=[BUCKET_COL],
+            summary_extra={"lookup_geometry": lk._geometry()},
+        )
+        lk._write_meta()
+        return lk
 
     def compact(self, target_file_mb: int = 128) -> int:
         """Bin-pack the lookup's files (appends add one file per touched

@@ -458,3 +458,171 @@ def test_compaction_preserves_bucket_pruning(spark, tmp_path):
     touched = lk.fetch_files(ids)
     assert 0 < len(touched) < len(snap["files"])
     assert all("_id_bucket=" in f for f in touched)
+
+
+def test_open_after_payload_schema_evolution_still_fetches(spark, tmp_path):
+    """r7 verdict #5 (evolve half): add_column on the standing corpus
+    then append rows carrying it — open() must still work, fetch must
+    return the evolved column (NULL for pre-evolution rows) and stay
+    file-pruned."""
+    docs = _docs(spark, _corpus_rows(40))
+    root = str(tmp_path / "lk")
+    lk = BucketedLookup.create(spark, docs, root, "doc_id", "text", n_buckets=8)
+    lk.table.add_column("lang", "string")
+    lk2 = BucketedLookup.open(spark, root)
+    lk2.append(
+        spark.createDataFrame(
+            [(100, "evolved doc", "en"), (101, "evolved too", "fr")],
+            "doc_id bigint, text string, lang string",
+        )
+    )
+    lk3 = BucketedLookup.open(spark, root)
+    ids = spark.createDataFrame([(100,), (3,)], "doc_id bigint")
+    got = {r["doc_id"]: r["lang"] for r in lk3.fetch(ids).collect()}
+    assert got[100] == "en"
+    assert got[3] is None  # pre-evolution row reads NULL
+    # pruning receipt survives evolution
+    all_files = lk3.table._read_snapshot(lk3.table.current_version())["files"]
+    assert 0 < len(lk3.fetch_files(ids)) < len(all_files)
+
+
+def test_open_refuses_geometry_change(spark, tmp_path):
+    """r7 verdict #5 (refuse half): the corpus re-created at the same
+    root with a different n_buckets under a STALE meta must refuse to
+    open — a silent mismatch would fetch the wrong buckets and miss
+    partners."""
+    import os
+    import shutil
+
+    docs = _docs(spark, _corpus_rows(30))
+    root = str(tmp_path / "lk")
+    BucketedLookup.create(spark, docs, root, "doc_id", "text", n_buckets=8)
+    shutil.copy(os.path.join(root, "LOOKUP_META"), str(tmp_path / "stale"))
+    BucketedLookup.create(spark, docs, root, "doc_id", "text", n_buckets=16)
+    shutil.copy(str(tmp_path / "stale"), os.path.join(root, "LOOKUP_META"))
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        BucketedLookup.open(spark, root)
+
+
+def test_dedup_state_open_refuses_geometry_change(spark, tmp_path):
+    """Same refusal for the band index: rebuilt with a different
+    shingle width under a stale DEDUP_META → open_dedup_state raises."""
+    import os
+    import shutil
+
+    from iceberg_evaluation_spark.operators.incremental_dedup import (
+        open_dedup_state,
+    )
+
+    docs = _docs(spark, _corpus_rows(30))
+    fp_root, band_root = str(tmp_path / "fp"), str(tmp_path / "bands")
+    build_dedup_state(
+        spark, docs, "doc_id", "text", fp_root, band_root, shingle_n=3
+    )
+    shutil.copy(os.path.join(band_root, "DEDUP_META"), str(tmp_path / "stale"))
+    build_dedup_state(
+        spark, docs, "doc_id", "text", fp_root, band_root, shingle_n=2
+    )
+    shutil.copy(str(tmp_path / "stale"), os.path.join(band_root, "DEDUP_META"))
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        open_dedup_state(spark, fp_root, band_root)
+
+
+def test_semantic_state_open_refuses_geometry_change(spark, tmp_path):
+    import os
+    import shutil
+
+    from iceberg_evaluation_spark.operators.incremental_dedup import (
+        open_semantic_state,
+    )
+
+    vecs = spark.range(30).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda p: ((F.col("id") * (p + 1) % 17) / 17.0).cast("float"),
+        ).alias("embedding"),
+    )
+    band_root = str(tmp_path / "sbands")
+    build_semantic_state(spark, vecs, band_root, n_bits=64, band_bits=16)
+    shutil.copy(os.path.join(band_root, "DEDUP_META"), str(tmp_path / "stale"))
+    build_semantic_state(spark, vecs, band_root, n_bits=64, band_bits=8)
+    shutil.copy(str(tmp_path / "stale"), os.path.join(band_root, "DEDUP_META"))
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        open_semantic_state(spark, band_root)
+
+
+def _ids_in_bucket(spark, n_buckets, bucket, count, start=1):
+    """Deterministic adversarial ids: the first `count` ids >= start that
+    hash into `bucket` under pmod(xxhash64, n_buckets)."""
+    rows = (
+        spark.range(start, start + count * n_buckets * 4)
+        .select(
+            F.col("id"),
+            F.pmod(F.xxhash64(F.col("id")), F.lit(n_buckets)).alias("b"),
+        )
+        .filter(F.col("b") == bucket)
+        .limit(count)
+        .collect()
+    )
+    assert len(rows) == count
+    return [r["id"] for r in rows]
+
+
+def test_hot_bucket_fetch_degrades_and_rebucket_restores(spark, tmp_path):
+    """r7 verdict #4: an adversarial corpus whose rows all hash to ONE
+    bucket makes every fetch hitting it read ~the whole corpus — and
+    rebucket() (bucket evolution) restores bounded per-fetch IO."""
+    n0 = 8
+    hot = _ids_in_bucket(spark, n0, 3, 400)
+    cold = [i for i in range(100_000, 100_400)]
+    rows = [(i, f"hot doc {i} " + "x" * 50) for i in hot] + [
+        (i, f"cold doc {i}") for i in cold
+    ]
+    docs = _docs(spark, rows)
+    root = str(tmp_path / "lk")
+    lk = BucketedLookup.create(spark, docs, root, "doc_id", "text", n_buckets=n0)
+
+    sizes = lk.bucket_sizes()
+    assert sizes[3] == max(sizes.values())  # the hot bucket dominates
+
+    one_hot = spark.createDataFrame([(hot[0],)], "doc_id bigint")
+    before = lk.fetch(one_hot).count()
+    assert before >= 400  # the fetch pays the whole hot bucket
+
+    # bucket evolution: 8 -> 128 splits the hot bucket ~16 ways
+    lk2 = lk.rebucket(128)
+    assert lk2.n_buckets == 128
+    after = lk2.fetch(one_hot).count()
+    assert after < before / 4  # bounded again
+    assert hot[0] in {r["doc_id"] for r in lk2.fetch(one_hot).collect()}
+    # geometry round-trips through open()
+    lk3 = BucketedLookup.open(spark, root)
+    assert lk3.n_buckets == 128
+    assert lk3.read().count() == 800  # nothing lost in the rewrite
+    # receipts: per-fetch file count strictly shrinks too
+    all_files = lk3.table._read_snapshot(lk3.table.current_version())["files"]
+    assert 0 < len(lk3.fetch_files(one_hot)) < len(all_files)
+
+
+def test_many_delta_appends_then_compact_bounds_file_count(spark, tmp_path):
+    """Appends add one file per touched bucket per delta; compact()
+    keeps the per-fetch FILE count flat (the other half of the
+    hot-bucket story — file-count skew, not byte skew)."""
+    n0 = 8
+    hot = _ids_in_bucket(spark, n0, 5, 60)
+    root = str(tmp_path / "lk")
+    lk = BucketedLookup.create(
+        spark,
+        _docs(spark, [(hot[0], "seed")]),
+        root, "doc_id", "text", n_buckets=n0,
+    )
+    for i in range(1, 21):  # 20 deltas, every one hits bucket 5
+        lk.append(_docs(spark, [(hot[i], f"delta {i}"), (hot[i + 20], f"d{i}")]))
+    one_hot = spark.createDataFrame([(hot[0],)], "doc_id bigint")
+    files_before = len(lk.fetch_files(one_hot))
+    assert files_before >= 20  # one file per delta landed in the bucket
+    lk.compact(target_file_mb=128)
+    files_after = len(lk.fetch_files(one_hot))
+    assert files_after <= 2
+    assert lk.fetch(one_hot).count() == 41  # seed + 2*20 rows, none lost
