@@ -117,9 +117,35 @@ def main() -> None:
         detail["threads"] = threads
     if failed:
         detail["failed"] = failed
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
+    # Artifact discipline (r7 verdict #7): BENCH_DETAIL.json is the
+    # CANONICAL artifact of one invocation family. A run under a
+    # DIFFERENT label (e.g. the driver's post-round default-label
+    # snapshot landing on top of a committed builder-canonical run)
+    # diverts to a label-suffixed sidecar instead of clobbering it;
+    # --force restores the old clobbering behavior when a family change
+    # is intended.
+    repo = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(repo, "BENCH_DETAIL.json")
+    if os.path.exists(detail_path) and "--force" not in argv:
+        try:
+            with open(detail_path) as f:
+                prev_label = (json.load(f).get("invocation") or {}).get(
+                    "label"
+                )
+        except (OSError, ValueError):
+            prev_label = None
+        if prev_label is not None and prev_label != invocation["label"]:
+            safe = "".join(
+                c if c.isalnum() or c in "-_." else "_"
+                for c in invocation["label"]
+            )
+            detail_path = os.path.join(repo, f"BENCH_DETAIL.{safe}.json")
+            print(
+                f"BENCH_DETAIL.json belongs to invocation {prev_label!r}; "
+                f"writing this {invocation['label']!r} run to {detail_path} "
+                "(pass --force to replace the canonical artifact)",
+                file=sys.stderr,
+            )
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
     # final line stays tiny so the driver's tail window can parse it

@@ -542,3 +542,31 @@ def test_add_column_window_agrees_across_paths(spark, tmp_path):
     assert fast == {(9, "insert", 90, 900)}
     t.expire_snapshots(keep_last=1)  # v2 manifest gone -> diff path
     assert feed() == fast
+
+
+def test_cdf_over_many_small_commits(spark, tmp_path):
+    """r7 verdict #8: a window spanning 60+ commits (appends mixed with
+    a compaction and an add_column) stays exact and takes the no-join
+    append path — one incremental read over the whole window, never a
+    per-commit union. The cost curve is pinned by
+    tools/probe_cdf_commits.py (flat in commit count at fixed |changes|)."""
+    t = SnapshotTable(spark, str(tmp_path / "many"))
+    t.create_or_replace(
+        spark.createDataFrame([(0, 0)], "id bigint, v bigint")
+    )                                                                # v1
+    expected = set()
+    for i in range(1, 61):
+        t.append(
+            spark.createDataFrame([(i, i * 10)], "id bigint, v bigint")
+            .coalesce(1)
+        )
+        expected.add((i, i * 10))
+        if i == 30:
+            t.compact(target_file_mb=64)     # content-neutral mid-window
+        if i == 45:
+            t.add_column("extra", "bigint")  # append-safe evolution
+    got = {
+        (r["id"], r["v"], r["_change_type"])
+        for r in table_changes(t, ["id"], 1).collect()
+    }
+    assert got == {(i, v, "insert") for i, v in expected}
