@@ -117,6 +117,8 @@ DESCRIPTIONS = [
     ("table-layer", "Snapshot table end-to-end"),
     ("incremental-view", "Incrementally-maintained materialized rollup (delta-cost refresh)"),
     ("change-data-feed", "Row-level changelog between snapshot versions (CDF: insert/delete/update pre+post images, file-diff pruned)"),
+    ("cdc-consumer", "CDF replica sync (apply_changes: one delete-aware MERGE per window, cost |changes|)"),
+    ("similarity-state", "Durable IVF ANN index (persisted centroids + cell-partitioned inverted lists, append-without-retrain, staleness-gated retrain)"),
     ("classifier-inference", "Hashed linear classifier inference (fastText-shape quality gate, broadcast B-row model)"),
     ("schema-evolution", "Schema evolution end-to-end (add/backfill/rename-recipe/drop + time travel)"),
     ("training-curriculum", "Curriculum export (global score order as range shards, one wide shuffle)"),
