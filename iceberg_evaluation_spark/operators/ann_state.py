@@ -140,6 +140,8 @@ class AnnState:
         )
         assigned = self._assign(delta, bc).localCheckpoint(eager=False)
         n = assigned.count()  # delta-sized, consumed twice below
+        if n == 0:
+            return 0  # an empty delta must not commit a no-op snapshot
         self.assignments.append(assigned, summary_extra=self._geometry_extra())
         self.n_appended += int(n)
         self._write_meta()

@@ -211,12 +211,37 @@ def apply_changes(
 
     One delete-aware MERGE: cost is |changes|, never the replica size
     (file pruning rewrites only matched files). Returns the number of
-    change rows applied."""
+    change rows applied.
+
+    SCHEMA SYNC: a column the upstream gained (add_column inside the
+    window) rides in the feed; the replica is evolved to match before
+    the merge — the CDC-consumer behavior (Delta's mergeSchema /
+    Iceberg's schema sync), so a consumer never has to coordinate DDL
+    out of band. Columns the upstream DROPPED stay on the replica and
+    read NULL after the window's updates apply (the union-schema
+    round-trip the diff path documents)."""
     value_cols = [
         c
         for c in changes.columns
         if c not in keys and c not in ("_change_type", "_commit_version")
     ]
+    if target.exists():
+        tcols = {
+            f["name"]
+            for f in json.loads(
+                target._read_snapshot(target.current_version())["schema"]
+            )["fields"]
+        }
+        for f in changes.schema.fields:
+            if f.name in tcols or f.name in ("_change_type", "_commit_version"):
+                continue
+            if f.dataType.typeName() == "void":
+                raise ValueError(
+                    f"change feed column {f.name!r} is untyped (void) and "
+                    "absent from the replica; cannot infer a column type "
+                    "to evolve the replica with"
+                )
+            target.add_column(f.name, f.dataType.simpleString())
     # the change feed (typically table_changes' full-outer diff) is
     # consumed by the type census AND the merge/append below —
     # checkpoint it so the diff executes once, keeping the documented

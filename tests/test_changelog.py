@@ -570,3 +570,51 @@ def test_cdf_over_many_small_commits(spark, tmp_path):
         for r in table_changes(t, ["id"], 1).collect()
     }
     assert got == {(i, v, "insert") for i, v in expected}
+
+
+def test_apply_changes_evolves_replica_schema(spark, tmp_path):
+    """CDC schema sync: a column the upstream gained inside the window
+    rides in the feed and the replica evolves to match before the merge
+    (Delta mergeSchema / Iceberg schema-sync behavior) — no out-of-band
+    DDL coordination. Round-trip: replica content equals the upstream
+    endpoint, new column included."""
+    from iceberg_evaluation_spark.operators.changelog import apply_changes
+
+    t = _mk(spark, tmp_path)
+    rep = SnapshotTable(spark, str(tmp_path / "rep"))
+    rep.create_or_replace(t.read())                     # replica at v1
+    t.add_column("w", "bigint")                                       # v2
+    t.append(
+        spark.createDataFrame(
+            [(9, "z", 90, 900)], "id bigint, k string, v bigint, w bigint"
+        )
+    )                                                                 # v3
+    t.merge(                                                          # v4
+        spark.createDataFrame([(1, 111)], "id bigint, w bigint"),
+        on=["id"],
+        clause=MergeClause(
+            matched_update={"w": "s.w"}, insert_when_not_matched=False
+        ),
+    )
+    n = apply_changes(rep, table_changes(t, ["id"], 1, 4), ["id"])
+    assert n == 2  # one insert + one update post-image
+    got = {
+        (r["id"], r["k"], r["v"], r["w"]) for r in rep.read().collect()
+    }
+    exp = {
+        (r["id"], r["k"], r["v"], r["w"]) for r in t.read().collect()
+    }
+    assert got == exp
+    assert (1, "a", 10, 111) in got and (9, "z", 90, 900) in got
+
+
+def test_apply_changes_empty_window_is_noop(spark, tmp_path):
+    from iceberg_evaluation_spark.operators.changelog import apply_changes
+
+    t = _mk(spark, tmp_path)
+    rep = SnapshotTable(spark, str(tmp_path / "rep"))
+    rep.create_or_replace(t.read())
+    t.compact(target_file_mb=64)  # content-neutral commit
+    v_before = rep.current_version()
+    assert apply_changes(rep, table_changes(t, ["id"], 1, 2), ["id"]) == 0
+    assert rep.current_version() == v_before  # no no-op snapshot
