@@ -321,11 +321,14 @@ def open_ann_state(
         n_at_train=int(meta["n_at_train"]),
         n_appended=int(meta["n_appended"]),
     )
+    from ..tables.bucketed_lookup import latest_summary_value
+
     expect = _geometry_fp(st.n_cells, st.dim, st.id_col, st.vec_col)
     for t in (st.centroids, st.assignments):
-        summ = t._read_snapshot(t.current_version()).get("summary") or {}
-        got = summ.get("ann_geometry")
-        if got != expect:
+        # newest STAMPED snapshot, not the newest snapshot: maintenance
+        # commits (compact) don't re-stamp and must not trip the guard
+        got = latest_summary_value(t, "ann_geometry")
+        if got is not None and got != expect:
             raise ValueError(
                 f"ANN geometry mismatch at {t.root}: artifacts carry "
                 f"{got!r}, meta expects {expect!r} — the index was "

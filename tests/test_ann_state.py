@@ -146,3 +146,20 @@ def test_empty_query_set_and_empty_corpus(spark, tmp_path):
         build_ann_state(
             spark, corpus.limit(0), str(tmp_path / "c2"), str(tmp_path / "a2")
         )
+
+
+def test_open_survives_compaction_of_assignments(spark, tmp_path):
+    """Maintenance commits don't re-stamp geometry; open must read the
+    newest STAMPED snapshot, not the newest snapshot."""
+    corpus = _vectors(spark, 100)
+    cent, assign = _roots(tmp_path)
+    st = build_ann_state(spark, corpus, cent, assign, n_cells=4)
+    for i in range(3):
+        st.append(_vectors(spark, 10, seed_shift=2000 + i * 10))
+    st.assignments.compact(target_file_mb=64)
+    st2 = open_ann_state(spark, cent, assign)
+    assert st2.n_cells == 4 and st2.n_appended == 30
+    q = corpus.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    assert st2.topk(q, k=1, nprobe=4).collect()[0]["vec_id"] == 0
