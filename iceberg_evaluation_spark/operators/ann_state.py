@@ -150,9 +150,19 @@ class AnnState:
     def retrain(self) -> int:
         """Full k-means rebuild from the CURRENT corpus — the amortized
         full-corpus pass. Re-trains centroids, re-assigns every vector,
-        rewrites both artifacts atomically (snapshot commits), resets
-        the staleness counters. Returns the corpus size trained on."""
-        corpus = self.assignments.read().drop(CELL_COL)
+        resets the staleness counters. Returns the corpus size trained
+        on.
+
+        Concurrency: the input scan pins the version it read and the
+        assignments rewrite passes it as ``expected_version``, so a
+        delta appended mid-retrain surfaces as a ConcurrentCommitError
+        (retry on fresh state) instead of being silently dropped. The
+        assignments commit lands BEFORE the centroid commit so that a
+        concurrency failure changes nothing; the (tiny) window where a
+        crash lands between the two commits is recoverable by re-running
+        retrain()."""
+        ver = self.assignments.current_version()
+        corpus = self.assignments.read(ver).drop(CELL_COL)
         v = corpus.select(
             F.col(self.id_col),
             _as_double(F.col(self.vec_col)).alias("_v"),
@@ -162,17 +172,18 @@ class AnnState:
             kmeans_iters=self.kmeans_iters,
         )
         spark = self.assignments.spark
+        bc = spark.sparkContext.broadcast(M)
+        self.assignments.create_or_replace(
+            self._assign(corpus, bc),
+            partition_by=[CELL_COL],
+            summary_extra=self._geometry_extra(),
+            expected_version=ver,
+        )
         self.centroids.create_or_replace(
             spark.createDataFrame(
                 [(i + 1, [float(x) for x in M[i]]) for i in range(M.shape[0])],
                 "cell int, centroid array<double>",
             ),
-            summary_extra=self._geometry_extra(),
-        )
-        bc = spark.sparkContext.broadcast(M)
-        self.assignments.create_or_replace(
-            self._assign(corpus, bc),
-            partition_by=[CELL_COL],
             summary_extra=self._geometry_extra(),
         )
         self.n_at_train = self.assignments.read().count()

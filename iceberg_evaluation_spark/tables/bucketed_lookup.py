@@ -222,10 +222,16 @@ class BucketedLookup:
             self.spark, self.table.root, self.id_col, self.payload_col,
             int(new_n_buckets),
         )
-        lk.table.create_or_replace(
-            self.read().withColumn(BUCKET_COL, lk._bucket_expr(self.id_col)),
+        # the rewrite's input scan pins the version it read; passing it
+        # as expected_version makes a concurrent append surface as a
+        # ConcurrentCommitError instead of being silently dropped
+        v = self.table.current_version()
+        src = self.table.read(v).drop(BUCKET_COL)
+        self.table.create_or_replace(
+            src.withColumn(BUCKET_COL, lk._bucket_expr(self.id_col)),
             partition_by=[BUCKET_COL],
             summary_extra={"lookup_geometry": lk._geometry()},
+            expected_version=v,
         )
         lk._write_meta()
         return lk

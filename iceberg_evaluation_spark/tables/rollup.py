@@ -100,9 +100,14 @@ class MaterializedRollup:
     # ---------------------------------------------------------- refresh
     def rebuild(self) -> int:
         """Full recompute — initial build, or recovery after an
-        overwrite-class base snapshot. Returns the folded base version."""
+        overwrite-class base snapshot. Returns the folded base version.
+
+        The scan is pinned to the version the checkpoint records: the
+        read executes lazily inside the write, so an unpinned read would
+        let a base commit landing mid-rebuild leak rows the checkpoint
+        doesn't cover (the refresh_cdf lesson, applied here too)."""
         v = self.base.current_version()
-        self.table.create_or_replace(self._partial(self.base.read()))
+        self.table.create_or_replace(self._partial(self.base.read(v)))
         self._write_meta(v)
         return v
 

@@ -448,6 +448,7 @@ class SnapshotTable:
         partitions: int | None = None,
         partition_by: list[str] | None = None,
         summary_extra: dict[str, Any] | None = None,
+        expected_version: int | None = None,
     ) -> int:
         """CTAS / bulk-load (reference ``writeTo(...).createOrReplace()``,
         pyspark_functions.py:30). ``partition_by`` declares identity
@@ -464,7 +465,11 @@ class SnapshotTable:
             files, "create_or_replace",
             {"added_files": len(files), **(summary_extra or {})},
             df.schema.json(),
-            partition_by=partition_by
+            partition_by=partition_by,
+            # REPLACE-from-own-content ops (rebucket, retrain) pass the
+            # version their input scan pinned so a concurrent append
+            # cannot be silently dropped by the rewrite
+            expected_version=expected_version,
         )
 
     def append(

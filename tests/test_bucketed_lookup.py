@@ -626,3 +626,38 @@ def test_many_delta_appends_then_compact_bounds_file_count(spark, tmp_path):
     files_after = len(lk.fetch_files(one_hot))
     assert files_after <= 2
     assert lk.fetch(one_hot).count() == 41  # seed + 2*20 rows, none lost
+
+
+def test_rebucket_rejects_concurrent_append(spark, tmp_path, monkeypatch):
+    """A delta appended while rebucket's rewrite is in flight must
+    surface as a ConcurrentCommitError, never be silently dropped by
+    the full rewrite."""
+    from iceberg_evaluation_spark.tables.snapshot_table import (
+        ConcurrentCommitError,
+    )
+
+    docs = _docs(spark, _corpus_rows(30))
+    root = str(tmp_path / "lk")
+    lk = BucketedLookup.create(spark, docs, root, "doc_id", "text", n_buckets=8)
+
+    orig = lk.table.create_or_replace
+
+    def racy(*args, **kwargs):
+        # a concurrent writer lands a delta between rebucket's input
+        # scan and its commit
+        BucketedLookup.open(spark, root).append(
+            _docs(spark, [(999, "late delta")])
+        )
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(lk.table, "create_or_replace", racy)
+    with pytest.raises(ConcurrentCommitError):
+        lk.rebucket(32)
+    monkeypatch.undo()
+    # nothing lost: the late delta is in the (un-rebucketed) corpus
+    lk2 = BucketedLookup.open(spark, root)
+    assert lk2.n_buckets == 8
+    assert lk2.read().count() == 31
+    # the retry on fresh state succeeds and carries the delta
+    lk3 = lk2.rebucket(32)
+    assert lk3.read().count() == 31
