@@ -618,3 +618,108 @@ def test_apply_changes_empty_window_is_noop(spark, tmp_path):
     v_before = rep.current_version()
     assert apply_changes(rep, table_changes(t, ["id"], 1, 2), ["id"]) == 0
     assert rep.current_version() == v_before  # no no-op snapshot
+
+
+def test_apply_changes_round_trip_with_schema_evolution(spark, tmp_path):
+    """Property (r8): the replica round-trip holds over randomized
+    histories that interleave appends, COW/MOR merges, add_column and
+    drop_column. For any window (i, j), a replica bootstrapped at i and
+    synced with apply_changes holds version j's content on the UNION of
+    the endpoint schemas — added columns auto-evolve onto the replica,
+    dropped columns read NULL."""
+    import random
+
+    from iceberg_evaluation_spark.operators.changelog import apply_changes
+
+    rnd = random.Random(4242)
+    t = SnapshotTable(spark, str(tmp_path / "evo"))
+    cols = ["id", "v"]
+    model = {i: {"id": i, "v": i * 10} for i in range(5)}
+    t.create_or_replace(
+        spark.createDataFrame(
+            [(r["id"], r["v"]) for r in model.values()], "id bigint, v bigint"
+        )
+    )
+    history = {1: (list(cols), {k: dict(r) for k, r in model.items()})}
+    next_id, next_col = 100, 0
+
+    def frame(rows):
+        data = [tuple(r.get(c) for c in cols) for r in rows]
+        return spark.createDataFrame(
+            data, ", ".join(f"{c} bigint" for c in cols)
+        )
+
+    for wave in range(7):
+        act = rnd.choice(["append", "merge", "add", "drop", "append"])
+        extra = [c for c in cols if c not in ("id", "v")]
+        if act == "add":
+            c = f"c{next_col}"
+            next_col += 1
+            t.add_column(c, "bigint")
+            cols.append(c)
+        elif act == "drop" and extra:
+            c = rnd.choice(extra)
+            t.drop_column(c)
+            cols.remove(c)
+            for r in model.values():
+                r.pop(c, None)
+        elif act == "merge":
+            live = sorted(model)
+            upd = rnd.sample(live, k=2)
+            dele = rnd.sample([k for k in live if k not in upd], k=1)
+            rows = []
+            for k in upd:
+                model[k]["v"] = 5000 + wave * 10 + k
+                rows.append(dict(model[k]))
+            for k in dele:
+                rows.append({**model.pop(k), "v": -1})
+            ins = {"id": next_id, "v": next_id * 10}
+            for c in extra:
+                ins[c] = next_id + hash(c) % 7
+            next_id += 1
+            model[ins["id"]] = dict(ins)
+            rows.append(ins)
+            t.merge(
+                frame(rows),
+                on=["id"],
+                clause=MergeClause(
+                    matched_delete_condition="s.v = -1",
+                    matched_update={
+                        c: f"s.{c}" for c in cols if c != "id"
+                    },
+                ),
+                mode=rnd.choice(["copy-on-write", "merge-on-read"]),
+            )
+        else:  # append
+            rows = []
+            for _ in range(2):
+                r = {"id": next_id, "v": next_id * 10}
+                for c in extra:
+                    r[c] = next_id + hash(c) % 5
+                model[next_id] = dict(r)
+                next_id += 1
+                rows.append(r)
+            t.append(frame(rows))
+        history[t.current_version()] = (
+            list(cols),
+            {k: dict(r) for k, r in model.items()},
+        )
+
+    versions = sorted(history)
+    for trial in range(8):
+        i, j = sorted(rnd.sample(versions, 2))
+        cols_i, _ = history[i]
+        cols_j, model_j = history[j]
+        union = list(dict.fromkeys(cols_i + cols_j))
+        rep = SnapshotTable(spark, str(tmp_path / f"rep{trial}"))
+        rep.create_or_replace(t.read(version=i))
+        apply_changes(rep, table_changes(t, ["id"], i, j), ["id"])
+        got = {
+            r["id"]: {c: r[c] for c in union}
+            for r in rep.read().collect()
+        }
+        want = {
+            k: {c: (r.get(c) if c in cols_j else None) for c in union}
+            for k, r in model_j.items()
+        }
+        assert got == want, f"window v{i}->v{j} (trial {trial})"
