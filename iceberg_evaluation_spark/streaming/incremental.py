@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.scd2 import scd2_complex
-from ..tables.snapshot_table import SnapshotTable
+from ..tables.snapshot_table import ConcurrentCommitError, SnapshotTable
 
 __all__ = [
     "IdempotentEpochSink",
@@ -92,7 +92,15 @@ class IdempotentEpochSink:
     def write(self, batch_df: DataFrame, epoch_id: int) -> bool:
         """Append one micro-batch exactly once; returns False for a
         replayed (already-committed) epoch. Empty batches are skipped
-        without consuming the epoch — replaying one is harmless."""
+        without consuming the epoch — replaying one is harmless.
+
+        Two streams sharing one sink table contend on the snapshot
+        commit; the loser gets ConcurrentCommitError (the optimistic-
+        concurrency model) and is retried here against fresh state —
+        our own epoch cannot have landed meanwhile (one writer per
+        query_id), so the retry is idempotent by construction. Without
+        this loop a rival stream's commit would fail this stream's
+        micro-batch and kill the query."""
         if int(epoch_id) <= self.last_epoch():
             return False  # replay after a crash-before-checkpoint
         if batch_df.isEmpty():
@@ -101,11 +109,27 @@ class IdempotentEpochSink:
             "sink_query_id": self.query_id,
             "sink_epoch_id": int(epoch_id),
         }
-        if self.table.exists():
-            self.table.append(batch_df, summary_extra=extra)
-        else:
-            self.table.create_or_replace(batch_df, summary_extra=extra)
-        return True
+        for _ in range(20):
+            try:
+                if self.table.exists():
+                    self.table.append(batch_df, summary_extra=extra)
+                else:
+                    # a rival stream can win the CREATE race too:
+                    # expected_version=0 makes this a CREATE, never a
+                    # REPLACE — if the rival's create landed between our
+                    # exists() check and this commit, we get
+                    # ConcurrentCommitError instead of clobbering its
+                    # epoch, and the retry lands as an append
+                    self.table.create_or_replace(
+                        batch_df, summary_extra=extra, expected_version=0
+                    )
+                return True
+            except ConcurrentCommitError:
+                continue  # rival stream's epoch landed first; re-read
+        raise ConcurrentCommitError(
+            f"epoch {epoch_id} of {self.query_id!r} lost the commit race "
+            "20 times; sink table under pathological contention"
+        )
 
 
 def scd2_stream(
