@@ -483,7 +483,14 @@ class SnapshotTable:
         producer was written); columns ``df`` has but the table lacks
         are an error — evolve the schema explicitly, never silently."""
         if not self.exists():
-            return self.create_or_replace(df, summary_extra=summary_extra)
+            # expected_version=0 pins this as a CREATE: if a concurrent
+            # first writer's create lands between the exists() check and
+            # the commit, this surfaces as ConcurrentCommitError (caller
+            # retries, landing as a real append) instead of REPLACING —
+            # and silently dropping — the rival's rows
+            return self.create_or_replace(
+                df, summary_extra=summary_extra, expected_version=0
+            )
         base = self.current_version()
         prev = self._read_snapshot(base)
         from pyspark.sql.types import StructType

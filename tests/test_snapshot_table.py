@@ -1418,3 +1418,43 @@ def test_refresh_cdf_sketch_isolated_from_concurrent_base_commit(
     r.refresh_cdf(["id"])
     got = {row["grp"]: row["approx_distinct_u"] for row in r.read().collect()}
     assert got == {"g0": 55}
+
+
+def test_concurrent_first_appends_both_land(spark, tmp_path):
+    """The CREATE race: two writers' FIRST appends to a not-yet-existing
+    table must both land (loser retries as a real append) — previously
+    the later create_or_replace silently replaced the winner's rows."""
+    import threading
+
+    from iceberg_evaluation_spark.tables.snapshot_table import (
+        ConcurrentCommitError,
+    )
+
+    root = str(tmp_path / "birth_race")
+    errs = []
+
+    def writer(k: int) -> None:
+        t = SnapshotTable(spark, root)
+        for _ in range(30):
+            try:
+                t.append(
+                    spark.createDataFrame([(k, k * 10)], "id bigint, v bigint")
+                )
+                return
+            except ConcurrentCommitError:
+                continue
+            except Exception as e:  # pragma: no cover
+                errs.append((k, repr(e)))
+                return
+        errs.append((k, "retries exhausted"))
+
+    threads = [threading.Thread(target=writer, args=(k,)) for k in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(120)
+    assert not errs, errs
+    rows = sorted(
+        map(tuple, SnapshotTable(spark, root).read().collect())
+    )
+    assert rows == [(k, k * 10) for k in range(4)]
