@@ -40,10 +40,12 @@ def test_bench_final_line_is_short_and_detail_file_is_complete():
     # r8: a run whose label differs from the committed canonical
     # artifact's diverts to a label-suffixed sidecar (clobber guard) —
     # read whichever file THIS run wrote (the note names it on stderr)
+    import re
+
     detail_file = os.path.join(REPO, "BENCH_DETAIL.json")
-    for line in proc.stderr.splitlines():
-        if "writing this" in line and "BENCH_DETAIL." in line:
-            detail_file = line.split(" to ", 1)[1].split(" (")[0].strip()
+    m = re.search(r" run to (\S*BENCH_DETAIL\.\S+\.json) \(", proc.stderr)
+    if m:
+        detail_file = m.group(1)
     with open(detail_file) as f:
         detail = json.load(f)
     assert set(detail["queries"]) == set(REGISTRY)
