@@ -48,6 +48,7 @@ _REPO_ROOT = _os.path.dirname(
     _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
 )
 _HISTORY = _registry.load_correctness_history(_REPO_ROOT)
+_registry.PINNED_HEAD[:] = _R8_PINNED
 _registry.PRIORITY[:] = _registry.derive_priority(
     list(_registry.REGISTRY), _HISTORY, _R8_PINNED
 )

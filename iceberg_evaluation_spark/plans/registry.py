@@ -47,6 +47,11 @@ REGISTRY: dict[str, Query] = {}
 # fixed, or never yet driver-checked) must sit inside that window.
 PRIORITY: list[str] = []
 
+# The hand-pinned window head (set by plans/__init__ each round) — exposed
+# so tests can enforce the freshness SLA: pins <= 10 keeps the 50-slot
+# window rotating the whole oldest cohort through every round.
+PINNED_HEAD: list[str] = []
+
 
 def register(
     name: str, covers: str, oracle: str | None, bare: SparkQuery | None = None

@@ -72,3 +72,29 @@ def test_corrupt_history_file_is_skipped(tmp_path):
     (tmp_path / "CORRECTNESS_r01.json").write_text("{not json")
     (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({"qx": {}}))
     assert load_correctness_history(str(tmp_path)) == {"qx": 2}
+
+
+def test_freshness_sla_pin_budget_and_no_overaged_verdicts():
+    """r7 verdict #4, made mechanical: the hand-pinned head stays within
+    the <=10 budget, and no query whose latest driver verdict is older
+    than (latest round - 2) is left OUTSIDE the 50-slot window — the
+    steady-state 'no verdict older than 3 rounds' SLA."""
+    from iceberg_evaluation_spark.plans import all_queries
+
+    assert len(_registry.PINNED_HEAD) <= 10, (
+        f"pin budget exceeded ({len(_registry.PINNED_HEAD)}): every pin "
+        "past 10 silently ages the window's tail"
+    )
+    history = load_correctness_history(REPO_ROOT)
+    if not history:
+        return  # foreign checkout without CORRECTNESS artifacts
+    latest = max(history.values())
+    names = list(all_queries())
+    outside = names[WINDOW:]
+    overaged = sorted(
+        n for n in outside if history.get(n, latest) <= latest - 2
+    )
+    assert not overaged, (
+        f"{len(overaged)} queries with verdicts older than r{latest - 1} "
+        f"left outside the window: {overaged[:8]}..."
+    )
