@@ -84,6 +84,25 @@ def table_changes(
             raise ValueError(f"key column {k!r} missing from a snapshot schema")
     value_cols = [c for c in dict.fromkeys(names_a + names_b) if c not in keys]
     sel = keys + value_cols
+    # columns missing from one endpoint pad as TYPED nulls (the other
+    # endpoint's field type), never bare F.lit(None): a void column in
+    # the feed would survive the insert-only fast path (no union to
+    # coerce it) and crash apply_changes' append on the replica's typed
+    # column (r8 ADVICE) — and a consumer evolving its replica from the
+    # feed schema needs a real type to evolve WITH
+    from pyspark.sql.types import StructType
+
+    _dtypes = {
+        f.name: f.dataType
+        for f in StructType.fromJson(json.loads(snap_a["schema"])).fields
+    }
+    _dtypes.update(
+        (f.name, f.dataType)
+        for f in StructType.fromJson(json.loads(snap_b["schema"])).fields
+    )
+
+    def _typed_null(c: str):
+        return F.lit(None).cast(_dtypes[c])
 
     # append-only window: the changes ARE the appended rows. Emit them
     # straight from the incremental append scan — no join, no pre/post
@@ -117,7 +136,7 @@ def table_changes(
         ins = table.read_incremental(from_version, to_version)
         for c in sel:  # dropped-then-read columns surface as NULL
             if c not in ins.columns:
-                ins = ins.withColumn(c, F.lit(None))
+                ins = ins.withColumn(c, _typed_null(c))
         return (
             ins.select(*sel)
             .withColumn("_change_type", F.lit("insert"))
@@ -150,9 +169,9 @@ def table_changes(
     # the rows' visible contents changed
     for c in value_cols:
         if c not in a.columns:
-            a = a.withColumn(c, F.lit(None))
+            a = a.withColumn(c, _typed_null(c))
         if c not in b.columns:
-            b = b.withColumn(c, F.lit(None))
+            b = b.withColumn(c, _typed_null(c))
     # presence markers must survive NULL key VALUES and all-null rows: a
     # literal attached BEFORE the join reads NULL exactly on the
     # unmatched side of the full outer (a key struct would not — a

@@ -723,3 +723,52 @@ def test_apply_changes_round_trip_with_schema_evolution(spark, tmp_path):
             for k, r in model_j.items()
         }
         assert got == want, f"window v{i}->v{j} (trial {trial})"
+
+
+def test_feed_pads_typed_nulls_never_void(spark, tmp_path):
+    """r8 ADVICE: a column missing from one window endpoint must pad as
+    a TYPED null in the feed, never bare F.lit(None) (void). A void
+    column relies on unionByName coercion on the diff path and has NO
+    rescue on the insert-only fast path — apply_changes' append would
+    reject void→<type> on a replica that carries the column typed."""
+    from iceberg_evaluation_spark.operators.changelog import apply_changes
+
+    t = SnapshotTable(spark, str(tmp_path / "src"))
+    # v1: EMPTY table with a non-string column that the window drops
+    t.create_or_replace(
+        spark.createDataFrame([], "id bigint, val string, score bigint")
+    )
+    rep = SnapshotTable(spark, str(tmp_path / "rep"))
+    rep.create_or_replace(t.read(1))
+    t.drop_column("score")                                         # v2
+    t.append(
+        spark.createDataFrame([(2, "b")], "id bigint, val string")
+    )                                                              # v3
+    ch = table_changes(t, ["id"], 1, 3)
+    # the dropped column rides in the feed with its REAL type
+    assert dict(ch.dtypes)["score"] == "bigint"
+    assert [r["_change_type"] for r in ch.collect()] == ["insert"]
+    # the insert-only fast path (plain append) must accept the feed
+    assert apply_changes(rep, ch, ["id"]) == 1
+    rows = {r["id"]: (r["val"], r["score"]) for r in rep.read().collect()}
+    assert rows == {2: ("b", None)}
+
+
+def test_add_column_window_feed_is_typed(spark, tmp_path):
+    """Same typed-pad guarantee on the other endpoint: a column ADDED
+    inside the window is absent from side a; the diff path must type
+    its pad from side b's schema."""
+    t = _mk(spark, tmp_path)
+    t.add_column("score", "double")                                # v2
+    t.merge(  # overwrite-class commit → diff path
+        spark.createDataFrame([(1, 1.5)], "id bigint, score double"),
+        on=["id"],
+        clause=MergeClause(matched_update={"score": "s.score"}),
+    )                                                              # v3
+    ch = table_changes(t, ["id"], 1, 3)
+    assert dict(ch.dtypes)["score"] == "double"
+    got = {
+        (r["id"], r["_change_type"]): r["score"] for r in ch.collect()
+    }
+    assert got[(1, "update_preimage")] is None
+    assert got[(1, "update_postimage")] == 1.5
