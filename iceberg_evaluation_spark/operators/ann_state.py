@@ -17,14 +17,35 @@ operators/incremental_dedup.py) and partner reads became pruned
   O(nprobe / n_cells) of the corpus without opening the rest
   (``probe_files`` is the IO receipt, mirroring
   ``BucketedLookup.fetch_files``).
-- **ANN_META** at the assignments root: index geometry (n_cells, dim,
-  kmeans_iters, column names) plus staleness counters. Geometry travels
-  with the artifacts — ``open_ann_state`` never takes geometry from the
-  caller, so a restarted pipeline cannot probe with mismatched cells
-  (the SemanticState lesson). A geometry fingerprint is ALSO stamped
-  into every snapshot commit summary and cross-checked on open, so
-  artifacts rebuilt underneath a stale meta refuse loudly
-  (r7 verdict #5 applied from birth).
+- **ANN_META** at the assignments root: STATIC index geometry only
+  (n_cells, dim, kmeans_iters, column names). Geometry travels with the
+  artifacts — ``open_ann_state`` never takes geometry from the caller,
+  so a restarted pipeline cannot probe with mismatched cells (the
+  SemanticState lesson). A geometry fingerprint is ALSO stamped into
+  every snapshot commit summary and cross-checked on open, so artifacts
+  rebuilt underneath a stale meta refuse loudly (r7 verdict #5 applied
+  from birth).
+
+Two consistency stories hardened in r9 (r8 ADVICE):
+
+- **Staleness counters live in the snapshot log, not the meta.**
+  ``append`` used to read-modify-write ``n_appended`` into ANN_META
+  AFTER the commit — a crash between the two, or two concurrent
+  appenders (last meta write wins), under-counted staleness and
+  silently deferred retrain. Now every append commit stamps its row
+  count (``ann_appended_rows``) and every build/retrain stamps the
+  trained corpus size (``ann_rows``); ``open_ann_state`` derives both
+  counters from the summaries — a driver-side manifest scan, atomic
+  with the data by construction.
+- **retrain() is a two-commit operation (assignments, then centroids)
+  with a shared sync token.** A crash between the commits leaves
+  inverted lists keyed to centroids that were never persisted; the
+  geometry fingerprint cannot see it (n_cells/dim unchanged). Both
+  commits stamp ``ann_sync_token`` (the assignments version the pair
+  belongs to); ``open_ann_state`` refuses on mismatch and points at
+  :func:`repair_ann_state`, which heals by re-running the full rebuild
+  from the intact assignments content — no vector is ever lost, the
+  probe path is never silently wrong.
 
 **Appends do not retrain**: ``append`` assigns the delta to the
 EXISTING centroids (one broadcast-matmul Arrow pass over the delta, no
@@ -51,14 +72,46 @@ from ..tables._meta import read_json_meta, write_json_meta
 from ..tables.snapshot_table import SnapshotTable
 from .similarity import _as_double, cells_udf, cosine, train_centroids
 
-__all__ = ["AnnState", "build_ann_state", "open_ann_state"]
+__all__ = [
+    "AnnState",
+    "AnnSyncError",
+    "build_ann_state",
+    "open_ann_state",
+    "repair_ann_state",
+]
 
 ANN_META = "ANN_META"
 CELL_COL = "_ann_cell"
 
 
+class AnnSyncError(RuntimeError):
+    """Centroids and inverted lists carry different sync tokens — a
+    crash landed between retrain()'s two commits. Probing would route
+    queries through centroids the assignments were not keyed to; run
+    :func:`repair_ann_state` to rebuild the pair from the (intact)
+    assignments content."""
+
+
 def _geometry_fp(n_cells: int, dim: int, id_col: str, vec_col: str) -> str:
     return f"ivf:{n_cells}:{dim}:{id_col}:{vec_col}"
+
+
+def _derive_counters(assignments: SnapshotTable) -> tuple[int, int]:
+    """(n_at_train, n_appended) from the snapshot log: scan newest →
+    oldest, summing append stamps until the newest build/retrain stamp
+    (``ann_rows``). Driver-side manifest scan — no Spark job, and
+    atomic with the data commits by construction (r8 ADVICE: the old
+    post-commit meta read-modify-write lost counts on crash or
+    concurrent appends). If expiry erased the baseline commit,
+    n_at_train degrades to 0 — ``stale()`` then reports True, which is
+    the conservative direction (schedule a retrain)."""
+    n_appended = 0
+    for s in reversed(assignments._snapshots()):
+        summ = s.get("summary") or {}
+        if "ann_rows" in summ:
+            return int(summ["ann_rows"]), n_appended
+        n_appended += int(summ.get("ann_appended_rows", 0))
+    return 0, n_appended
 
 
 @dataclass
@@ -82,6 +135,8 @@ class AnnState:
         return os.path.join(self.assignments.root, ANN_META)
 
     def _write_meta(self) -> None:
+        # STATIC geometry only — staleness counters live in the
+        # snapshot log (see _derive_counters)
         write_json_meta(
             self._meta_path(),
             {
@@ -91,8 +146,6 @@ class AnnState:
                 "dim": self.dim,
                 "kmeans_iters": self.kmeans_iters,
                 "retrain_fraction": self.retrain_fraction,
-                "n_at_train": self.n_at_train,
-                "n_appended": self.n_appended,
             },
         )
 
@@ -142,9 +195,17 @@ class AnnState:
         n = assigned.count()  # delta-sized, consumed twice below
         if n == 0:
             return 0  # an empty delta must not commit a no-op snapshot
-        self.assignments.append(assigned, summary_extra=self._geometry_extra())
+        # the appended-row count rides IN the commit summary: staleness
+        # is derived from the log on open, so a crash after this commit
+        # or a concurrent appender can never under-count it (r8 ADVICE)
+        self.assignments.append(
+            assigned,
+            summary_extra={
+                **self._geometry_extra(),
+                "ann_appended_rows": int(n),
+            },
+        )
         self.n_appended += int(n)
-        self._write_meta()
         return int(n)
 
     def retrain(self) -> int:
@@ -156,13 +217,17 @@ class AnnState:
         Concurrency: the input scan pins the version it read and the
         assignments rewrite passes it as ``expected_version``, so a
         delta appended mid-retrain surfaces as a ConcurrentCommitError
-        (retry on fresh state) instead of being silently dropped. The
+        (retry on fresh state) instead of being silently dropped
+        (test-pinned: test_retrain_rejects_concurrent_append). The
         assignments commit lands BEFORE the centroid commit so that a
-        concurrency failure changes nothing; the (tiny) window where a
-        crash lands between the two commits is recoverable by re-running
-        retrain()."""
+        concurrency failure changes nothing; BOTH commits stamp the
+        same ``ann_sync_token``, so a crash between them refuses on the
+        next open (AnnSyncError) and heals via ``repair_ann_state`` —
+        never a silent probe through mismatched centroids (r8 ADVICE;
+        test-pinned: test_mid_retrain_crash_refuses_then_repairs)."""
         ver = self.assignments.current_version()
         corpus = self.assignments.read(ver).drop(CELL_COL)
+        n_corpus = int(corpus.count())  # parquet-footer count, pre-commit
         v = corpus.select(
             F.col(self.id_col),
             _as_double(F.col(self.vec_col)).alias("_v"),
@@ -173,23 +238,32 @@ class AnnState:
         )
         spark = self.assignments.spark
         bc = spark.sparkContext.broadcast(M)
-        self.assignments.create_or_replace(
+        new_ver = self.assignments.create_or_replace(
             self._assign(corpus, bc),
             partition_by=[CELL_COL],
-            summary_extra=self._geometry_extra(),
+            summary_extra={
+                **self._geometry_extra(),
+                "ann_rows": n_corpus,
+                "ann_sync_token": str(ver + 1),
+            },
             expected_version=ver,
         )
+        self._commit_centroids(M, sync_token=str(new_ver))
+        self.n_at_train = n_corpus
+        self.n_appended = 0
+        return self.n_at_train
+
+    def _commit_centroids(self, M, *, sync_token: str) -> None:
         self.centroids.create_or_replace(
-            spark.createDataFrame(
+            self.assignments.spark.createDataFrame(
                 [(i + 1, [float(x) for x in M[i]]) for i in range(M.shape[0])],
                 "cell int, centroid array<double>",
             ),
-            summary_extra=self._geometry_extra(),
+            summary_extra={
+                **self._geometry_extra(),
+                "ann_sync_token": sync_token,
+            },
         )
-        self.n_at_train = self.assignments.read().count()
-        self.n_appended = 0
-        self._write_meta()
-        return self.n_at_train
 
     # ------------------------------------------------------------- reads
     def probe_cells(self, queries: DataFrame, nprobe: int) -> list[int]:
@@ -276,7 +350,10 @@ def build_ann_state(
     train_sample_mod: int | None = None,
 ) -> AnnState:
     """Run-1: train the quantizer once and persist the index artifacts
-    (centroid table + cell-partitioned assignments + geometry meta)."""
+    (centroid table + cell-partitioned assignments + geometry meta).
+    Commit order matches retrain(): assignments first, centroids second,
+    both stamped with the same sync token — a crash between them refuses
+    on open and heals via ``repair_ann_state``."""
     v = corpus.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("_v")
     )
@@ -294,43 +371,55 @@ def build_ann_state(
         kmeans_iters=kmeans_iters, retrain_fraction=retrain_fraction,
         n_at_train=0, n_appended=0,
     )
-    st.centroids.create_or_replace(
-        spark.createDataFrame(
-            [(i + 1, [float(x) for x in M[i]]) for i in range(M.shape[0])],
-            "cell int, centroid array<double>",
-        ),
-        summary_extra=st._geometry_extra(),
-    )
+    n_corpus = int(corpus.count())
     bc = spark.sparkContext.broadcast(M)
-    st.assignments.create_or_replace(
+    # the token must ride IN the commit summary (immutable post-commit),
+    # so pin the version it will land at; expected_version makes the
+    # guess safe — a rival create surfaces as ConcurrentCommitError
+    ver0 = st.assignments.current_version() if st.assignments.exists() else 0
+    new_ver = st.assignments.create_or_replace(
         st._assign(corpus, bc),
         partition_by=[CELL_COL],
-        summary_extra=st._geometry_extra(),
+        summary_extra={
+            **st._geometry_extra(),
+            "ann_rows": n_corpus,
+            "ann_sync_token": str(ver0 + 1),
+        },
+        expected_version=ver0,
     )
-    st.n_at_train = st.assignments.read().count()
+    st.n_at_train = n_corpus
+    st._commit_centroids(M, sync_token=str(new_ver))
     st._write_meta()
     return st
 
 
 def open_ann_state(
-    spark: SparkSession, centroid_root: str, assign_root: str
+    spark: SparkSession, centroid_root: str, assign_root: str,
+    *, _check_sync: bool = True,
 ) -> AnnState:
     """Re-open a persisted index in a NEW session (the daily-pipeline
     restart): geometry comes from the state's own metadata, never from
     caller arguments, and is cross-checked against the geometry
     fingerprint stamped into the artifacts' snapshot summaries — an
     index rebuilt underneath a stale meta (or vice versa) refuses
-    loudly instead of probing the wrong cells."""
+    loudly instead of probing the wrong cells. The centroid/assignments
+    sync tokens are cross-checked too: a crash between retrain()'s two
+    commits raises :class:`AnnSyncError` (heal via
+    ``repair_ann_state``), never a silent probe through centroids the
+    inverted lists were not keyed to. Staleness counters come from the
+    snapshot log, not the meta (see ``_derive_counters``)."""
     meta = read_json_meta(os.path.join(assign_root, ANN_META))
+    assignments = SnapshotTable(spark, assign_root)
+    n_at_train, n_appended = _derive_counters(assignments)
     st = AnnState(
         centroids=SnapshotTable(spark, centroid_root),
-        assignments=SnapshotTable(spark, assign_root),
+        assignments=assignments,
         id_col=meta["id_col"], vec_col=meta["vec_col"],
         n_cells=int(meta["n_cells"]), dim=int(meta["dim"]),
         kmeans_iters=int(meta["kmeans_iters"]),
         retrain_fraction=float(meta["retrain_fraction"]),
-        n_at_train=int(meta["n_at_train"]),
-        n_appended=int(meta["n_appended"]),
+        n_at_train=n_at_train,
+        n_appended=n_appended,
     )
     from ..tables.bucketed_lookup import latest_summary_value
 
@@ -346,4 +435,34 @@ def open_ann_state(
                 "rebuilt with different geometry; rebuild state or "
                 "restore the matching artifacts"
             )
+    if _check_sync:
+        tok_a = latest_summary_value(st.assignments, "ann_sync_token")
+        tok_c = latest_summary_value(st.centroids, "ann_sync_token")
+        # both-None = pre-token legacy artifacts (nothing to verify);
+        # anything else must agree exactly
+        if (tok_a or tok_c) and tok_a != tok_c:
+            raise AnnSyncError(
+                f"ANN sync-token mismatch: assignments carry "
+                f"{tok_a!r}, centroids {tok_c!r} — a crash landed "
+                "between retrain()'s two commits; run "
+                "repair_ann_state() to rebuild the pair from the "
+                "assignments content"
+            )
+    return st
+
+
+def repair_ann_state(
+    spark: SparkSession, centroid_root: str, assign_root: str
+) -> AnnState:
+    """Heal a mid-retrain crash (AnnSyncError on open): the assignments
+    commit landed, the centroid commit did not, so the inverted lists
+    are keyed to centroids that were never persisted. Every vector is
+    still present in the assignments table — a full retrain from that
+    content rebuilds a CONSISTENT (assignments, centroids) pair and
+    re-stamps a matching sync token. Cost is one retrain — the same
+    full-corpus pass the crashed operation was already paying."""
+    st = open_ann_state(
+        spark, centroid_root, assign_root, _check_sync=False
+    )
+    st.retrain()
     return st

@@ -163,3 +163,120 @@ def test_open_survives_compaction_of_assignments(spark, tmp_path):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     assert st2.topk(q, k=1, nprobe=4).collect()[0]["vec_id"] == 0
+
+
+def test_retrain_rejects_concurrent_append(spark, tmp_path, monkeypatch):
+    """r8 verdict #1a: a delta appended between retrain()'s version pin
+    and its assignments rewrite must surface as ConcurrentCommitError —
+    and a retry on fresh state trains over EVERY vector, losing none
+    (mirror of test_rebucket_rejects_concurrent_append)."""
+    import iceberg_evaluation_spark.operators.ann_state as mod
+    from iceberg_evaluation_spark.tables.snapshot_table import (
+        ConcurrentCommitError,
+    )
+
+    corpus = _vectors(spark, 100)
+    cent, assign = _roots(tmp_path)
+    st = build_ann_state(spark, corpus, cent, assign, n_cells=4)
+
+    orig = mod.train_centroids
+    fired = {}
+
+    def train_with_rival_append(*a, **k):
+        # a second session's append lands AFTER retrain pinned its
+        # input version but BEFORE its rewrite commits
+        if not fired:
+            fired["x"] = True
+            rival = open_ann_state(spark, cent, assign)
+            assert rival.append(_vectors(spark, 20, seed_shift=5000)) == 20
+        return orig(*a, **k)
+
+    monkeypatch.setattr(mod, "train_centroids", train_with_rival_append)
+    with pytest.raises(ConcurrentCommitError):
+        st.retrain()
+
+    # retry on FRESH state: the rival's 20 vectors are in the corpus
+    st2 = open_ann_state(spark, cent, assign)
+    assert st2.n_appended == 20  # log-derived, not meta-derived
+    assert st2.retrain() == 120
+    q = _vectors(spark, 20, seed_shift=5000).filter(
+        F.col("vec_id") == 5003
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    assert st2.topk(q, k=1, nprobe=4).collect()[0]["vec_id"] == 5003
+
+
+def test_mid_retrain_crash_refuses_then_repairs(spark, tmp_path, monkeypatch):
+    """r8 verdict #1b + ADVICE (medium): a crash between retrain()'s
+    assignments commit and its centroid commit leaves the pair
+    inconsistent with an UNCHANGED geometry fingerprint. The sync-token
+    witness must refuse the next open (AnnSyncError — never a silent
+    probe through stale centroids), and repair_ann_state() must heal
+    with every vector still probeable."""
+    from iceberg_evaluation_spark.operators.ann_state import (
+        AnnSyncError,
+        repair_ann_state,
+    )
+    from iceberg_evaluation_spark.tables.snapshot_table import SnapshotTable
+
+    corpus = _vectors(spark, 100)
+    cent, assign = _roots(tmp_path)
+    st = build_ann_state(spark, corpus, cent, assign, n_cells=4)
+    st.append(_vectors(spark, 60, seed_shift=1000))
+
+    orig = SnapshotTable.create_or_replace
+
+    def crash_on_centroid_commit(self, *a, **k):
+        if self.root == cent:
+            raise RuntimeError("simulated crash between the two commits")
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(
+        SnapshotTable, "create_or_replace", crash_on_centroid_commit
+    )
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        st.retrain()
+    monkeypatch.undo()
+
+    # assignments carry the new token, centroids the old one → refuse
+    with pytest.raises(AnnSyncError, match="sync-token mismatch"):
+        open_ann_state(spark, cent, assign)
+
+    healed = repair_ann_state(spark, cent, assign)
+    assert healed.n_at_train == 160 and healed.n_appended == 0
+    st2 = open_ann_state(spark, cent, assign)  # opens cleanly again
+    for probe_id in (0, 1001):  # original + appended both probeable
+        q = (
+            _vectors(spark, 100)
+            .unionByName(_vectors(spark, 60, seed_shift=1000))
+            .filter(F.col("vec_id") == probe_id)
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+        )
+        assert st2.topk(q, k=1, nprobe=4).collect()[0]["vec_id"] == probe_id
+
+
+def test_counters_derive_from_log_not_meta(spark, tmp_path):
+    """r8 ADVICE (low): n_appended must survive the crash-between-
+    commit-and-meta-write and the two-concurrent-appenders cases — i.e.
+    it is derived from commit summaries, so a stale or even DELETED
+    counter in ANN_META cannot under-report staleness."""
+    import json
+    import os
+
+    corpus = _vectors(spark, 100)
+    cent, assign = _roots(tmp_path)
+    st = build_ann_state(
+        spark, corpus, cent, assign, n_cells=4, retrain_fraction=0.5
+    )
+    # two appends through two independent handles (concurrent sessions)
+    open_ann_state(spark, cent, assign).append(
+        _vectors(spark, 30, seed_shift=3000)
+    )
+    open_ann_state(spark, cent, assign).append(
+        _vectors(spark, 40, seed_shift=4000)
+    )
+    # meta carries NO counters at all (static geometry only)
+    meta = json.load(open(os.path.join(assign, "ANN_META")))
+    assert "n_appended" not in meta and "n_at_train" not in meta
+    st2 = open_ann_state(spark, cent, assign)
+    assert (st2.n_at_train, st2.n_appended) == (100, 70)
+    assert st2.stale()  # 70/100 > 0.5 — no silent retrain deferral
