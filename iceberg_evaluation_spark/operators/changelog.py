@@ -51,13 +51,23 @@ every snapshot history the table layer can produce.
 from __future__ import annotations
 
 import json
+import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..tables._meta import read_json_meta, write_json_meta
 from ..tables.snapshot_table import MergeClause, SnapshotTable
 
-__all__ = ["apply_changes", "table_changes"]
+__all__ = [
+    "apply_changes",
+    "init_replica",
+    "replica_cursor",
+    "sync_replica",
+    "table_changes",
+]
+
+REPLICA_META = "REPLICA_META"
 
 
 def table_changes(
@@ -219,6 +229,7 @@ def apply_changes(
     target: SnapshotTable,
     changes: DataFrame,
     keys: list[str],
+    summary_extra: dict | None = None,
 ) -> int:
     """Apply a CDF window to a DOWNSTREAM REPLICA (the consumer half of
     the changelog: Delta's ``MERGE``-from-CDF recipe / Iceberg CDC
@@ -288,7 +299,7 @@ def apply_changes(
     # plain append: duplicate-key append streams round-trip too, where
     # a MERGE would reject the non-key-unique source
     if set(census) <= {"insert"}:
-        target.append(src.drop("__op"))
+        target.append(src.drop("__op"), summary_extra=summary_extra)
         return n
     target.merge(
         src,
@@ -300,5 +311,121 @@ def apply_changes(
             insert_condition="s.__op = 'U'",
             insert_values={c: f"s.{c}" for c in keys + value_cols},
         ),
+        summary_extra=summary_extra,
     )
+    return n
+
+
+# --------------------------------------------------------------------------
+# Durable CDC consumer cursor (r8 verdict #2): the restarted-daily
+# consumer shape the reference centers on
+# (updating_db_with_deltas_iceberg.ipynb cells 26-36 re-applies daily
+# deltas from a hand-tracked position). Every other standing-state
+# artifact here (DEDUP_META, LOOKUP_META, ANN_META) already carries
+# durable geometry; this gives the CDC replica the same property: the
+# source root + keys + last-applied source version persist at the
+# replica root, the applied version is ALSO stamped into every
+# cursor-advancing data commit's summary, and a restarted consumer
+# resumes from disk — re-applying or skipping a window refuses loudly.
+# --------------------------------------------------------------------------
+def init_replica(
+    replica: SnapshotTable,
+    source: SnapshotTable,
+    keys: list[str],
+    at_version: int | None = None,
+) -> int:
+    """Bootstrap a replica at ``at_version`` (default: the source head)
+    and persist the consumer cursor. Returns the bootstrapped version."""
+    at = source.current_version() if at_version is None else int(at_version)
+    replica.create_or_replace(
+        source.read(at),
+        summary_extra={
+            "cdc_source_root": source.root,
+            "cdc_applied_version": at,
+        },
+    )
+    write_json_meta(
+        os.path.join(replica.root, REPLICA_META),
+        {
+            "source_root": source.root,
+            "keys": list(keys),
+            "applied_version": at,
+        },
+    )
+    return at
+
+
+def replica_cursor(replica: SnapshotTable) -> dict:
+    """The persisted consumer cursor: ``{source_root, keys,
+    applied_version}``. The snapshot-summary stamp is the atomic record
+    (it commits WITH the applied window's data); the meta file is the
+    fast path. A crash between a sync's data commit and its meta write
+    leaves the stamp one ahead — this read detects that and heals the
+    meta, so the window is never re-applied (the insert-only fast path
+    is a plain append; re-applying it would duplicate rows)."""
+    meta = read_json_meta(os.path.join(replica.root, REPLICA_META))
+    from ..tables.bucketed_lookup import latest_summary_value
+
+    stamped = latest_summary_value(replica, "cdc_applied_version")
+    if stamped is not None and int(stamped) > int(meta["applied_version"]):
+        meta["applied_version"] = int(stamped)
+        write_json_meta(os.path.join(replica.root, REPLICA_META), meta)
+    return meta
+
+
+def sync_replica(
+    replica: SnapshotTable,
+    source: SnapshotTable,
+    *,
+    from_version: int | None = None,
+    to_version: int | None = None,
+) -> int:
+    """Advance a cursor-tracked replica by applying the source window
+    ``(cursor, to_version]`` — ONE ``table_changes`` + ``apply_changes``
+    whose cost is |changes|, with the new cursor stamped into the same
+    data commit. Keys come from the persisted cursor, never the caller.
+
+    ``from_version``, when given, is an assertion: a window that does
+    not start exactly at the cursor refuses loudly — re-applying an
+    already-applied window (duplicates via the insert fast path) and
+    skipping one (silent divergence) are both operator errors, the
+    CDC analog of the epoch sink's stale-epoch refusal."""
+    cur = replica_cursor(replica)
+    if os.path.abspath(cur["source_root"]) != os.path.abspath(source.root):
+        raise ValueError(
+            f"replica at {replica.root} tracks source "
+            f"{cur['source_root']!r}, not {source.root!r}"
+        )
+    at = int(cur["applied_version"])
+    if from_version is not None and int(from_version) != at:
+        raise ValueError(
+            f"window starts at v{from_version} but the replica cursor "
+            f"stands at v{at} — "
+            + (
+                "re-applying an already-applied window would duplicate "
+                "inserts"
+                if int(from_version) < at
+                else "skipping a window would silently diverge the replica"
+            )
+            + "; sync from the cursor"
+        )
+    to = source.current_version() if to_version is None else int(to_version)
+    if to < at:
+        raise ValueError(
+            f"window endpoint v{to} precedes the cursor v{at} — "
+            "already applied"
+        )
+    if to == at:
+        return 0
+    n = apply_changes(
+        replica,
+        table_changes(source, cur["keys"], at, to),
+        cur["keys"],
+        summary_extra={
+            "cdc_source_root": source.root,
+            "cdc_applied_version": to,
+        },
+    )
+    cur["applied_version"] = to
+    write_json_meta(os.path.join(replica.root, REPLICA_META), cur)
     return n

@@ -1096,6 +1096,7 @@ class SnapshotTable:
         clause: MergeClause,
         validate_source_unique: bool = True,
         mode: str = "copy-on-write",
+        summary_extra: dict[str, Any] | None = None,
     ) -> int:
         """MERGE INTO with file pruning; copy-on-write or merge-on-read.
 
@@ -1213,6 +1214,7 @@ class SnapshotTable:
                     "carried_files": len(prev["files"]),
                     "added_files": len(new_files),
                     "added_delete_files": len(del_files),
+                    **(summary_extra or {}),
                 },
                 prev["schema"],
                 expected_version=base_version,
@@ -1231,6 +1233,7 @@ class SnapshotTable:
                 "rewritten_files": len(touched_rel),
                 "carried_files": len(untouched_rel),
                 "added_files": len(new_files),
+                **(summary_extra or {}),
             },
             prev["schema"],
             expected_version=base_version,

@@ -772,3 +772,119 @@ def test_add_column_window_feed_is_typed(spark, tmp_path):
     }
     assert got[(1, "update_preimage")] is None
     assert got[(1, "update_postimage")] == 1.5
+
+
+def _cursor_fixture(spark, tmp_path):
+    """source with 3 windows (merge / append / MOR-merge), replica
+    bootstrapped at v1 with a persisted cursor."""
+    from iceberg_evaluation_spark.operators.changelog import init_replica
+
+    t = _mk(spark, tmp_path, "cur_src")
+    rep = SnapshotTable(spark, str(tmp_path / "cur_rep"))
+    init_replica(rep, t, ["id"], at_version=1)
+    t.merge(  # v2
+        spark.createDataFrame([(1, 111), (9, 900)], "id bigint, v bigint"),
+        on=["id"],
+        clause=MergeClause(
+            matched_update={"v": "s.v"},
+            insert_values={"id": "s.id", "v": "s.v", "k": "'new'"},
+        ),
+    )
+    t.append(  # v3
+        spark.createDataFrame([(10, "c", 100)], "id bigint, k string, v bigint")
+    )
+    t.merge(  # v4 (merge-on-read)
+        spark.createDataFrame([(2, 222)], "id bigint, v bigint"),
+        on=["id"],
+        clause=MergeClause(
+            matched_update={"v": "s.v"}, insert_when_not_matched=False
+        ),
+        mode="merge-on-read",
+    )
+    return t, rep
+
+
+def test_cdc_cursor_survives_consumer_restart(spark, tmp_path):
+    """r8 verdict #2: a restarted consumer resumes from the persisted
+    cursor — no hand-tracked 'last applied version'. Sync one window,
+    reopen the replica through a FRESH handle mid-stream, sync the
+    rest, and the replica equals the source head exactly."""
+    from iceberg_evaluation_spark.operators.changelog import (
+        replica_cursor,
+        sync_replica,
+    )
+
+    t, rep = _cursor_fixture(spark, tmp_path)
+    assert replica_cursor(rep)["applied_version"] == 1
+    assert sync_replica(rep, t, to_version=2) > 0
+    assert replica_cursor(rep)["applied_version"] == 2
+
+    # the restart: a new handle knows NOTHING but the roots
+    rep2 = SnapshotTable(spark, rep.root)
+    cur = replica_cursor(rep2)
+    assert cur["applied_version"] == 2 and cur["keys"] == ["id"]
+    assert sync_replica(rep2, t, to_version=3) == 1   # the append window
+    assert sync_replica(rep2, t) > 0                  # to the head (v4)
+    assert replica_cursor(rep2)["applied_version"] == 4
+
+    want = {(r["id"], r["k"], r["v"]) for r in t.read().collect()}
+    got = {(r["id"], r["k"], r["v"]) for r in rep2.read().collect()}
+    assert got == want
+    # an up-to-date replica syncs as a no-op, cursor unchanged
+    assert sync_replica(rep2, t) == 0
+    assert replica_cursor(rep2)["applied_version"] == 4
+
+
+def test_cdc_cursor_refuses_reapply_and_skip(spark, tmp_path):
+    """Out-of-order windows refuse loudly in BOTH directions: re-apply
+    (would duplicate inserts via the append fast path) and skip (would
+    silently diverge). Mirrors the epoch sink's stale-epoch refusal."""
+    from iceberg_evaluation_spark.operators.changelog import sync_replica
+
+    t, rep = _cursor_fixture(spark, tmp_path)
+    sync_replica(rep, t, to_version=2)
+    with pytest.raises(ValueError, match="re-applying"):
+        sync_replica(rep, t, from_version=1, to_version=2)
+    with pytest.raises(ValueError, match="skipping"):
+        sync_replica(rep, t, from_version=3, to_version=4)
+    with pytest.raises(ValueError, match="precedes the cursor"):
+        sync_replica(rep, t, to_version=1)
+    # a foreign source refuses by root identity
+    other = _mk(spark, tmp_path, "other_src")
+    with pytest.raises(ValueError, match="tracks source"):
+        sync_replica(rep, other)
+
+
+def test_cdc_cursor_heals_after_commit_meta_crash(spark, tmp_path, monkeypatch):
+    """The applied version is stamped INTO the data commit's summary; a
+    crash between that commit and the meta write must not re-apply the
+    window on restart — replica_cursor reads the stamp and heals the
+    meta (the insert fast path is a plain append; a re-apply would
+    duplicate rows)."""
+    import iceberg_evaluation_spark.operators.changelog as mod
+    from iceberg_evaluation_spark.operators.changelog import (
+        replica_cursor,
+        sync_replica,
+    )
+
+    t, rep = _cursor_fixture(spark, tmp_path)
+    sync_replica(rep, t, to_version=2)
+
+    orig = mod.write_json_meta
+    def crashy(path, meta):
+        if path.endswith("REPLICA_META"):
+            raise RuntimeError("simulated crash before meta write")
+        return orig(path, meta)
+
+    monkeypatch.setattr(mod, "write_json_meta", crashy)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        sync_replica(rep, t, to_version=3)  # data commit LANDS, meta does not
+    monkeypatch.undo()
+
+    # restart: the stamp (v3) outranks the stale meta (v2) — heal, no re-apply
+    rep2 = SnapshotTable(spark, rep.root)
+    assert replica_cursor(rep2)["applied_version"] == 3
+    assert sync_replica(rep2, t) > 0  # continues at v3 → v4
+    want = {(r["id"], r["k"], r["v"]) for r in t.read().collect()}
+    got = {(r["id"], r["k"], r["v"]) for r in rep2.read().collect()}
+    assert got == want  # and in particular: id=10 appended exactly once

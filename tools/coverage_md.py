@@ -118,6 +118,7 @@ DESCRIPTIONS = [
     ("incremental-view", "Incrementally-maintained materialized rollup (delta-cost refresh)"),
     ("change-data-feed", "Row-level changelog between snapshot versions (CDF: insert/delete/update pre+post images, file-diff pruned)"),
     ("cdc-consumer", "CDF replica sync (apply_changes: one delete-aware MERGE per window, cost |changes|)"),
+    ("cdc-cursor", "Durable CDC consumer cursor (init_replica/sync_replica: restart-safe applied-version tracking, out-of-order windows refuse)"),
     ("similarity-state", "Durable IVF ANN index (persisted centroids + cell-partitioned inverted lists, append-without-retrain, staleness-gated retrain)"),
     ("classifier-inference", "Hashed linear classifier inference (fastText-shape quality gate, broadcast B-row model)"),
     ("schema-evolution", "Schema evolution end-to-end (add/backfill/rename-recipe/drop + time travel)"),
