@@ -265,6 +265,118 @@ class AnnState:
             },
         )
 
+    # ------------------------------------------------------ cell skew
+    def cell_sizes(self) -> dict[int, int]:
+        """On-disk bytes per inverted-list cell — the hot-cell signal
+        (``BucketedLookup.bucket_sizes``'s analog, r8 verdict #3). Real
+        embedding distributions are skewed; k-means rebalances only as
+        well as vanilla k-means does, so one fat cell can make every
+        probe that touches it a partition-sized read. Driver-side
+        manifest/footer scale, never a data read. A cell grown far past
+        total/n_cells × a small factor is the ``split_cell`` trigger."""
+        import re
+
+        sizes: dict[int, int] = {}
+        for r in self.assignments.files_metadata().collect():
+            m = re.search(rf"{CELL_COL}=(\d+)/", r["file"])
+            if m:
+                c = int(m.group(1))
+                sizes[c] = sizes.get(c, 0) + int(r["file_size_bytes"])
+        return sizes
+
+    def split_cell(self, cell: int, n_sub: int = 4) -> list[int]:
+        """Hot-cell evolution: re-assign ONLY the fat cell's vectors
+        over ``n_sub`` fresh sub-centroids — a compaction-class rewrite
+        that reads and rewrites one partition, never the corpus (the
+        ``rebucket`` analog, scoped to the cell). The first sub-cell
+        keeps ``cell``'s id, the rest take ``n_cells+1..``; every other
+        cell's files are carried over untouched. Returns the new cell
+        ids.
+
+        Geometry (n_cells) changes, so the meta, the geometry stamp and
+        the sync token all move: meta is written FIRST (a crash at any
+        later point refuses on open and heals via ``repair_ann_state``,
+        which converges on the meta's geometry); the assignments commit
+        pins ``expected_version`` so a concurrent append surfaces as
+        ConcurrentCommitError (meta is restored before re-raising);
+        the centroid commit lands last with the same token."""
+        import numpy as np
+
+        if n_sub < 2:
+            raise ValueError("split needs n_sub >= 2")
+        ver = self.assignments.current_version()
+        snap = self.assignments._read_snapshot(ver)
+        if snap.get("delete_files"):
+            raise ValueError("split over live delete files is unsupported")
+        known = self.cell_sizes()
+        if cell not in known:
+            raise ValueError(f"cell {cell} has no files to split")
+
+        # pruned read of the hot cell only (+ defensive passengers: a
+        # conservatively-kept mixed file's other-cell rows pass through)
+        hot_files = self.assignments.pruned_files(
+            [(CELL_COL, "=", cell)], version=ver
+        )
+        moved = self.assignments._read_snapshot_df(snap, only_files=hot_files)
+        hot = moved.filter(F.col(CELL_COL) == cell).drop(CELL_COL)
+        rest = moved.filter(F.col(CELL_COL) != cell)
+        v = hot.select(
+            F.col(self.id_col),
+            _as_double(F.col(self.vec_col)).alias("_v"),
+        )
+        M_sub = train_centroids(
+            v, id_col=self.id_col, n_cells=n_sub,
+            kmeans_iters=self.kmeans_iters,
+        )
+        if M_sub is None:
+            raise ValueError(f"cell {cell} is empty; nothing to split")
+        k = int(M_sub.shape[0])  # may be < n_sub on tiny cells
+        new_ids = [cell] + [self.n_cells + i for i in range(1, k)]
+
+        old_n_cells = self.n_cells
+        self.n_cells = old_n_cells + k - 1
+        self._write_meta()  # meta first: repair converges on it
+        try:
+            bc = self.assignments.spark.sparkContext.broadcast(M_sub)
+            id_map = F.array(*[F.lit(i) for i in new_ids])  # k-element
+            reassigned = hot.withColumn(
+                CELL_COL,
+                F.element_at(
+                    id_map,
+                    F.element_at(cells_udf(bc, 1)(F.col(self.vec_col)), 1),
+                ),
+            )
+            token = str(ver + 1)
+            files = self.assignments._write_files(
+                reassigned.unionByName(rest),
+                partition_by=[CELL_COL],
+            )
+            keep = [f for f in snap["files"] if f not in set(hot_files)]
+            self.assignments._commit(
+                keep + files,
+                "split_cell",
+                {
+                    "split_cell": int(cell),
+                    "added_files": len(files),
+                    **self._geometry_extra(),
+                    "ann_sync_token": token,
+                },
+                snap["schema"],
+                expected_version=ver,
+                partition_by=snap.get("partition_by"),
+            )
+        except BaseException:
+            self.n_cells = old_n_cells
+            self._write_meta()  # nothing committed: restore the meta
+            raise
+        # centroid table: the split row is replaced by sub-centroid 1,
+        # the remaining k-1 sub-centroids append at the end
+        M = self._centroid_matrix()
+        M[cell - 1] = M_sub[0]
+        M_new = np.vstack([M, M_sub[1:]])
+        self._commit_centroids(M_new, sync_token=token)
+        return new_ids
+
     # ------------------------------------------------------------- reads
     def probe_cells(self, queries: DataFrame, nprobe: int) -> list[int]:
         """The distinct cells a query set probes — a ≤ n_cells-element
