@@ -82,6 +82,8 @@ __all__ = [
 
 ANN_META = "ANN_META"
 CELL_COL = "_ann_cell"
+Q_COL = "_ann_q"        # int8 codec: quantized vector (array<tinyint>)
+S_COL = "_ann_scale"    # int8 codec: per-vector symmetric scale
 
 
 class AnnSyncError(RuntimeError):
@@ -92,8 +94,11 @@ class AnnSyncError(RuntimeError):
     assignments content."""
 
 
-def _geometry_fp(n_cells: int, dim: int, id_col: str, vec_col: str) -> str:
-    return f"ivf:{n_cells}:{dim}:{id_col}:{vec_col}"
+def _geometry_fp(
+    n_cells: int, dim: int, id_col: str, vec_col: str,
+    codec: str = "float64",
+) -> str:
+    return f"ivf:{n_cells}:{dim}:{id_col}:{vec_col}:{codec}"
 
 
 def _derive_counters(assignments: SnapshotTable) -> tuple[int, int]:
@@ -129,6 +134,13 @@ class AnnState:
     retrain_fraction: float
     n_at_train: int
     n_appended: int
+    #: inverted-list storage codec. "float64" stores raw double vectors;
+    #: "int8" stores symmetric per-vector-quantized tinyint vectors plus
+    #: their scale (q57's codec) — ~4-8× fewer probe bytes at 100 TB.
+    #: Scoring dequantizes, and for COSINE the per-vector scale cancels,
+    #: so the dequantized score IS the full-precision rescore: the only
+    #: precision loss is the int8 rounding of the stored vector.
+    codec: str = "float64"
 
     # ------------------------------------------------------------- meta
     def _meta_path(self) -> str:
@@ -146,13 +158,15 @@ class AnnState:
                 "dim": self.dim,
                 "kmeans_iters": self.kmeans_iters,
                 "retrain_fraction": self.retrain_fraction,
+                "codec": self.codec,
             },
         )
 
     def _geometry_extra(self) -> dict:
         return {
             "ann_geometry": _geometry_fp(
-                self.n_cells, self.dim, self.id_col, self.vec_col
+                self.n_cells, self.dim, self.id_col, self.vec_col,
+                self.codec,
             )
         }
 
@@ -182,6 +196,52 @@ class AnnState:
             CELL_COL, F.element_at(cells_udf(bc, 1)(F.col(self.vec_col)), 1)
         )
 
+    def _pack(self, assigned: DataFrame) -> DataFrame:
+        """(id, vec double, cell) → the stored inverted-list layout.
+        int8: symmetric per-vector quantization (q57's codec) — scale =
+        max|x|, q = clamp(round(x/scale·127)) as tinyint. The scale is
+        staged as a real column so the HOF lambda doesn't re-evaluate
+        the array max per element."""
+        if self.codec == "float64":
+            return assigned
+        staged = assigned.withColumn(
+            S_COL,
+            F.array_max(
+                F.transform(F.col(self.vec_col), lambda e: F.abs(e))
+            ),
+        )
+        q = F.transform(
+            F.col(self.vec_col),
+            lambda e: F.when(F.col(S_COL) == 0, F.lit(0))
+            .otherwise(
+                F.greatest(
+                    F.lit(-127),
+                    F.least(
+                        F.lit(127),
+                        F.round(e / F.col(S_COL) * 127, 0).cast("int"),
+                    ),
+                )
+            )
+            .cast("tinyint"),
+        )
+        return staged.select(self.id_col, q.alias(Q_COL), S_COL, CELL_COL)
+
+    def _unpack(self, stored: DataFrame) -> DataFrame:
+        """Stored layout → (id, vec double[, cell]): dequantize int8
+        back to doubles (x̂ = q·scale/127). For cosine the scale cancels,
+        so scoring x̂ is exactly the full-precision rescore of the
+        quantized vector — no second read, no second pass."""
+        if self.codec == "float64":
+            return stored
+        extra = [CELL_COL] if CELL_COL in stored.columns else []
+        staged = stored.withColumn("_ann_f", F.col(S_COL) / F.lit(127.0))
+        v = F.transform(
+            F.col(Q_COL), lambda e: e.cast("double") * F.col("_ann_f")
+        )
+        return staged.select(
+            self.id_col, v.alias(self.vec_col), *extra
+        )
+
     # ------------------------------------------------------------ writes
     def append(self, delta: DataFrame) -> int:
         """Fold new vectors in WITHOUT retraining: one broadcast-matmul
@@ -191,7 +251,9 @@ class AnnState:
         bc = self.assignments.spark.sparkContext.broadcast(
             self._centroid_matrix()
         )
-        assigned = self._assign(delta, bc).localCheckpoint(eager=False)
+        assigned = self._pack(self._assign(delta, bc)).localCheckpoint(
+            eager=False
+        )
         n = assigned.count()  # delta-sized, consumed twice below
         if n == 0:
             return 0  # an empty delta must not commit a no-op snapshot
@@ -226,7 +288,7 @@ class AnnState:
         never a silent probe through mismatched centroids (r8 ADVICE;
         test-pinned: test_mid_retrain_crash_refuses_then_repairs)."""
         ver = self.assignments.current_version()
-        corpus = self.assignments.read(ver).drop(CELL_COL)
+        corpus = self._unpack(self.assignments.read(ver).drop(CELL_COL))
         n_corpus = int(corpus.count())  # parquet-footer count, pre-commit
         v = corpus.select(
             F.col(self.id_col),
@@ -239,7 +301,7 @@ class AnnState:
         spark = self.assignments.spark
         bc = spark.sparkContext.broadcast(M)
         new_ver = self.assignments.create_or_replace(
-            self._assign(corpus, bc),
+            self._pack(self._assign(corpus, bc)),
             partition_by=[CELL_COL],
             summary_extra={
                 **self._geometry_extra(),
@@ -318,8 +380,10 @@ class AnnState:
             [(CELL_COL, "=", cell)], version=ver
         )
         moved = self.assignments._read_snapshot_df(snap, only_files=hot_files)
-        hot = moved.filter(F.col(CELL_COL) == cell).drop(CELL_COL)
-        rest = moved.filter(F.col(CELL_COL) != cell)
+        hot = self._unpack(
+            moved.filter(F.col(CELL_COL) == cell).drop(CELL_COL)
+        )
+        rest = moved.filter(F.col(CELL_COL) != cell)  # stays as stored
         v = hot.select(
             F.col(self.id_col),
             _as_double(F.col(self.vec_col)).alias("_v"),
@@ -348,7 +412,7 @@ class AnnState:
             )
             token = str(ver + 1)
             files = self.assignments._write_files(
-                reassigned.unionByName(rest),
+                self._pack(reassigned).unionByName(rest),
                 partition_by=[CELL_COL],
             )
             keep = [f for f in snap["files"] if f not in set(hot_files)]
@@ -430,9 +494,11 @@ class AnnState:
         )
         cells = self.probe_cells(queries, nprobe)
         if not cells:
-            probe = self.assignments.read().limit(0)
+            probe = self._unpack(self.assignments.read().limit(0))
         else:
-            probe = self.assignments.read_where([(CELL_COL, "in", cells)])
+            probe = self._unpack(
+                self.assignments.read_where([(CELL_COL, "in", cells)])
+            )
         scored = probe.join(F.broadcast(q), CELL_COL).select(
             query_id_col,
             self.id_col,
@@ -460,12 +526,16 @@ def build_ann_state(
     kmeans_iters: int = 2,
     retrain_fraction: float = 0.5,
     train_sample_mod: int | None = None,
+    codec: str = "float64",
 ) -> AnnState:
     """Run-1: train the quantizer once and persist the index artifacts
     (centroid table + cell-partitioned assignments + geometry meta).
     Commit order matches retrain(): assignments first, centroids second,
     both stamped with the same sync token — a crash between them refuses
-    on open and heals via ``repair_ann_state``."""
+    on open and heals via ``repair_ann_state``. ``codec="int8"`` stores
+    quantized inverted lists (4-8× fewer probe bytes; see AnnState.codec)."""
+    if codec not in ("float64", "int8"):
+        raise ValueError(f"unknown ANN storage codec {codec!r}")
     v = corpus.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("_v")
     )
@@ -481,7 +551,7 @@ def build_ann_state(
         assignments=SnapshotTable(spark, assign_root),
         id_col=id_col, vec_col=vec_col, n_cells=int(M.shape[0]), dim=dim,
         kmeans_iters=kmeans_iters, retrain_fraction=retrain_fraction,
-        n_at_train=0, n_appended=0,
+        n_at_train=0, n_appended=0, codec=codec,
     )
     n_corpus = int(corpus.count())
     bc = spark.sparkContext.broadcast(M)
@@ -490,7 +560,7 @@ def build_ann_state(
     # guess safe — a rival create surfaces as ConcurrentCommitError
     ver0 = st.assignments.current_version() if st.assignments.exists() else 0
     new_ver = st.assignments.create_or_replace(
-        st._assign(corpus, bc),
+        st._pack(st._assign(corpus, bc)),
         partition_by=[CELL_COL],
         summary_extra={
             **st._geometry_extra(),
@@ -532,10 +602,13 @@ def open_ann_state(
         retrain_fraction=float(meta["retrain_fraction"]),
         n_at_train=n_at_train,
         n_appended=n_appended,
+        codec=meta.get("codec", "float64"),
     )
     from ..tables.bucketed_lookup import latest_summary_value
 
-    expect = _geometry_fp(st.n_cells, st.dim, st.id_col, st.vec_col)
+    expect = _geometry_fp(
+        st.n_cells, st.dim, st.id_col, st.vec_col, st.codec
+    )
     for t in (st.centroids, st.assignments):
         # newest STAMPED snapshot, not the newest snapshot: maintenance
         # commits (compact) don't re-stamp and must not trip the guard

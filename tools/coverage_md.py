@@ -100,6 +100,7 @@ DESCRIPTIONS = [
     ("tfidf", "TF-IDF keyword extraction (corpus df + per-group top-k)"),
     ("dsir", "DSIR importance weights (hashed-bigram target/raw log-ratio)"),
     ("similarity-ann", "Brute-force cosine top-k (exact baseline)"),
+    ("quantization", "int8 vector codec (q57 symmetric per-vector scheme; composed with the durable ANN index in q131)"),
     ("similarity-ivf", "IVF cosine top-k, k-means centroids (scale path)"),
     ("text-quality", "Quality scoring (length/punct/stopword)"),
     ("token-count", "Whitespace + BPE-ish token counting"),
