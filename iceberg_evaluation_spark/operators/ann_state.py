@@ -174,8 +174,14 @@ class AnnState:
         """True once the un-retrained fraction crosses the threshold —
         the caller's signal to schedule ``retrain()``. Probes stay
         correct while stale (appends are assigned to real centroids);
-        staleness is a recall-quality signal, not a correctness one."""
-        return self.n_appended > self.retrain_fraction * max(self.n_at_train, 1)
+        staleness is a recall-quality signal, not a correctness one.
+        ``n_at_train == 0`` means expiry erased the trained-baseline
+        commit (see ``_derive_counters``) — staleness is then UNKNOWN
+        and reports True, the conservative direction: one retrain
+        restores exact bookkeeping."""
+        if self.n_at_train == 0:
+            return True
+        return self.n_appended > self.retrain_fraction * self.n_at_train
 
     # ---------------------------------------------------------- helpers
     def _centroid_matrix(self):
@@ -623,9 +629,13 @@ def open_ann_state(
     if _check_sync:
         tok_a = latest_summary_value(st.assignments, "ann_sync_token")
         tok_c = latest_summary_value(st.centroids, "ann_sync_token")
-        # both-None = pre-token legacy artifacts (nothing to verify);
-        # anything else must agree exactly
-        if (tok_a or tok_c) and tok_a != tok_c:
+        # a None side means expire_snapshots erased the stamped history
+        # (maintenance commits don't re-stamp) or pre-token legacy
+        # artifacts — nothing to verify, the meta stays the source of
+        # truth (same degradation latest_summary_value documents for
+        # the geometry stamp). TWO PRESENT tokens must agree exactly:
+        # the mid-retrain crash always leaves both present and unequal.
+        if tok_a is not None and tok_c is not None and tok_a != tok_c:
             raise AnnSyncError(
                 f"ANN sync-token mismatch: assignments carry "
                 f"{tok_a!r}, centroids {tok_c!r} — a crash landed "
