@@ -25,32 +25,30 @@ from . import corpus_quality  # noqa: E402,F401
 # rounds" the steady-state fixed point — the auto-sort rotates the whole
 # oldest cohort through each round. Exceeding the pin budget silently
 # ages the tail; don't.
-_R8_PINNED = [
+_R9_PINNED = [
     # flagship stays first (driver entry() smoke-checks it anyway)
     "q01_pricing_summary",
-    # changelog append-safe set + diff-path pruning changed (r8 ADVICE:
-    # drop_column windows now take the endpoint diff)
+    # CDF feed pads typed nulls now (r8 ADVICE); q118 is the feed
+    # contract query, q128 its deepest consumer (also gained the
+    # summary_extra-threaded cursor stamp path)
     "q118_change_data_feed",
-    # rollup group-scoped sketch rebuild is now snapshot-pinned to the
-    # window endpoint (r8 ADVICE)
-    "q119_rollup_cdf_maintenance",
-    "q120_sketch_rollup",
-    "q124_sketch_rollup_cdf",
-    # IdempotentEpochSink query_id became required (r8 ADVICE); q127 is
-    # its contract query, q115 its deepest consumer
-    "q127_exactly_once_sink",
-    "q115_gated_streaming_ingest",
+    "q128_cdf_replica_sync",
+    # ann_state overhaul: sync-token witness, log-derived counters,
+    # int8 codec plumbing, split_cell — q129 is the durable-state
+    # contract query; q38 was rebased onto the durable index
+    "q129_durable_ann_state",
+    "q38_ivf_cosine_topk",
 ]
-# 7 pins + 2 new (q128/q129, never checked → auto-sorted in) + the 36
-# r5-era verdicts = 45 of 50; the remaining slots pull the oldest r6
-# verdicts forward. After this round no verdict predates r6.
+# 5 pins + 2 new (q130/q131, never checked → auto-sorted in) = 7 of 50;
+# the remaining 43 slots pull the oldest (r6-era, then r7) verdicts
+# forward — the ≤-3-rounds freshness SLA's steady state.
 _REPO_ROOT = _os.path.dirname(
     _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
 )
 _HISTORY = _registry.load_correctness_history(_REPO_ROOT)
-_registry.PINNED_HEAD[:] = _R8_PINNED
+_registry.PINNED_HEAD[:] = _R9_PINNED
 _registry.PRIORITY[:] = _registry.derive_priority(
-    list(_registry.REGISTRY), _HISTORY, _R8_PINNED
+    list(_registry.REGISTRY), _HISTORY, _R9_PINNED
 )
 
 __all__ = ["Query", "REGISTRY", "register", "all_queries", "all_oracles"]
