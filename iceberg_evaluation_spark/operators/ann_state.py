@@ -62,7 +62,7 @@ surface mandated alongside SURVEY.md §2 (similarity search at scale).
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -141,6 +141,10 @@ class AnnState:
     #: so the dequantized score IS the full-precision rescore: the only
     #: precision loss is the int8 rounding of the stored vector.
     codec: str = "float64"
+    #: per-query_id [version_watermark, last_epoch] for append_epoch's
+    #: incremental snapshot-log scan (session-local cache; the durable
+    #: record is the markers in the commit summaries)
+    _sink_watermarks: dict = field(default_factory=dict, repr=False)
 
     # ------------------------------------------------------------- meta
     def _meta_path(self) -> str:
@@ -249,7 +253,9 @@ class AnnState:
         )
 
     # ------------------------------------------------------------ writes
-    def append(self, delta: DataFrame) -> int:
+    def append(
+        self, delta: DataFrame, summary_extra: dict | None = None
+    ) -> int:
         """Fold new vectors in WITHOUT retraining: one broadcast-matmul
         assignment pass over the delta, appended into the cell
         partitions they belong to (only those cells get new files).
@@ -271,10 +277,70 @@ class AnnState:
             summary_extra={
                 **self._geometry_extra(),
                 "ann_appended_rows": int(n),
+                **(summary_extra or {}),
             },
         )
         self.n_appended += int(n)
         return int(n)
+
+    def last_sink_epoch(self, query_id: str) -> int:
+        """Highest streaming epoch ``query_id`` has durably folded into
+        the index (-1 if none) — the IdempotentEpochSink marker
+        vocabulary on the assignments log, scanned incrementally behind
+        a per-query version watermark."""
+        wm = self._sink_watermarks.setdefault(query_id, [0, -1])
+        cur = self.assignments.current_version()
+        for v in range(wm[0] + 1, cur + 1):
+            try:
+                summ = self.assignments._read_snapshot(v).get("summary") or {}
+            except FileNotFoundError:
+                continue  # expired manifest: its marker is superseded
+            if summ.get("sink_query_id") == query_id:
+                wm[1] = max(wm[1], int(summ.get("sink_epoch_id", -1)))
+        wm[0] = max(wm[0], cur)
+        return wm[1]
+
+    def append_epoch(
+        self, delta: DataFrame, query_id: str, epoch_id: int
+    ) -> int:
+        """Exactly-once micro-batch fold for ``foreachBatch`` streams —
+        the streaming leg of the standing similarity pipeline.
+        ``foreachBatch`` is at-least-once: a crash between the index
+        append and the stream's checkpoint commit replays the epoch,
+        and a plain ``append`` would index the same vectors twice. The
+        epoch marker rides IN the assignments commit summary (the same
+        atomic commit as the data, IdempotentEpochSink's exact recipe),
+        so a replayed epoch is detected in the snapshot log and skipped
+        — returns 0 then, and for empty batches (which don't consume
+        the epoch; replaying one is harmless). A rival writer's commit
+        surfaces as ConcurrentCommitError and is retried against fresh
+        state: our own epoch cannot have landed meanwhile (one writer
+        per query_id), so the retry is idempotent by construction."""
+        from ..tables.snapshot_table import ConcurrentCommitError
+
+        if not query_id or not isinstance(query_id, str):
+            raise ValueError(
+                "query_id is required and must be a non-empty string: "
+                "two streams sharing an index without distinct ids "
+                "would silently drop each other's epochs"
+            )
+        for _ in range(20):
+            if int(epoch_id) <= self.last_sink_epoch(query_id):
+                return 0  # replay after a crash-before-checkpoint
+            try:
+                return self.append(
+                    delta,
+                    summary_extra={
+                        "sink_query_id": query_id,
+                        "sink_epoch_id": int(epoch_id),
+                    },
+                )
+            except ConcurrentCommitError:
+                continue  # rival commit landed first; re-scan and retry
+        raise ConcurrentCommitError(
+            f"epoch {epoch_id} of {query_id!r} lost the commit race 20 "
+            "times; index under pathological contention"
+        )
 
     def retrain(self) -> int:
         """Full k-means rebuild from the CURRENT corpus — the amortized

@@ -417,9 +417,22 @@ def sync_replica(
         )
     if to == at:
         return 0
+    try:
+        changes = table_changes(source, cur["keys"], at, to)
+    except FileNotFoundError as e:
+        # the window's FROM endpoint is the cursor's snapshot; if the
+        # source expired it, no diff basis exists — a stale consumer
+        # must re-bootstrap, never guess at the missed changes
+        raise ValueError(
+            f"source history at {source.root} was expired past the "
+            f"replica cursor (v{at} unreadable: {e}); the consumer "
+            "lagged beyond the source's retention — re-bootstrap the "
+            "replica with init_replica (or retain snapshots at least "
+            "as long as the slowest consumer's lag)"
+        ) from e
     n = apply_changes(
         replica,
-        table_changes(source, cur["keys"], at, to),
+        changes,
         cur["keys"],
         summary_extra={
             "cdc_source_root": source.root,

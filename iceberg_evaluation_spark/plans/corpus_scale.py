@@ -1292,3 +1292,143 @@ def q131_int8_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(st8.codec == "int8").alias("reopened_codec_ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q132: STREAMING ANN INGEST — the streaming leg of the durable
+#       similarity pipeline: a REAL readStream → foreachBatch job folds
+#       embedding micro-batches into the persisted IVF index through
+#       AnnState.append_epoch, the exactly-once epoch fold (the
+#       IdempotentEpochSink recipe applied to the index: the epoch
+#       marker commits atomically WITH the assigned rows, so a
+#       crash-replayed micro-batch is detected in the snapshot log and
+#       skipped — receipt-checked here by replaying the final epoch
+#       after the stream). The index is then REOPENED from disk and
+#       probed: every streamed query vector finds itself in its own
+#       top-k through the pruned read, the log-derived append counter
+#       equals the streamed row count exactly (replays excluded), and
+#       the staleness signal is raised (delta fraction 33% > threshold
+#       10%) — the cue for the amortized retrain. Scale shape: each
+#       micro-batch costs one broadcast-matmul assignment pass over the
+#       batch + one append into its touched cells; no corpus read, no
+#       retrain, no full-log rescan (per-query version watermark).
+# ---------------------------------------------------------------------------
+def _q132_run(spark: SparkSession, sf_dir: str):
+    from ..operators.ann_state import build_ann_state, open_ann_state
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    head = emb.filter(F.col("vec_id") % 4 != 0)
+    delta = emb.filter(F.col("vec_id") % 4 == 0)
+    cent = scratch_dir(prefix="q132_cent_")
+    assign = scratch_dir(prefix="q132_assign_")
+    st = build_ann_state(
+        spark, head, cent, assign, n_cells=16, retrain_fraction=0.1
+    )
+
+    src = scratch_dir(prefix="q132_replay_")
+    # 4 files pins the micro-batch count (2 per trigger → 2 batches)
+    delta.repartition(4, "vec_id").write.mode("overwrite").parquet(src)
+    applied: list[tuple[int, int]] = []
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        n = st.append_epoch(batch_df, "q132", epoch_id)
+        if n:
+            applied.append((int(epoch_id), n))
+
+    stream = (
+        spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .outputMode("update")
+        .option("checkpointLocation", scratch_dir(prefix="q132_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    # the crash-replay: re-offer the final epoch — the durable marker,
+    # not session state, must skip it (0 rows folded)
+    last_epoch = max(e for e, _ in applied)
+    replays_skipped = int(
+        st.append_epoch(delta.limit(50), "q132", last_epoch) == 0
+    )
+    reopened = open_ann_state(spark, cent, assign)
+    return reopened, applied, replays_skipped
+
+
+_Q132_CACHE: dict = {}
+
+
+def _q132_cached(spark: SparkSession, sf_dir: str):
+    key = (id(spark), sf_dir)
+    if key not in _Q132_CACHE:
+        _Q132_CACHE[key] = _q132_run(spark, sf_dir)
+    return _Q132_CACHE[key]
+
+
+def _q132_bare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator-only variant: ONE pruned probe through the
+    stream-ingested, reopened index."""
+    reopened, _, _ = _q132_cached(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(
+        (F.col("vec_id") % 4 == 0) & (F.col("vec_id") < 20)
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    return reopened.topk(queries, k=5, nprobe=6).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("k_returned")
+    )
+
+
+@register(
+    "q132_streaming_ann_ingest",
+    covers="similarity-state streaming table-layer S5 S6 S7 J5 A2 P5",
+    bare=_q132_bare,
+    oracle="""
+SELECT vec_id AS query_id,
+       CAST(5 AS BIGINT) AS k_returned,
+       TRUE AS self_in_topk,
+       CAST(2 AS BIGINT) AS epochs_applied,
+       CAST(1 AS BIGINT) AS replays_skipped,
+       (SELECT CAST(count(*) FILTER (WHERE vec_id % 4 = 0) AS BIGINT)
+        FROM embeddings) AS n_appended,
+       TRUE AS stale_after_stream
+FROM embeddings WHERE vec_id % 4 = 0 AND vec_id < 20
+""",
+)
+def q132_streaming_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    reopened, applied, replays_skipped = _q132_cached(spark, sf_dir)
+    _Q132_CACHE[(id(spark), sf_dir)] = (reopened, applied, replays_skipped)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(
+        (F.col("vec_id") % 4 == 0) & (F.col("vec_id") < 20)
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    approx = reopened.topk(queries, k=5, nprobe=6)
+    # every streamed vector finds ITSELF in its own top-k through the
+    # reopened, pruned index (self-cosine is exactly 1.0; an exact-dup
+    # twin elsewhere in the corpus can outrank on the id tie-break but
+    # not push self out of the top k here)
+    self_hits = (
+        approx.filter(F.col("query_id") == F.col("vec_id"))
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("_s"))
+    )
+    return (
+        approx.groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k_returned"))
+        .join(self_hits, "query_id", "left")
+        .select(
+            "query_id",
+            "k_returned",
+            (F.coalesce(F.col("_s"), F.lit(0)) >= 1).alias("self_in_topk"),
+            F.lit(len(applied)).cast("bigint").alias("epochs_applied"),
+            F.lit(replays_skipped).cast("bigint").alias("replays_skipped"),
+            F.lit(reopened.n_appended).cast("bigint").alias("n_appended"),
+            F.lit(reopened.stale()).alias("stale_after_stream"),
+        )
+    )

@@ -463,3 +463,38 @@ def test_int8_codec_probes_with_high_recall_and_fewer_bytes(spark, tmp_path):
     re8b = open_ann_state(spark, c8, a8)
     assert re8b.codec == "int8" and re8b.n_cells == 5
     assert re8b.topk(q, k=1, nprobe=5).collect()[0]["vec_id"] == 1001
+
+
+def test_append_epoch_is_exactly_once(spark, tmp_path):
+    """Streaming leg of the ANN pipeline: a replayed foreachBatch epoch
+    must be skipped (marker rides in the same commit as the data, the
+    IdempotentEpochSink recipe), empty batches don't consume epochs,
+    per-query_id isolation holds, and a REOPENED index (fresh
+    watermarks) still detects the replay from the durable markers."""
+    corpus = _vectors(spark, 80)
+    cent, assign = _roots(tmp_path)
+    st = build_ann_state(spark, corpus, cent, assign, n_cells=4)
+
+    b0 = _vectors(spark, 10, seed_shift=1000)
+    b1 = _vectors(spark, 10, seed_shift=2000)
+    assert st.append_epoch(b0, "s1", 0) == 10
+    assert st.append_epoch(b1, "s1", 1) == 10
+    assert st.append_epoch(b0, "s1", 0) == 0   # crash-replay of epoch 0
+    assert st.append_epoch(b1, "s1", 1) == 0   # crash-replay of epoch 1
+    assert st.append_epoch(b1.limit(0), "s1", 2) == 0  # empty batch
+    # a SECOND stream's epoch numbering is independent (per-query_id)
+    assert st.append_epoch(_vectors(spark, 5, seed_shift=3000), "s2", 0) == 5
+    with pytest.raises(ValueError, match="query_id is required"):
+        st.append_epoch(b0, "", 3)
+
+    # restart: durable markers, not session watermarks, decide replays
+    re = open_ann_state(spark, cent, assign)
+    assert re.last_sink_epoch("s1") == 1 and re.last_sink_epoch("s2") == 0
+    assert re.append_epoch(b1, "s1", 1) == 0
+    assert re.n_appended == 25  # 10 + 10 + 5, replays excluded
+    # probe a streamed vector with no exact twin in the corpus (the
+    # jitter repeats for ids congruent mod 388 — 1001 has no collision)
+    q = b0.filter(F.col("vec_id") == 1001).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    assert re.topk(q, k=1, nprobe=4).collect()[0]["vec_id"] == 1001

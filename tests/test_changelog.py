@@ -888,3 +888,31 @@ def test_cdc_cursor_heals_after_commit_meta_crash(spark, tmp_path, monkeypatch):
     want = {(r["id"], r["k"], r["v"]) for r in t.read().collect()}
     got = {(r["id"], r["k"], r["v"]) for r in rep2.read().collect()}
     assert got == want  # and in particular: id=10 appended exactly once
+
+
+def test_cdc_cursor_vs_source_expiry(spark, tmp_path):
+    """A consumer that lagged beyond the source's snapshot retention
+    must get an actionable refusal (re-bootstrap), never a guess; a
+    consumer within retention keeps syncing after the same expiry.
+    The endpoint diff never needs the expired INTERMEDIATE manifests —
+    only the cursor endpoint itself must survive."""
+    from iceberg_evaluation_spark.operators.changelog import (
+        init_replica,
+        sync_replica,
+    )
+
+    t, rep = _cursor_fixture(spark, tmp_path)          # source at v4
+    lagger = SnapshotTable(spark, str(tmp_path / "lagger"))
+    init_replica(lagger, t, ["id"], at_version=1)       # cursor at v1
+    sync_replica(rep, t, to_version=3)                  # cursor at v3
+
+    t.expire_snapshots(keep_last=2)                     # v1, v2 expire
+
+    # within retention: v3 survives → the fresh consumer drains fine
+    assert sync_replica(rep, t) > 0
+    want = {(r["id"], r["k"], r["v"]) for r in t.read().collect()}
+    assert {(r["id"], r["k"], r["v"]) for r in rep.read().collect()} == want
+
+    # beyond retention: v1 is gone → loud, actionable refusal
+    with pytest.raises(ValueError, match="re-bootstrap"):
+        sync_replica(lagger, t)
