@@ -9,8 +9,11 @@ IVF index without retraining per run.
               append: assign delta to existing centroids (one broadcast
               matmul over the delta, no corpus read) →
               topk: probe nprobe cells, file-pruned to their partitions
-    stale   when appended/total crosses the threshold, retrain() — the
-            one amortized full-corpus pass
+    weekly  maintain() — one signal-gated pass: retrain() when stale
+            (the amortized full-corpus rebalance), split_cell() on hot
+            cells, compact() when epoch folds fragmented the lists,
+            expire_snapshots last (replay markers survive via the
+            epoch_marks/ floor)
 
     python examples/standing_ann_pipeline.py [SF_DIR]
 
@@ -78,10 +81,16 @@ def main() -> None:
             f"stale={st.stale()}"
         )
 
-    # ---- the amortized pass --------------------------------------------
-    if st.stale():
-        total = st.retrain()
-        print(f"retrain: quantizer refreshed over {total} vectors")
+    # ---- the scheduled maintenance pass ---------------------------------
+    # one signal-gated call: retrain if stale, split hot cells, bin-pack
+    # stream fragments, expire old snapshots (exactly-once markers
+    # survive expiry via the epoch_marks/ carry-forward)
+    r = st.maintain(keep_last_snapshots=2)
+    print(
+        f"maintain: retrained={r['retrained']} "
+        f"splits={len(r['split_cells'])} compacted={r['compacted']} "
+        f"expired={r['expired']}"
+    )
     spark.stop()
 
 

@@ -287,17 +287,28 @@ class AnnState:
         """Highest streaming epoch ``query_id`` has durably folded into
         the index (-1 if none) — the IdempotentEpochSink marker
         vocabulary on the assignments log, scanned incrementally behind
-        a per-query version watermark."""
+        a per-query version watermark. Markers that scrolled past the
+        retention horizon are folded in from the ``epoch_marks/`` floor
+        ``expire_snapshots`` carries forward, so expiring the
+        assignments history never re-opens a replayed epoch."""
+        fresh = query_id not in self._sink_watermarks
         wm = self._sink_watermarks.setdefault(query_id, [0, -1])
+        hit_expired = False
         cur = self.assignments.current_version()
         for v in range(wm[0] + 1, cur + 1):
             try:
                 summ = self.assignments._read_snapshot(v).get("summary") or {}
             except FileNotFoundError:
-                continue  # expired manifest: its marker is superseded
+                hit_expired = True  # marker carried into epoch_marks/
+                continue
             if summ.get("sink_query_id") == query_id:
                 wm[1] = max(wm[1], int(summ.get("sink_epoch_id", -1)))
         wm[0] = max(wm[0], cur)
+        if hit_expired or fresh:
+            wm[1] = max(
+                wm[1],
+                self.assignments.sink_epoch_floors().get(query_id, -1),
+            )
         return wm[1]
 
     def append_epoch(
@@ -398,6 +409,37 @@ class AnnState:
                 "ann_sync_token": sync_token,
             },
         )
+
+    # ------------------------------------------------------ maintenance
+    def compact(self, target_file_mb: int = 128) -> dict:
+        """Small-files maintenance for the inverted lists. Every
+        streaming epoch fold (``append_epoch``) appends one file per
+        touched cell, so a long-lived ingest loop accretes
+        O(epochs × cells) tiny files: probe bytes stay flat but the
+        pruned read pays one file-open per fragment — the classic
+        streaming small-files tax at 100 TB. Bin-pack rewrites the
+        lists back to ~one right-sized file per cell.
+
+        Safety properties (all test-pinned):
+        - the cell partition layout is preserved (binpack carries
+          ``partition_by`` through), so probe pruning is intact;
+        - the rewrite commit re-stamps nothing — ``open_ann_state``
+          reads the newest STAMPED summary, so the geometry and sync
+          checks pass unchanged;
+        - epoch markers live in PRIOR summaries, which survive the
+          rewrite in the log and survive later expiry via the
+          ``epoch_marks/`` carry-forward — replay detection is intact;
+        - compact pins ``expected_version``, so a rival epoch fold
+          surfaces as ConcurrentCommitError on one side, never as
+          lost rows.
+
+        Returns a ``{files_before, files_after}`` receipt (the IO
+        evidence for BENCH_NOTES' fragmentation probe)."""
+        a = self.assignments
+        before = len(a._read_snapshot(a.current_version())["files"])
+        a.compact(target_file_mb=target_file_mb)
+        after = len(a._read_snapshot(a.current_version())["files"])
+        return {"files_before": before, "files_after": after}
 
     # ------------------------------------------------------ cell skew
     def cell_sizes(self) -> dict[int, int]:
@@ -512,6 +554,73 @@ class AnnState:
         M_new = np.vstack([M, M_sub[1:]])
         self._commit_centroids(M_new, sync_token=token)
         return new_ids
+
+    def maintain(
+        self,
+        *,
+        hot_cell_factor: float = 8.0,
+        split_sub: int = 4,
+        max_splits: int = 4,
+        frag_files_per_cell: float = 4.0,
+        target_file_mb: int = 128,
+        keep_last_snapshots: int | None = None,
+    ) -> dict:
+        """The daily maintenance pass: read every standing signal the
+        index exposes and apply the matching mitigation, in dependency
+        order. One scheduled call keeps a year-long ingest loop healthy
+        — the operational capstone over the r8/r9 machinery, mirroring
+        Iceberg's maintenance procedures (rewrite_data_files +
+        expire_snapshots) plus the index-specific rebalances.
+
+        Order and rationale:
+        1. ``stale()`` → ``retrain()`` — the full rebalance rewrites
+           every file, so any split/compact done before it is wasted
+           work; it runs first and the later signals re-read fresh
+           state.
+        2. ``cell_sizes()`` → ``split_cell()`` on each cell above
+           ``hot_cell_factor ×`` the per-cell byte budget (largest
+           first, at most ``max_splits`` per pass) — k-means rebalances
+           only as well as vanilla k-means does, so skew survives
+           retrain.
+        3. file count > ``frag_files_per_cell × n_cells`` →
+           ``compact()`` — last among the rewrites because splits add
+           files.
+        4. ``keep_last_snapshots`` → ``expire_snapshots`` — after
+           compaction so the freed fragments' bytes are actually
+           GC-able; exactly-once replay detection survives it via the
+           ``epoch_marks/`` carry-forward.
+
+        Every action is optional and signal-gated; the returned receipt
+        records exactly what ran (the no-op pass returns all-empty and
+        costs only driver-side manifest reads)."""
+        receipt: dict = {
+            "retrained": 0, "split_cells": [], "compacted": None,
+            "expired": None,
+        }
+        if self.stale():
+            receipt["retrained"] = self.retrain()
+        sizes = self.cell_sizes()
+        if sizes:
+            budget = (
+                hot_cell_factor * sum(sizes.values()) / max(1, self.n_cells)
+            )
+            hot = sorted(
+                (c for c, b in sizes.items() if b > budget),
+                key=lambda c: -sizes[c],
+            )
+            for c in hot[:max_splits]:
+                receipt["split_cells"].append(
+                    {"cell": int(c), "new_ids": self.split_cell(c, split_sub)}
+                )
+        a = self.assignments
+        n_files = len(a._read_snapshot(a.current_version())["files"])
+        if n_files > frag_files_per_cell * self.n_cells:
+            receipt["compacted"] = self.compact(target_file_mb=target_file_mb)
+        if keep_last_snapshots is not None:
+            receipt["expired"] = a.expire_snapshots(
+                keep_last=keep_last_snapshots
+            )
+        return receipt
 
     # ------------------------------------------------------------- reads
     def probe_cells(self, queries: DataFrame, nprobe: int) -> list[int]:

@@ -193,6 +193,22 @@ def _append_index(
         )
 
 
+def _compact_artifacts(
+    target_file_mb: int, **tables: SnapshotTable
+) -> dict:
+    """Bin-pack each named artifact table, returning
+    {name: {files_before, files_after}} receipts. Binpack carries the
+    snapshot's ``partition_by`` through, so identity-partitioned band
+    indexes keep their file-pruned partner reads."""
+    out: dict[str, dict[str, int]] = {}
+    for name, t in tables.items():
+        before = len(t._read_snapshot(t.current_version())["files"])
+        t.compact(target_file_mb=target_file_mb)
+        after = len(t._read_snapshot(t.current_version())["files"])
+        out[name] = {"files_before": before, "files_after": after}
+    return out
+
+
 def _capped_append_rows(
     existing: DataFrame, new_rows: DataFrame, keys: list[str], max_bucket: int
 ) -> DataFrame:
@@ -256,6 +272,20 @@ class DedupState:
                 "shingle_n": self.shingle_n,
                 "index_partitions": self.index_partitions,
             }
+        )
+
+    def compact(self, target_file_mb: int = 128) -> dict:
+        """Small-files maintenance: every folded delta appends one file
+        per touched index partition, so a long-running ingest loop
+        fragments the standing artifacts (the AnnState.compact story,
+        one family over). Bin-pack preserves the identity partitioning
+        — pruned partner reads stay pruned — and re-stamps nothing, so
+        open's geometry witness (newest STAMPED summary) is unchanged.
+        Returns per-artifact {files_before, files_after} receipts."""
+        return _compact_artifacts(
+            target_file_mb,
+            fingerprints=self.fingerprints,
+            bands=self.bands,
         )
 
     # bloom words cached per fingerprint-table version: a streaming
@@ -615,6 +645,13 @@ class SemanticState:
                 "index_partitions": self.index_partitions,
             }
         )
+
+    def compact(self, target_file_mb: int = 128) -> dict:
+        """Small-files maintenance for the SRP band index — see
+        :meth:`DedupState.compact` (same fragmentation mode, same
+        partition-preserving bin-pack, same unchanged geometry
+        witness)."""
+        return _compact_artifacts(target_file_mb, bands=self.bands)
 
 
 def build_semantic_state(

@@ -38,9 +38,14 @@ _R9_PINNED = [
     # contract query; q38 was rebased onto the durable index
     "q129_durable_ann_state",
     "q38_ivf_cosine_topk",
+    # epoch-marker floor (expire_snapshots carry-forward) rewired the
+    # sink's and the index's replay scans — q127 is the sink contract
+    # query; rollup refresh gained the expired-history refusal
+    "q127_exactly_once_sink",
+    "q119_rollup_cdf_maintenance",
 ]
-# 5 pins + 2 new (q130/q131, never checked → auto-sorted in) = 7 of 50;
-# the remaining 43 slots pull the oldest (r6-era, then r7) verdicts
+# 7 pins + 4 new (q130-q133, never checked → auto-sorted in) = 11 of 50;
+# the remaining 39 slots pull the oldest (r6-era, then r7) verdicts
 # forward — the ≤-3-rounds freshness SLA's steady state.
 _REPO_ROOT = _os.path.dirname(
     _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))

@@ -1432,3 +1432,164 @@ def q132_streaming_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(reopened.stale()).alias("stale_after_stream"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q133: RETENTION-SAFE EXACTLY-ONCE MAINTENANCE — the standing-state
+#       lifecycle a year-long 100 TB ingest loop actually runs:
+#       (1) a quiet stream's epoch markers scroll past the retention
+#       horizon (rival writers keep committing; expire_snapshots drops
+#       every marker-bearing manifest) — the RESTARTED sink must still
+#       skip its crash-replayed epoch, via the per-query_id floor that
+#       expiry carries forward into the epoch_marks/ sidecar BEFORE
+#       deleting a manifest; (2) the streaming ANN index accretes one
+#       file per touched cell per epoch fold — AnnState.compact()
+#       bin-packs the inverted lists back (cell pruning, geometry and
+#       probe results intact, receipt-checked here by comparing the
+#       pre/post top-k row sets), and a FULL expiry of the stamped
+#       history afterwards still cannot re-open the replayed epoch.
+#       Scale shape: the floor is one tiny sidecar read; compact is one
+#       partition-preserving rewrite; expiry GCs the dropped fragments'
+#       bytes for real.
+# ---------------------------------------------------------------------------
+def _q133_run(spark: SparkSession, sf_dir: str):
+    from ..operators.ann_state import build_ann_state, open_ann_state
+    from ..streaming.incremental import IdempotentEpochSink
+
+    # -- sink leg: markers outlive retention through the carried floor
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") < 5000
+    ).select("event_id", "event_type", "value")
+    sink = SnapshotTable(spark, scratch_dir(prefix="q133_sink_"))
+    s = IdempotentEpochSink(sink, query_id="q133_sink")
+    for e in range(3):
+        s.write(ev.filter(F.col("event_id") % 5 == e), e)
+    for _ in range(8):  # rival writer rolls the log past every marker
+        sink.append(ev.filter(F.col("event_id") % 5 == 3))
+    sink.expire_snapshots(keep_last=3)
+    restarted = IdempotentEpochSink(sink, query_id="q133_sink")
+    sink_floor = restarted.last_epoch()
+    sink_replay_skipped = (
+        restarted.write(ev.filter(F.col("event_id") % 5 == 1), 2) is False
+    )
+    sink_resumed = restarted.write(
+        ev.filter(F.col("event_id") % 5 == 4), 3
+    )
+
+    # -- ANN leg: defragment the stream-fed inverted lists, then expire
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    head = emb.filter(F.col("vec_id") % 3 != 0)
+    cent = scratch_dir(prefix="q133_cent_")
+    assign = scratch_dir(prefix="q133_assign_")
+    st = build_ann_state(spark, head, cent, assign, n_cells=8)
+    for e in range(4):  # four micro-batch folds fragment the cells
+        st.append_epoch(
+            emb.filter(F.col("vec_id") % 12 == 3 * e), "q133_ann", e
+        )
+    queries = head.filter(F.col("vec_id") < 15).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    topk_before = {
+        (r["query_id"], r["vec_id"], r["rk"])
+        for r in st.topk(queries, k=5, nprobe=3).collect()
+    }
+    receipt = st.compact()
+    ann_defragmented = receipt["files_after"] < receipt["files_before"]
+    # full expiry: ONLY the compact snapshot survives; every epoch
+    # marker and the build stamp are carried into the sidecar floor
+    st.assignments.expire_snapshots(keep_last=1)
+    ann_floor = st.assignments.sink_epoch_floors().get("q133_ann", -1)
+    reopened = open_ann_state(spark, cent, assign)
+    topk_after = {
+        (r["query_id"], r["vec_id"], r["rk"])
+        for r in reopened.topk(queries, k=5, nprobe=3).collect()
+    }
+    ann_replay_skipped = (
+        reopened.append_epoch(
+            emb.filter(F.col("vec_id") % 12 == 9), "q133_ann", 3
+        )
+        == 0
+    )
+    ann_resumed_rows = reopened.append_epoch(
+        emb.filter(F.col("vec_id") % 3 == 0).withColumn(
+            "vec_id", F.col("vec_id") + 10_000_000
+        ),
+        "q133_ann",
+        4,
+    )
+    return {
+        "sink": sink,
+        "reopened": reopened,
+        "queries": queries,
+        "sink_floor": sink_floor,
+        "sink_replay_skipped": sink_replay_skipped,
+        "sink_resumed": bool(sink_resumed),
+        "ann_defragmented": ann_defragmented,
+        "ann_probe_identical": topk_after == topk_before,
+        "ann_floor": ann_floor,
+        "ann_replay_skipped": ann_replay_skipped,
+        "ann_resumed_rows": int(ann_resumed_rows),
+    }
+
+
+_Q133_CACHE: dict = {}
+
+
+def _q133_cached(spark: SparkSession, sf_dir: str) -> dict:
+    key = (id(spark), sf_dir)
+    if key not in _Q133_CACHE:
+        _Q133_CACHE[key] = _q133_run(spark, sf_dir)
+    return _Q133_CACHE[key]
+
+
+def _q133_bare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator-only variant: one pruned probe through the compacted,
+    expiry-survived index."""
+    r = _q133_cached(spark, sf_dir)
+    return (
+        r["reopened"]
+        .topk(r["queries"], k=5, nprobe=3)
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("k_returned"))
+    )
+
+
+@register(
+    "q133_retention_exactly_once",
+    covers="streaming table-layer similarity-state M8 M9 S7 A2 P5",
+    bare=_q133_bare,
+    oracle="""
+SELECT
+  (SELECT CAST(count(*) FILTER (WHERE event_id % 5 IN (0, 1, 2, 4))
+             + 8 * count(*) FILTER (WHERE event_id % 5 = 3) AS BIGINT)
+   FROM events WHERE event_id < 5000) AS sink_rows,
+  CAST(2 AS BIGINT) AS sink_floor,
+  TRUE AS sink_replay_skipped,
+  TRUE AS sink_resumed,
+  TRUE AS ann_defragmented,
+  TRUE AS ann_probe_identical,
+  CAST(3 AS BIGINT) AS ann_floor,
+  TRUE AS ann_replay_skipped,
+  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+   WHERE vec_id % 3 = 0) AS ann_resumed_rows
+""",
+)
+def q133_retention_exactly_once(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    r = _q133_cached(spark, sf_dir)
+    return r["sink"].read().agg(
+        F.count(F.lit(1)).cast("bigint").alias("sink_rows")
+    ).select(
+        "sink_rows",
+        F.lit(r["sink_floor"]).cast("bigint").alias("sink_floor"),
+        F.lit(r["sink_replay_skipped"]).alias("sink_replay_skipped"),
+        F.lit(r["sink_resumed"]).alias("sink_resumed"),
+        F.lit(r["ann_defragmented"]).alias("ann_defragmented"),
+        F.lit(r["ann_probe_identical"]).alias("ann_probe_identical"),
+        F.lit(r["ann_floor"]).cast("bigint").alias("ann_floor"),
+        F.lit(r["ann_replay_skipped"]).alias("ann_replay_skipped"),
+        F.lit(r["ann_resumed_rows"]).cast("bigint").alias("ann_resumed_rows"),
+    )

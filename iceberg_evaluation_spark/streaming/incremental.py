@@ -55,9 +55,12 @@ class IdempotentEpochSink:
     watermark caches how far the log has been read, so each micro-batch
     reads only the manifests committed since the previous one (a naive
     full-log rescan would be O(batches²) driver IO over a long stream).
-    Expiring the sink table's history is safe as long as the retained
-    snapshots cover the possible replay window (Spark only replays the
-    last unacknowledged epoch, whose marker rides the newest commits).
+    Expiring the sink table's history is always replay-safe:
+    ``expire_snapshots`` carries the max epoch marker per query_id
+    forward into the ``epoch_marks/`` sidecar before deleting any
+    manifest, and this scan folds that floor in — so even a quiet
+    stream whose newest marker scrolled past the retention horizon
+    (rival writers kept committing) still detects its replayed epoch.
     """
 
     def __init__(self, table: SnapshotTable, query_id: str):
@@ -71,22 +74,31 @@ class IdempotentEpochSink:
         self.query_id = query_id
         self._scanned_version = 0  # log watermark for the incremental scan
         self._last_epoch = -1
+        self._floor_seeded = False
 
     def last_epoch(self) -> int:
         """Highest epoch this query_id has durably committed (-1 if none)."""
         if not self.table.exists():
             return -1
+        hit_expired = False
         cur = self.table.current_version()
         for v in range(self._scanned_version + 1, cur + 1):
             try:
                 summ = self.table._read_snapshot(v).get("summary") or {}
             except FileNotFoundError:
-                continue  # expired manifest: its marker is superseded
+                hit_expired = True  # marker carried into epoch_marks/
+                continue
             if summ.get("sink_query_id") == self.query_id:
                 self._last_epoch = max(
                     self._last_epoch, int(summ.get("sink_epoch_id", -1))
                 )
         self._scanned_version = max(self._scanned_version, cur)
+        if hit_expired or not self._floor_seeded:
+            self._last_epoch = max(
+                self._last_epoch,
+                self.table.sink_epoch_floors().get(self.query_id, -1),
+            )
+            self._floor_seeded = True
         return self._last_epoch
 
     def write(self, batch_df: DataFrame, epoch_id: int) -> bool:

@@ -97,6 +97,23 @@ class MaterializedRollup:
         )
         return rows.groupBy(*self.group_cols).agg(*aggs)
 
+    def _incremental_or_refuse(self, scan, last: int):
+        """Run an incremental window scan, converting the raw
+        FileNotFoundError of a history expired past the checkpoint into
+        an actionable refusal (the sync_replica pattern): a rollup that
+        lagged beyond the base's snapshot retention has no diff basis —
+        it must ``rebuild()``, never guess at the missed window."""
+        try:
+            return scan()
+        except FileNotFoundError as e:
+            raise ValueError(
+                f"base history at {self.base.root} was expired past the "
+                f"rollup checkpoint (window from v{last} unreadable: "
+                f"{e}); the rollup lagged beyond the base's retention — "
+                "run rebuild() (or retain snapshots at least as long as "
+                "the slowest rollup's refresh interval)"
+            ) from e
+
     # ---------------------------------------------------------- refresh
     def rebuild(self) -> int:
         """Full recompute — initial build, or recovery after an
@@ -123,7 +140,9 @@ class MaterializedRollup:
         cur = self.base.current_version()
         if cur == last:
             return 0
-        delta = self.base.read_incremental(last, cur).localCheckpoint(
+        delta = self._incremental_or_refuse(
+            lambda: self.base.read_incremental(last, cur), last
+        ).localCheckpoint(
             eager=False
         )
         n_delta = delta.count()
@@ -177,9 +196,9 @@ class MaterializedRollup:
             raise ValueError("rollup never built — call rebuild() first")
         if cur == last:
             return 0
-        ch = table_changes(self.base, row_keys, last, cur).localCheckpoint(
-            eager=False
-        )
+        ch = self._incremental_or_refuse(
+            lambda: table_changes(self.base, row_keys, last, cur), last
+        ).localCheckpoint(eager=False)
         n_changes = ch.count()
         if n_changes == 0:
             # content-neutral window (compaction, schema/spec evolution):

@@ -47,6 +47,8 @@ from typing import Any
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ._meta import read_json_meta, write_json_meta
+
 __all__ = [
     "SnapshotTable",
     "BranchTable",
@@ -1856,12 +1858,93 @@ class SnapshotTable:
             raise ValueError(f"tag {name!r} does not exist")
         return self.read(version=tags[name])
 
+    @property
+    def _epoch_marks_dir(self) -> str:
+        # sibling of the snapshot log so a branch timeline gets its own
+        return os.path.join(os.path.dirname(self._snap_dir), "epoch_marks")
+
+    def sink_epoch_floors(self) -> dict[str, int]:
+        """Per-``sink_query_id`` epoch watermarks carried forward by
+        :meth:`expire_snapshots` when it drops manifests whose summaries
+        held exactly-once epoch markers. A consumer's dedup floor is
+        ``max(this, markers still visible in the log)`` — without the
+        carry-forward, a quiet stream whose newest marker scrolls past
+        the retention horizon (because OTHER writers keep committing)
+        would lose its replay detection and double-apply the epoch."""
+        out: dict[str, int] = {}
+        if not os.path.isdir(self._epoch_marks_dir):
+            return out
+        for name in os.listdir(self._epoch_marks_dir):
+            if not name.endswith(".json"):
+                continue
+            try:
+                marks = read_json_meta(
+                    os.path.join(self._epoch_marks_dir, name)
+                )
+            except FileNotFoundError:
+                continue  # superseded file removed by a concurrent expiry
+            for qid, epoch in marks.items():
+                out[qid] = max(out.get(qid, -1), int(epoch))
+        return out
+
+    def _carry_forward_epoch_marks(self, drop: list[dict[str, Any]]) -> None:
+        """Persist the max epoch marker per query_id found in the
+        summaries about to be expired, BEFORE any manifest is deleted.
+        Append-only with merge-and-supersede: the new file dominates the
+        old ones, which are then removed best-effort — a crash in
+        between leaves dominated duplicates the reader maxes over."""
+        marks: dict[str, int] = {}
+        for s in drop:
+            summ = s.get("summary") or {}
+            qid = summ.get("sink_query_id")
+            if qid is not None:
+                marks[str(qid)] = max(
+                    marks.get(str(qid), -1),
+                    int(summ.get("sink_epoch_id", -1)),
+                )
+        if not marks:
+            return
+        # capture the sidecar file list ONCE and merge exactly those
+        # files: a rival expiry's mark file landing after this capture
+        # is neither merged NOR deleted, so its floors survive it —
+        # supersede-then-delete stays lost-update-free
+        os.makedirs(self._epoch_marks_dir, exist_ok=True)
+        old = [
+            os.path.join(self._epoch_marks_dir, n)
+            for n in sorted(os.listdir(self._epoch_marks_dir))
+            if n.endswith(".json")
+        ]
+        merged = dict(marks)
+        for path in old:
+            try:
+                prior = read_json_meta(path)
+            except FileNotFoundError:
+                continue  # superseded by a concurrent expiry
+            for qid, epoch in prior.items():
+                merged[qid] = max(merged.get(qid, -1), int(epoch))
+        write_json_meta(
+            os.path.join(
+                self._epoch_marks_dir, f"marks-{uuid.uuid4().hex[:12]}.json"
+            ),
+            merged,
+        )
+        for path in old:
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+
     def expire_snapshots(self, keep_last: int = 1) -> int:
         """Drop old snapshots and delete data files no longer referenced.
 
         Tagged snapshots are GC ROOTS: they survive expiry however old
         (Iceberg's tag retention), together with every file they
-        reference. Drop the tag first to let them expire."""
+        reference. Drop the tag first to let them expire.
+
+        Exactly-once epoch markers riding in expired summaries are
+        carried forward into ``epoch_marks/`` first (see
+        :meth:`sink_epoch_floors`), so expiry can never re-open a
+        replayed epoch to double-application."""
         snaps = self._snapshots()
         if len(snaps) <= keep_last:
             return 0
@@ -1870,6 +1953,7 @@ class SnapshotTable:
             s for s in snaps[:-keep_last] if s["version"] in tagged
         ]
         drop = [s for s in snaps[:-keep_last] if s["version"] not in tagged]
+        self._carry_forward_epoch_marks(drop)
         referenced = {rel for s in keep for rel in s["files"]}
         referenced |= {
             d["file"] for s in keep for d in s.get("delete_files") or []

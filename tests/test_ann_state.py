@@ -498,3 +498,127 @@ def test_append_epoch_is_exactly_once(spark, tmp_path):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     assert re.topk(q, k=1, nprobe=4).collect()[0]["vec_id"] == 1001
+
+
+def test_compact_defragments_without_changing_results(spark, tmp_path):
+    """Streaming epoch folds fragment the inverted lists (one file per
+    touched cell per epoch); compact() bin-packs them back while
+    preserving cell pruning, probe results, geometry/sync checks on
+    reopen, and epoch replay detection."""
+    corpus = _vectors(spark, 120)
+    cent, assign = _roots(tmp_path)
+    st = build_ann_state(spark, corpus, cent, assign, n_cells=4)
+    for e in range(6):  # a day of micro-batch folds
+        st.append_epoch(
+            _vectors(spark, 8, seed_shift=1000 * (e + 1)), "ing", e
+        )
+    queries = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    before = {
+        (r["query_id"], r["vec_id"], r["rk"])
+        for r in st.topk(queries, k=5, nprobe=2).collect()
+    }
+    probed_before = len(st.probe_files(queries, nprobe=2))
+    receipt = st.compact()
+    assert receipt["files_after"] < receipt["files_before"]
+
+    reopened = open_ann_state(spark, cent, assign)  # geometry+sync pass
+    after = {
+        (r["query_id"], r["vec_id"], r["rk"])
+        for r in reopened.topk(queries, k=5, nprobe=2).collect()
+    }
+    assert after == before
+    # the pruned probe now opens fewer fragments for the same cells
+    assert len(reopened.probe_files(queries, nprobe=2)) < probed_before
+    # staleness bookkeeping survives the rewrite (log-derived)
+    assert reopened.n_appended == 48
+    # epoch markers live in prior summaries — replay still detected
+    assert (
+        reopened.append_epoch(_vectors(spark, 8, seed_shift=6000), "ing", 5)
+        == 0
+    )
+    assert (
+        reopened.append_epoch(_vectors(spark, 8, seed_shift=7000), "ing", 6)
+        == 8
+    )
+
+
+def test_maintain_runs_signal_gated_actions(spark, tmp_path):
+    """maintain() applies exactly the mitigations whose signals fire —
+    retrain on staleness, compact on fragmentation, expiry last — and
+    the maintained index still probes exactly (full probe == brute
+    force), with replay detection intact across the whole pass."""
+    corpus = _vectors(spark, 120)
+    cent, assign = _roots(tmp_path)
+    st = build_ann_state(
+        spark, corpus, cent, assign, n_cells=4, retrain_fraction=0.1
+    )
+    for e in range(5):  # fragment + cross the staleness threshold
+        st.append_epoch(
+            _vectors(spark, 8, seed_shift=1000 * (e + 1)), "mq", e
+        )
+    assert st.stale()
+    r = st.maintain(keep_last_snapshots=1)
+    assert r["retrained"] == 160  # 120 + 5×8, replay-free
+    assert not st.stale()
+    # retrain rewrote everything into one commit → nothing left to
+    # compact; expiry ran (splits are data-dependent, not asserted)
+    assert r["compacted"] is None
+    assert r["expired"] is not None
+    # exactness after the full pass: probe ALL cells == brute force
+    queries = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {
+        (r2["query_id"], r2["vec_id"], r2["rk"])
+        for r2 in st.topk(queries, k=5, nprobe=st.n_cells).collect()
+    }
+    full = corpus
+    for e in range(5):
+        full = full.unionByName(_vectors(spark, 8, seed_shift=1000 * (e + 1)))
+    exact = {
+        (r2["query_id"], r2["vec_id"], r2["rk"])
+        for r2 in cosine_topk(full, queries, k=5).collect()
+    }
+    assert got == exact
+    # expiry (via maintain) cannot re-open a replayed epoch
+    assert st.append_epoch(_vectors(spark, 8, seed_shift=5000), "mq", 4) == 0
+    reopened = open_ann_state(spark, cent, assign)
+    assert reopened.last_sink_epoch("mq") == 4
+
+    # a healthy index is a no-op pass (signal-gated, driver-side only)
+    r2 = st.maintain()
+    assert r2 == {
+        "retrained": 0, "split_cells": [], "compacted": None,
+        "expired": None,
+    }
+
+
+def test_maintain_splits_hot_cell_before_compact(spark, tmp_path):
+    """With an aggressive hot-cell budget the pass splits the fattest
+    cell (geometry grows) and THEN sees the split's new files in the
+    fragmentation signal — order pinned by the receipt."""
+    corpus = _vectors(spark, 200)
+    cent, assign = _roots(tmp_path)
+    st = build_ann_state(spark, corpus, cent, assign, n_cells=4)
+    r = st.maintain(
+        hot_cell_factor=1.01, max_splits=1, frag_files_per_cell=0.5
+    )
+    assert len(r["split_cells"]) == 1
+    assert st.n_cells > 4
+    assert r["compacted"] is not None
+    assert r["compacted"]["files_after"] <= st.n_cells
+    # still exact through the evolved + compacted geometry
+    queries = corpus.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {
+        (x["query_id"], x["vec_id"], x["rk"])
+        for x in st.topk(queries, k=5, nprobe=st.n_cells).collect()
+    }
+    exact = {
+        (x["query_id"], x["vec_id"], x["rk"])
+        for x in cosine_topk(corpus, queries, k=5).collect()
+    }
+    assert got == exact

@@ -661,3 +661,89 @@ def test_rebucket_rejects_concurrent_append(spark, tmp_path, monkeypatch):
     # the retry on fresh state succeeds and carries the delta
     lk3 = lk2.rebucket(32)
     assert lk3.read().count() == 31
+
+
+def test_dedup_state_compact_preserves_pruning_and_answers(spark, tmp_path):
+    """Every folded delta appends one file per touched index partition;
+    DedupState.compact() bin-packs the artifacts back while keeping the
+    identity partitioning (pruned partner reads intact), the geometry
+    witness (open still passes), and the classifications byte-identical."""
+    from iceberg_evaluation_spark.operators.incremental_dedup import (
+        _INDEX_PCOL,
+        _band_frame,
+        _pband_expr,
+        open_dedup_state,
+    )
+
+    rows = _corpus_rows(40)
+    docs = _docs(spark, rows)
+    state = build_dedup_state(
+        spark, docs, "doc_id", "text",
+        str(tmp_path / "fp_c"), str(tmp_path / "b_c"),
+        index_partitions=32,
+    )
+    # fragment: fold several singleton deltas (one run per day)
+    for j in range(4):
+        incremental_neardup_dedup(
+            state,
+            _docs(spark, [(200 + j, f"daily delta number {j} with wholly "
+                                     f"novel shingle content {j * 17}")]),
+            docs, "doc_id", "text",
+        ).collect()
+        docs = docs  # the lookup arg stays the original corpus
+    frag_files = len(
+        state.bands._read_snapshot(state.bands.current_version())["files"]
+    )
+    delta = _docs(spark, [
+        (301, rows[3][1]),                       # exact dup
+        (302, "daily delta number 2 with wholly novel shingle content 34"),
+        (303, "never seen sentence about adaptive query execution plans"),
+    ])
+    lookup = _docs(
+        spark,
+        rows + [(200 + j, f"daily delta number {j} with wholly novel "
+                          f"shingle content {j * 17}") for j in range(4)],
+    )
+    before = {
+        r["id"]: r["status"]
+        for r in incremental_neardup_dedup(
+            state, delta, lookup, "doc_id", "text", append_new=False
+        ).collect()
+    }
+    assert before[301] == "exact_dup" and before[302] == "exact_dup"
+    assert before[303] == "new"
+
+    receipt = state.compact()
+    assert receipt["bands"]["files_after"] < frag_files
+    assert (
+        receipt["fingerprints"]["files_after"]
+        <= receipt["fingerprints"]["files_before"]
+    )
+
+    # geometry witness unchanged: open passes; answers identical
+    reopened = open_dedup_state(
+        spark, str(tmp_path / "fp_c"), str(tmp_path / "b_c")
+    )
+    after = {
+        r["id"]: r["status"]
+        for r in incremental_neardup_dedup(
+            reopened, delta, lookup, "doc_id", "text", append_new=False
+        ).collect()
+    }
+    assert after == before
+    # pruned partner reads still prune: a one-doc probe touches a
+    # strict subset of the compacted index's files
+    from iceberg_evaluation_spark.operators.dedup import _shingle_frame
+
+    probe = _band_frame(_shingle_frame(
+        _docs(spark, [(7, rows[6][1])]), "doc_id", "text", 3
+    ))
+    vals = sorted(
+        r["p"]
+        for r in probe.select(
+            _pband_expr(["band", "bucket"], 32).alias("p")
+        ).distinct().collect()
+    )
+    snap = reopened.bands._read_snapshot(reopened.bands.current_version())
+    pruned = reopened.bands.pruned_files([(_INDEX_PCOL, "in", vals)])
+    assert 0 < len(pruned) < len(snap["files"])

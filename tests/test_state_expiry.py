@@ -157,3 +157,73 @@ def test_ann_state_probes_after_full_stamp_expiry(spark, tmp_path):
     re2 = open_ann_state(spark, cent, assign)
     assert (re2.n_at_train, re2.n_appended) == (120, 0) and not re2.stale()
     assert re2.topk(q, k=1, nprobe=4).collect()[0]["vec_id"] == 1001
+
+
+def test_rollup_refresh_refuses_after_base_expiry(spark, tmp_path):
+    """A rollup that lagged beyond the base's snapshot retention has no
+    diff basis: refresh()/refresh_cdf() must refuse with the rebuild
+    guidance (the sync_replica pattern), never a raw FileNotFoundError
+    or a silently-wrong fold — and rebuild() recovers exactly."""
+    import pytest
+
+    from iceberg_evaluation_spark.tables.rollup import MaterializedRollup
+    from iceberg_evaluation_spark.tables.snapshot_table import SnapshotTable
+
+    base = SnapshotTable(spark, str(tmp_path / "base"))
+    base.create_or_replace(
+        spark.createDataFrame(
+            [(i, "g%d" % (i % 3), i * 10) for i in range(30)],
+            "id long, g string, v long",
+        )
+    )
+    roll = MaterializedRollup(
+        spark, str(tmp_path / "roll"), base, group_cols=["g"], sum_cols=["v"]
+    )
+    roll.rebuild()
+    for j in range(4):  # base keeps moving while the rollup sleeps
+        base.append(
+            spark.createDataFrame(
+                [(100 + 10 * j + i, "g0", 7) for i in range(5)],
+                "id long, g string, v long",
+            )
+        )
+    base.expire_snapshots(keep_last=2)  # checkpoint's manifest is gone
+    with pytest.raises(ValueError, match="expired past the rollup"):
+        roll.refresh()
+    with pytest.raises(ValueError, match="expired past the rollup"):
+        roll.refresh_cdf(["id"])
+    roll.rebuild()  # the documented recovery
+    got = {(r["g"], r["n_rows"], r["sum_v"]) for r in roll.read().collect()}
+    exp = {
+        (r["g"], r["n"], r["s"])
+        for r in base.read()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert got == exp
+
+
+def test_rollup_refresh_within_retention_still_works(spark, tmp_path):
+    """Expiry that RETAINS the checkpoint's manifest must not disturb
+    the incremental fold — the refusal is for genuine lag only."""
+    from iceberg_evaluation_spark.tables.rollup import MaterializedRollup
+    from iceberg_evaluation_spark.tables.snapshot_table import SnapshotTable
+
+    base = SnapshotTable(spark, str(tmp_path / "base2"))
+    base.create_or_replace(
+        spark.createDataFrame(
+            [(i, "g%d" % (i % 2), i) for i in range(20)],
+            "id long, g string, v long",
+        )
+    )
+    roll = MaterializedRollup(
+        spark, str(tmp_path / "roll2"), base, group_cols=["g"], sum_cols=["v"]
+    )
+    roll.rebuild()
+    base.append(
+        spark.createDataFrame([(100, "g0", 5)], "id long, g string, v long")
+    )
+    base.expire_snapshots(keep_last=2)  # keeps v1 (checkpoint) + v2
+    assert roll.refresh() == 1
+    assert sum(r["n_rows"] for r in roll.read().collect()) == 21
