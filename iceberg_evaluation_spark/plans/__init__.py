@@ -44,8 +44,8 @@ _R9_PINNED = [
     "q127_exactly_once_sink",
     "q119_rollup_cdf_maintenance",
 ]
-# 7 pins + 4 new (q130-q133, never checked → auto-sorted in) = 11 of 50;
-# the remaining 39 slots pull the oldest (r6-era, then r7) verdicts
+# 7 pins + 5 new (q130-q134, never checked → auto-sorted in) = 12 of 50;
+# the remaining 38 slots pull the oldest (r6-era, then r7) verdicts
 # forward — the ≤-3-rounds freshness SLA's steady state.
 _REPO_ROOT = _os.path.dirname(
     _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))

@@ -622,3 +622,71 @@ def test_maintain_splits_hot_cell_before_compact(spark, tmp_path):
         for x in cosine_topk(corpus, queries, k=5).collect()
     }
     assert got == exact
+
+
+def test_pq_rescored_full_probe_equals_brute_force(spark, tmp_path):
+    """PQ codec end-to-end: codec + codebooks round-trip from disk, and
+    the two-stage probe (PQ shortlist + exact rescore) with a
+    corpus-covering shortlist EQUALS exact brute-force top-k — the
+    rescore stage provably recovers everything the lossy codes gave up
+    when the shortlist covers the probed set."""
+    corpus = _vectors(spark, 120)  # dim 8 → pq4x16: 4 subspaces of 2
+    cent, assign = _roots(tmp_path)
+    build_ann_state(spark, corpus, cent, assign, n_cells=8, codec="pq4x16")
+    st = open_ann_state(spark, cent, assign)
+    assert st.codec == "pq4x16"
+    assert st.pq_table().read().count() == 4 * 16
+    queries = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {
+        (r["query_id"], r["vec_id"], r["rk"])
+        for r in st.topk_rescored(
+            queries, corpus, k=5, nprobe=8, overfetch=24
+        ).collect()
+    }
+    exact = {
+        (r["query_id"], r["vec_id"], r["rk"])
+        for r in cosine_topk(corpus, queries, k=5).collect()
+    }
+    assert got == exact
+    # the stored layout is codes-only: no raw vector column on disk
+    stored_cols = set(st.assignments.read().columns)
+    assert "embedding" not in stored_cols and "_ann_pq" in stored_cols
+
+
+def test_pq_index_streams_compacts_and_replays(spark, tmp_path):
+    """The whole standing-state machinery is codec-independent: epoch
+    folds are exactly-once on a PQ index, compact() defragments it, and
+    retrain() reuses the persisted codebooks."""
+    corpus = _vectors(spark, 100)
+    cent, assign = _roots(tmp_path)
+    st = build_ann_state(
+        spark, corpus, cent, assign, n_cells=4, codec="pq4x16",
+        retrain_fraction=0.05,
+    )
+    assert st.append_epoch(_vectors(spark, 10, seed_shift=1000), "pq", 0) == 10
+    assert st.append_epoch(_vectors(spark, 10, seed_shift=1000), "pq", 0) == 0
+    receipt = st.compact()
+    assert receipt["files_after"] <= receipt["files_before"]
+    reopened = open_ann_state(spark, cent, assign)
+    assert reopened.last_sink_epoch("pq") == 0
+    assert reopened.stale()
+    assert reopened.retrain() == 110  # codebooks reused, all vectors kept
+    q = corpus.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    assert reopened.topk_rescored(
+        q, corpus, k=3, nprobe=reopened.n_cells, overfetch=8
+    ).count() == 6
+
+
+def test_pq_codec_validation(spark, tmp_path):
+    corpus = _vectors(spark, 40)  # dim 8
+    cent, assign = _roots(tmp_path)
+    with pytest.raises(ValueError, match="must divide dim"):
+        build_ann_state(spark, corpus, cent, assign, codec="pq3x16")
+    with pytest.raises(ValueError, match="unknown ANN storage codec"):
+        build_ann_state(spark, corpus, cent, assign, codec="pq8")
+    with pytest.raises(ValueError, match="outside 1..256"):
+        build_ann_state(spark, corpus, cent, assign, codec="pq4x512")
