@@ -812,6 +812,15 @@ class AnnState:
             receipt["expired"] = a.expire_snapshots(
                 keep_last=keep_last_snapshots
             )
+            # the sibling artifacts grow one snapshot per retrain/build;
+            # their newest (stamped) snapshot is all the witnesses read,
+            # so the same retention applies — tiny tables, unbounded
+            # history otherwise
+            self.centroids.expire_snapshots(keep_last=keep_last_snapshots)
+            if self.codec.startswith("pq"):
+                self.pq_table().expire_snapshots(
+                    keep_last=keep_last_snapshots
+                )
         return receipt
 
     # ------------------------------------------------------------- reads

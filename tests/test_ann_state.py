@@ -690,3 +690,42 @@ def test_pq_codec_validation(spark, tmp_path):
         build_ann_state(spark, corpus, cent, assign, codec="pq8")
     with pytest.raises(ValueError, match="outside 1..256"):
         build_ann_state(spark, corpus, cent, assign, codec="pq4x512")
+
+
+def test_pq_codebooks_rebuilt_under_stale_meta_refuse(spark, tmp_path):
+    """The geometry witness covers the codebook table too: a state
+    rebuilt with different PQ geometry underneath a restored stale
+    meta refuses on open instead of decoding with the wrong codebooks."""
+    import shutil
+
+    corpus = _vectors(spark, 60)
+    cent, assign = _roots(tmp_path)
+    build_ann_state(spark, corpus, cent, assign, n_cells=4, codec="pq4x16")
+    meta = str(tmp_path / "stale_meta")
+    shutil.copy(f"{assign}/ANN_META", meta)
+    # rebuild in place with different pq geometry (new codebooks, new
+    # stamps), then restore the stale meta — the mismatch must refuse
+    build_ann_state(spark, corpus, cent, assign, n_cells=4, codec="pq2x8")
+    shutil.copy(meta, f"{assign}/ANN_META")
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        open_ann_state(spark, cent, assign)
+
+
+def test_maintain_expires_sibling_artifact_history(spark, tmp_path):
+    """maintain(keep_last_snapshots=…) bounds ALL three artifact logs —
+    assignments, centroids, and (pq) codebooks — not just the big one;
+    the witnesses read the newest stamped snapshot, which survives."""
+    corpus = _vectors(spark, 80)
+    cent, assign = _roots(tmp_path)
+    st = build_ann_state(
+        spark, corpus, cent, assign, n_cells=4, codec="pq4x16",
+        retrain_fraction=0.01,
+    )
+    for _ in range(3):  # each stale retrain adds a centroid snapshot
+        st.append(_vectors(spark, 5, seed_shift=9000))
+        st.maintain(keep_last_snapshots=1)
+    assert len(st.centroids._snapshots()) == 1
+    assert len(st.pq_table()._snapshots()) == 1
+    assert len(st.assignments._snapshots()) == 1
+    reopened = open_ann_state(spark, cent, assign)  # witnesses intact
+    assert reopened.codec == "pq4x16"
