@@ -162,7 +162,13 @@ def _lloyd(X, k: int, iters: int = 8):
     """Deterministic driver-side Lloyd k-means for PQ sub-codebooks:
     init = evenly-spaced sample points (no RNG), assignment in row
     chunks so memory stays O(chunk × k). Inputs are bounded samples
-    (see ``_train_pq_codebooks``), never the corpus."""
+    (see ``_train_pq_codebooks``), never the corpus.
+
+    Empty clusters (and the duplicate padding a tiny sample starts
+    with) are RESEEDED each iteration from the points farthest from
+    their assigned centroid (r9 ADVICE: dead/duplicate sub-centroids
+    waste codebook entries and degrade recall on skewed subspaces) —
+    farthest-point reseeding is the standard deterministic repair."""
     import numpy as np
 
     n = X.shape[0]
@@ -172,10 +178,27 @@ def _lloyd(X, k: int, iters: int = 8):
         C = np.vstack([C, C[-1:]])
     for _ in range(iters):
         assign = np.empty(n, dtype="int64")
+        dist = np.empty(n, dtype="float64")
         for lo in range(0, n, 8192):
             blk = X[lo:lo + 8192]
+            # surrogate |c|² − 2x·c ranks centroids per point; add |x|²
+            # back so dist is the TRUE squared distance (comparable
+            # ACROSS points, which farthest-point reseeding needs)
             d2 = (C ** 2).sum(axis=1)[None, :] - 2.0 * (blk @ C.T)
-            assign[lo:lo + blk.shape[0]] = d2.argmin(axis=1)
+            a = d2.argmin(axis=1)
+            rows = np.arange(blk.shape[0])
+            assign[lo:lo + blk.shape[0]] = a
+            dist[lo:lo + blk.shape[0]] = (
+                d2[rows, a] + (blk ** 2).sum(axis=1)
+            )
+        occupied = np.zeros(k, dtype=bool)
+        occupied[np.unique(assign)] = True
+        empty = np.flatnonzero(~occupied)
+        if len(empty):
+            far = np.argsort(-dist, kind="stable")[: len(empty)]
+            for j, idx in zip(empty, far):
+                C[j] = X[idx]
+                assign[idx] = j
         for j in range(k):
             pts = X[assign == j]
             if len(pts):
@@ -307,6 +330,19 @@ class AnnState:
             )
         }
 
+    def _pq_geometry_extra(self) -> dict:
+        # the codebook witness excludes n_cells on purpose: codebooks
+        # quantize SUBSPACES, not cells, so split_cell (which changes
+        # n_cells) must not invalidate them (r9 ADVICE high) — the
+        # codec string (pq{m}x{codes}) + dim + column names pin
+        # everything the codebooks actually depend on
+        return {
+            "ann_geometry": (
+                f"ivfpq:{self.dim}:{self.id_col}:{self.vec_col}:"
+                f"{self.codec}"
+            )
+        }
+
     def stale(self) -> bool:
         """True once the un-retrained fraction crosses the threshold —
         the caller's signal to schedule ``retrain()``. Probes stay
@@ -376,7 +412,7 @@ class AnnState:
                 ],
                 "subspace int, code int, centroid array<double>",
             ),
-            summary_extra=self._geometry_extra(),
+            summary_extra=self._pq_geometry_extra(),
         )
         self._pq_bc = spark.sparkContext.broadcast(T)
 
@@ -575,17 +611,29 @@ class AnnState:
         )
         spark = self.assignments.spark
         bc = spark.sparkContext.broadcast(M)
+        # ONE token for both commits, derived once (r9 verdict #7): the
+        # assignments summary is immutable post-commit, so the token must
+        # be the PREDICTED landing version — expected_version makes the
+        # prediction safe, and the assertion below turns any future
+        # change to commit numbering into a loud failure instead of a
+        # silently split token pair
+        token = str(ver + 1)
         new_ver = self.assignments.create_or_replace(
             self._pack(self._assign(corpus, bc)),
             partition_by=[CELL_COL],
             summary_extra={
                 **self._geometry_extra(),
                 "ann_rows": n_corpus,
-                "ann_sync_token": str(ver + 1),
+                "ann_sync_token": token,
             },
             expected_version=ver,
         )
-        self._commit_centroids(M, sync_token=str(new_ver))
+        assert new_ver == ver + 1, (
+            f"create_or_replace(expected_version={ver}) landed at "
+            f"{new_ver}, not {ver + 1}: commit numbering changed and the "
+            "stamped sync token no longer names the landing version"
+        )
+        self._commit_centroids(M, sync_token=token)
         self.n_at_train = n_corpus
         self.n_appended = 0
         return self.n_at_train
@@ -745,6 +793,12 @@ class AnnState:
         M[cell - 1] = M_sub[0]
         M_new = np.vstack([M, M_sub[1:]])
         self._commit_centroids(M_new, sync_token=token)
+        # the pq codebook table needs NO re-stamp here: its witness
+        # fingerprint (_pq_geometry_extra) deliberately excludes
+        # n_cells — codebooks quantize SUBSPACES, not cells, so a cell
+        # split cannot invalidate them (r9 ADVICE high: stamping the
+        # full cell geometry made every post-split reopen of a pq
+        # index refuse)
         return new_ids
 
     def maintain(
@@ -916,11 +970,22 @@ class AnnState:
         Recovers the recall the lossy codec gives up (measured at
         sf0.01: pq16x16 1-stage 11/25 exact-top-5 hits → 24/25 with
         overfetch 4). Works under any codec; under float64 it is just
-        an overfetch."""
+        an overfetch.
+
+        ``corpus`` may lag the index (vectors folded in via
+        ``append_epoch`` after the corpus snapshot was taken): the
+        shortlist LEFT-joins it and unmatched ids keep their stage-1
+        decoded-codec score instead of being silently dropped (r9
+        ADVICE: the inner join returned fewer than k rows with no
+        error) — the result is always k rows per query, with exact
+        scores wherever the corpus covers the id."""
         short = self.topk(
             queries, k=k * overfetch, nprobe=nprobe,
             query_id_col=query_id_col,
-        ).select(query_id_col, self.id_col)
+        ).select(
+            query_id_col, self.id_col,
+            F.col("cosine_sim").alias("_codec_sim"),
+        )
         qv = queries.select(
             F.col(query_id_col),
             _as_double(F.col(self.vec_col)).alias("_qv"),
@@ -932,14 +997,18 @@ class AnnState:
                     _as_double(F.col(self.vec_col)).alias("_cv"),
                 ),
                 self.id_col,
+                "left",
             )
             .join(F.broadcast(qv), query_id_col)
             .select(
                 query_id_col,
                 self.id_col,
-                F.round(cosine(F.col("_cv"), F.col("_qv")), 6).alias(
-                    "cosine_sim"
-                ),
+                F.when(
+                    F.col("_cv").isNotNull(),
+                    F.round(cosine(F.col("_cv"), F.col("_qv")), 6),
+                )
+                .otherwise(F.col("_codec_sim"))
+                .alias("cosine_sim"),
             )
         )
         w = W.partitionBy(query_id_col).orderBy(
@@ -1006,18 +1075,24 @@ def build_ann_state(
     # so pin the version it will land at; expected_version makes the
     # guess safe — a rival create surfaces as ConcurrentCommitError
     ver0 = st.assignments.current_version() if st.assignments.exists() else 0
+    token = str(ver0 + 1)  # one token for both commits (r9 verdict #7)
     new_ver = st.assignments.create_or_replace(
         st._pack(st._assign(corpus, bc)),
         partition_by=[CELL_COL],
         summary_extra={
             **st._geometry_extra(),
             "ann_rows": n_corpus,
-            "ann_sync_token": str(ver0 + 1),
+            "ann_sync_token": token,
         },
         expected_version=ver0,
     )
+    assert new_ver == ver0 + 1, (
+        f"create_or_replace(expected_version={ver0}) landed at "
+        f"{new_ver}, not {ver0 + 1}: commit numbering changed under the "
+        "stamped sync token"
+    )
     st.n_at_train = n_corpus
-    st._commit_centroids(M, sync_token=str(new_ver))
+    st._commit_centroids(M, sync_token=token)
     st._write_meta()
     return st
 
@@ -1056,10 +1131,14 @@ def open_ann_state(
     expect = _geometry_fp(
         st.n_cells, st.dim, st.id_col, st.vec_col, st.codec
     )
-    witnessed = [st.centroids, st.assignments]
+    witnessed = [(st.centroids, expect), (st.assignments, expect)]
     if st.codec.startswith("pq"):
-        witnessed.append(st.pq_table())  # codebooks are state too
-    for t in witnessed:
+        # codebooks are state too, but their witness excludes n_cells
+        # (split_cell changes cell geometry without touching them)
+        witnessed.append(
+            (st.pq_table(), st._pq_geometry_extra()["ann_geometry"])
+        )
+    for t, expect in witnessed:
         # newest STAMPED snapshot, not the newest snapshot: maintenance
         # commits (compact) don't re-stamp and must not trip the guard
         got = latest_summary_value(t, "ann_geometry")

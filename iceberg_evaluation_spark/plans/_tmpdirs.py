@@ -33,3 +33,16 @@ def scratch_dir(prefix: str) -> str:
         _ROOT = tempfile.mkdtemp(prefix="ies_scratch_")
         atexit.register(shutil.rmtree, _ROOT, ignore_errors=True)
     return tempfile.mkdtemp(prefix=prefix, dir=_ROOT)
+
+
+def session_cache_key(spark, *parts) -> tuple:
+    """Memo key bound to the LIVE Spark application.
+
+    ``id(spark)`` is not a session identity: CPython reuses the id of a
+    garbage-collected session, so a later session in the same process
+    could inherit memoized state bound to a stopped JVM (errors — or
+    stale state if the scratch roots happen to coincide). The
+    ``applicationId`` is minted per application by Spark itself and
+    never reused within a machine's clock resolution (r9 verdict #6).
+    """
+    return (spark.sparkContext.applicationId, *parts)

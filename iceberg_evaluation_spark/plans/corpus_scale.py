@@ -31,7 +31,7 @@ from ..sources import load_table
 from ..sources.bucketed import read_bucketed, write_bucketed
 from ..tables.snapshot_table import MergeClause, SnapshotTable
 from ._exact import exact_sum, sql_sum
-from ._tmpdirs import scratch_dir
+from ._tmpdirs import scratch_dir, session_cache_key
 from .registry import register
 
 _EV_COLS = ["event_id", "ts", "user_id", "event_type", "value"]
@@ -57,7 +57,7 @@ def _replay_dir(
     out = scratch_dir(prefix=prefix)
     df.repartition(n_files, "event_id").write.mode("overwrite").parquet(out)
     if memo_key is not None:
-        _REPLAY_MEMO[(id(df.sparkSession), memo_key)] = out
+        _REPLAY_MEMO[session_cache_key(df.sparkSession, memo_key)] = out
     return out
 
 
@@ -391,7 +391,7 @@ def _q84(spark: SparkSession, sf_dir: str, fresh_replay: bool = True) -> DataFra
     ev = load_table(spark, sf_dir, "events").select(*_EV_COLS).filter(
         F.col("event_type").isin("view", "purchase")
     )
-    memo = _REPLAY_MEMO.get((id(spark), f"q84:{sf_dir}"))
+    memo = _REPLAY_MEMO.get(session_cache_key(spark, f"q84:{sf_dir}"))
     if fresh_replay or memo is None or not os.path.isdir(memo):
         src = _replay_dir(ev, "q84_replay_", memo_key=f"q84:{sf_dir}")
     else:
@@ -492,7 +492,7 @@ def _q106_bare(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .corpus_text import _q104_delta
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    key = (id(spark), sf_dir)
+    key = session_cache_key(spark, sf_dir)
     hit = _Q106_CACHE.get(key)
     if hit is None:
         state = build_dedup_state(
@@ -800,7 +800,7 @@ _Q115_CACHE: dict = {}
 
 def _q115_bare(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    key = (id(spark), sf_dir)
+    key = session_cache_key(spark, sf_dir)
     session = _Q115_CACHE.get(key)
     if session is None:
         session = _q115_session(spark, docs, "b")
@@ -1101,7 +1101,7 @@ def _q129_bare(spark: SparkSession, sf_dir: str) -> DataFrame:
     already-reopened index — the daily production shape. The state
     build + exact brute-force recall twin in the registered form is
     verification harness (verify_s)."""
-    key = (id(spark), sf_dir)
+    key = session_cache_key(spark, sf_dir)
     if key not in _Q129_CACHE:
         _Q129_CACHE[key] = _q129_state(spark, sf_dir)
     _, reopened, _ = _Q129_CACHE[key]
@@ -1137,7 +1137,7 @@ def q129_durable_ann_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import cosine_topk
 
     st, reopened, n_appended = _q129_state(spark, sf_dir)
-    _Q129_CACHE[(id(spark), sf_dir)] = (st, reopened, n_appended)
+    _Q129_CACHE[session_cache_key(spark, sf_dir)] = (st, reopened, n_appended)
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     queries = emb.filter(F.col("vec_id") < 5).select(
@@ -1214,7 +1214,7 @@ _Q131_CACHE: dict = {}
 
 
 def _q131_cached(spark: SparkSession, sf_dir: str):
-    key = (id(spark), sf_dir)
+    key = session_cache_key(spark, sf_dir)
     if key not in _Q131_CACHE:
         _Q131_CACHE[key] = _q131_state(spark, sf_dir)
     return _Q131_CACHE[key]
@@ -1365,7 +1365,7 @@ _Q132_CACHE: dict = {}
 
 
 def _q132_cached(spark: SparkSession, sf_dir: str):
-    key = (id(spark), sf_dir)
+    key = session_cache_key(spark, sf_dir)
     if key not in _Q132_CACHE:
         _Q132_CACHE[key] = _q132_run(spark, sf_dir)
     return _Q132_CACHE[key]
@@ -1402,7 +1402,7 @@ FROM embeddings WHERE vec_id % 4 = 0 AND vec_id < 20
 )
 def q132_streaming_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     reopened, applied, replays_skipped = _q132_cached(spark, sf_dir)
-    _Q132_CACHE[(id(spark), sf_dir)] = (reopened, applied, replays_skipped)
+    _Q132_CACHE[session_cache_key(spark, sf_dir)] = (reopened, applied, replays_skipped)
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(
@@ -1538,7 +1538,7 @@ _Q133_CACHE: dict = {}
 
 
 def _q133_cached(spark: SparkSession, sf_dir: str) -> dict:
-    key = (id(spark), sf_dir)
+    key = session_cache_key(spark, sf_dir)
     if key not in _Q133_CACHE:
         _Q133_CACHE[key] = _q133_run(spark, sf_dir)
     return _Q133_CACHE[key]
@@ -1628,7 +1628,7 @@ _Q134_CACHE: dict = {}
 
 
 def _q134_cached(spark: SparkSession, sf_dir: str):
-    key = (id(spark), sf_dir)
+    key = session_cache_key(spark, sf_dir)
     if key not in _Q134_CACHE:
         _Q134_CACHE[key] = _q134_state(spark, sf_dir)
     return _Q134_CACHE[key]

@@ -24,6 +24,7 @@ from ..operators.dedup import (
 from ..operators.similarity import cosine_pairs, cosine_topk
 from ..operators.text_ops import language_id, rolling_fingerprint, text_quality
 from ..sources import load_table
+from ._tmpdirs import session_cache_key
 from .registry import register
 
 # DuckDB twin of functions.text.normalize_ws
@@ -481,7 +482,7 @@ def _q38_index(spark: SparkSession, sf_dir: str):
     """Once-per-(session, sf) durable IVF index over the full embeddings
     corpus — built, persisted, REOPENED from disk (the production daily
     shape), then shared by every q38 probe in the run."""
-    key = (id(spark), sf_dir)
+    key = session_cache_key(spark, sf_dir)
     if key not in _Q38_STATE:
         from ..operators.ann_state import build_ann_state, open_ann_state
         from ._tmpdirs import scratch_dir
@@ -1062,7 +1063,7 @@ def _q104_bare(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._tmpdirs import scratch_dir
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    key = (id(spark), sf_dir)
+    key = session_cache_key(spark, sf_dir)
     state = _Q104_STATE_CACHE.get(key)
     if state is None:
         state = build_dedup_state(
@@ -1304,7 +1305,7 @@ def _q105_bare(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._tmpdirs import scratch_dir
 
     emb = _q105_emb(spark, sf_dir)
-    key = (id(spark), sf_dir)
+    key = session_cache_key(spark, sf_dir)
     bands = _Q105_STATE_CACHE.get(key)
     if bands is None:
         bands = build_semantic_state(spark, emb, scratch_dir("q105b_bands_"))
@@ -1532,7 +1533,7 @@ def _q117_bare(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._tmpdirs import scratch_dir
 
     emb = _q105_emb(spark, sf_dir)
-    key = (id(spark), sf_dir)
+    key = session_cache_key(spark, sf_dir)
     state = _Q117_STATE_CACHE.get(key)
     if state is None:
         state = build_semantic_state(spark, emb, scratch_dir("q117b_bands_"))
@@ -1622,7 +1623,7 @@ def _q126_bare(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._tmpdirs import scratch_dir
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    key = (id(spark), sf_dir)
+    key = session_cache_key(spark, sf_dir)
     roots = _Q126_CACHE.get(key)
     if roots is None:
         fp_root = scratch_dir("q126b_fp_")

@@ -1871,21 +1871,38 @@ class SnapshotTable:
         carry-forward, a quiet stream whose newest marker scrolls past
         the retention horizon (because OTHER writers keep committing)
         would lose its replay detection and double-apply the epoch."""
-        out: dict[str, int] = {}
-        if not os.path.isdir(self._epoch_marks_dir):
-            return out
-        for name in os.listdir(self._epoch_marks_dir):
-            if not name.endswith(".json"):
-                continue
+        # A deleted mark file implies a DOMINATING successor exists (the
+        # merge-and-supersede protocol writes the merged file before
+        # removing the old ones) — but that successor may have landed
+        # AFTER this scan's listdir and so be absent from the captured
+        # listing. Skipping the deleted file would silently lose its
+        # floors for this read (r9 ADVICE medium: a restarted sink whose
+        # log markers were expired could double-apply a replayed epoch),
+        # so restart the scan on a FRESH listing instead. Bounded
+        # retries: each restart needs a concurrent expiry to have
+        # completed a whole supersede cycle meanwhile, so contention
+        # this deep is pathological and worth failing loudly.
+        for _ in range(20):
+            out: dict[str, int] = {}
+            if not os.path.isdir(self._epoch_marks_dir):
+                return out
             try:
-                marks = read_json_meta(
-                    os.path.join(self._epoch_marks_dir, name)
-                )
+                for name in os.listdir(self._epoch_marks_dir):
+                    if not name.endswith(".json"):
+                        continue
+                    marks = read_json_meta(
+                        os.path.join(self._epoch_marks_dir, name)
+                    )
+                    for qid, epoch in marks.items():
+                        out[qid] = max(out.get(qid, -1), int(epoch))
             except FileNotFoundError:
-                continue  # superseded file removed by a concurrent expiry
-            for qid, epoch in marks.items():
-                out[qid] = max(out.get(qid, -1), int(epoch))
-        return out
+                continue  # superseded mid-scan: rescan with a fresh listing
+            return out
+        raise RuntimeError(
+            f"epoch_marks scan at {self._epoch_marks_dir} lost the "
+            "supersede race 20 times; marker sidecar under pathological "
+            "expiry contention"
+        )
 
     def _carry_forward_epoch_marks(self, drop: list[dict[str, Any]]) -> None:
         """Persist the max epoch marker per query_id found in the

@@ -729,3 +729,86 @@ def test_maintain_expires_sibling_artifact_history(spark, tmp_path):
     assert len(st.assignments._snapshots()) == 1
     reopened = open_ann_state(spark, cent, assign)  # witnesses intact
     assert reopened.codec == "pq4x16"
+
+
+def test_pq_split_cell_then_reopen(spark, tmp_path):
+    """r9 ADVICE (high): split_cell changes n_cells, but the pq
+    codebook witness must NOT carry cell geometry — after a hot-cell
+    split (which maintain() runs automatically) a pq index must reopen
+    cleanly and keep probing correctly."""
+    corpus = _vectors(spark, 120)
+    cent, assign = _roots(tmp_path)
+    st = build_ann_state(spark, corpus, cent, assign, n_cells=4, codec="pq4x16")
+    hot = max(st.cell_sizes(), key=st.cell_sizes().get)
+    st.split_cell(hot, n_sub=2)
+    reopened = open_ann_state(spark, cent, assign)  # must not refuse
+    assert reopened.n_cells == 5 and reopened.codec == "pq4x16"
+    queries = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {
+        (r["query_id"], r["vec_id"], r["rk"])
+        for r in reopened.topk_rescored(
+            queries, corpus, k=5, nprobe=5, overfetch=24
+        ).collect()
+    }
+    exact = {
+        (r["query_id"], r["vec_id"], r["rk"])
+        for r in cosine_topk(corpus, queries, k=5).collect()
+    }
+    assert got == exact
+
+
+def test_maintain_split_on_pq_index_reopens(spark, tmp_path):
+    """The automatic path for the same ADVICE: maintain()'s hot-cell
+    split on a pq index must leave the state reopenable."""
+    corpus = _vectors(spark, 120)
+    cent, assign = _roots(tmp_path)
+    st = build_ann_state(spark, corpus, cent, assign, n_cells=4, codec="pq4x16")
+    receipt = st.maintain(hot_cell_factor=1.01, split_sub=2, max_splits=1)
+    assert receipt["split_cells"], "hot_cell_factor ~1 must trigger a split"
+    reopened = open_ann_state(spark, cent, assign)
+    assert reopened.n_cells == st.n_cells
+
+
+def test_rescored_falls_back_to_codec_score_for_stale_corpus(spark, tmp_path):
+    """r9 ADVICE (low): ids folded into the index after the caller's
+    corpus snapshot must not be silently dropped by the rescore join —
+    they keep their decoded-codec score and the probe still returns k
+    rows per query."""
+    corpus = _vectors(spark, 100)
+    cent, assign = _roots(tmp_path)
+    st = build_ann_state(spark, corpus, cent, assign, n_cells=4, codec="pq4x16")
+    late = _vectors(spark, 10, seed_shift=1000)
+    st.append(late)  # indexed, but NOT in `corpus`
+    q = late.filter(F.col("vec_id") == 1001).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rows = st.topk_rescored(q, corpus, k=5, nprobe=4, overfetch=8).collect()
+    assert len(rows) == 5  # k rows despite the stale corpus
+    ids = {r["vec_id"] for r in rows}
+    assert 1001 in ids  # the appended near-identical vector surfaces
+    assert all(r["cosine_sim"] is not None for r in rows)
+
+
+def test_lloyd_reseeds_empty_clusters():
+    """r9 ADVICE (low): a skewed sample must not leave dead/duplicate
+    sub-centroids — every cluster ends non-empty when the sample has
+    at least k distinct points."""
+    import numpy as np
+
+    from iceberg_evaluation_spark.operators.ann_state import _lloyd
+
+    # 60 near-identical points + 4 far-flung distinct ones: the
+    # evenly-spaced init lands mostly inside the tight blob, so without
+    # reseeding several clusters stay dead forever
+    X = np.vstack(
+        [
+            np.linspace(0, 0.01, 60)[:, None] * np.ones((1, 2)),
+            np.array([[100.0, 0.0], [0.0, 100.0], [-100.0, 0.0], [0.0, -100.0]]),
+        ]
+    )
+    C = _lloyd(X, k=8, iters=8)
+    d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    assigned = np.unique(d2.argmin(axis=1))
+    assert len(assigned) == 8, f"dead clusters: {set(range(8)) - set(assigned)}"

@@ -128,3 +128,41 @@ def test_untagged_marker_snapshot_expires_but_floor_survives(tmp_path):
     t.expire_snapshots(keep_last=1)
     assert not os.path.exists(t._snapshot_path(1))
     assert t.sink_epoch_floors() == {"s": 9}
+
+
+def test_supersede_mid_scan_rescans_and_finds_successor(tmp_path, monkeypatch):
+    """r9 ADVICE (medium): a mark file deleted mid-scan means a
+    DOMINATING successor exists — but the successor may postdate the
+    captured listing, so skipping the deleted file loses its floor for
+    that read. The scan must restart on a fresh listing and return the
+    successor's floors."""
+    import iceberg_evaluation_spark.tables.snapshot_table as st_mod
+
+    t = _fab_table(str(tmp_path / "t"), [_mark("a", 7), {}, {}])
+    t.expire_snapshots(keep_last=1)  # writes marks file holding {"a": 7}
+    victim = [
+        os.path.join(t._epoch_marks_dir, n)
+        for n in os.listdir(t._epoch_marks_dir)
+        if n.endswith(".json")
+    ][0]
+
+    real_read = st_mod.read_json_meta
+    fired = []
+
+    def racy_read(path):
+        if path == victim and not fired:
+            # rival expiry completes a whole supersede cycle between our
+            # listdir and this read: merged successor lands, victim goes
+            fired.append(True)
+            st_mod.write_json_meta(
+                os.path.join(t._epoch_marks_dir, "marks-successor.json"),
+                {"a": 9},
+            )
+            os.remove(victim)
+            raise FileNotFoundError(path)
+        return real_read(path)
+
+    monkeypatch.setattr(st_mod, "read_json_meta", racy_read)
+    # pre-fix: the victim was skipped and the successor (absent from the
+    # stale listing) never read → floors dropped "a" entirely
+    assert t.sink_epoch_floors() == {"a": 9}
