@@ -581,6 +581,36 @@ class AnnState:
             "times; index under pathological contention"
         )
 
+    def delete(
+        self, ids: DataFrame, summary_extra: dict | None = None
+    ) -> int:
+        """Takedown propagation: remove vectors by id from the inverted
+        lists, rewriting ONLY the files that contain a deleted id (the
+        cell-partition layout is preserved, so probe pruning is intact).
+        An opt-out / contamination / license takedown must purge a
+        document from every derived index, or the deleted content keeps
+        surfacing in ANN results — this is the index-side analog of the
+        corpus layer's delete-aware MERGE (reference
+        updating_db_with_deltas_iceberg.ipynb cell 26) and DROP…PURGE.
+
+        The match scan is column-pruned to the id column; the rewrite
+        touches matched files only, so the cost tracks the deleted ids'
+        cell locality, never the corpus. Centroids and codebooks are
+        untouched (they are trained summaries, not per-row state — the
+        next scheduled ``retrain()`` re-centers without the deleted
+        mass). Returns the number of vectors removed; 0 commits
+        nothing."""
+        first = ids.columns[0]
+        idf = ids.select(F.col(first).alias(self.id_col))
+        return self.assignments.delete_keys(
+            idf,
+            on=[self.id_col],
+            summary_extra={
+                **self._geometry_extra(),
+                **(summary_extra or {}),
+            },
+        )
+
     def retrain(self) -> int:
         """Full k-means rebuild from the CURRENT corpus — the amortized
         full-corpus pass. Re-trains centroids, re-assigns every vector,

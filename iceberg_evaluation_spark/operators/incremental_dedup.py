@@ -288,6 +288,39 @@ class DedupState:
             bands=self.bands,
         )
 
+    def apply_deletes(self, ids: DataFrame) -> dict:
+        """Takedown propagation: purge documents from BOTH standing
+        artifacts — the (id, fp) fingerprint universe and the (id,
+        band, bucket) LSH index — so deleted content stops matching as
+        a 'duplicate' partner forever after (a delta copy of a
+        taken-down document must classify 'new', not 'exact_dup').
+        Rewrites only the files holding a deleted id (the band match
+        scan is column-pruned to the id column); 0 matches commit
+        nothing. Returns per-artifact removed-row counts.
+
+        The BLOOM prefilter needs no compensation, by construction: its
+        bits cannot be unset, but ``bloom_prefiltered_anti_join``
+        discharges every bloom hit with an EXACT anti-join against the
+        now-reduced fingerprint table, so a stale bit can only cost a
+        false-positive probe, never a wrong 'exact_dup'. The delete is
+        an overwrite-class commit, so the session bloom cache's
+        incremental bit-OR path refuses and the next probe rebuilds the
+        filter delete-free.
+
+        The caller's ``corpus_lookup`` must shed the same ids (see
+        ``BucketedLookup.delete``) — it feeds partner TEXT, and with
+        the band rows gone a deleted id can never be a candidate, but a
+        consistent corpus keeps ``check_lookup``'s coverage contract
+        meaningful."""
+        first = ids.columns[0]
+        idf = ids.select(F.col(first).alias("id"))
+        n_fp = self.fingerprints.delete_keys(idf, on=["id"])
+        n_band = self.bands.delete_keys(
+            idf, on=["id"],
+            summary_extra={"dedup_geometry": self._geometry()},
+        )
+        return {"fingerprint_rows": n_fp, "band_rows": n_band}
+
     # bloom words cached per fingerprint-table version: a streaming
     # ingest (q106) probes the SAME standing filter every micro-batch;
     # rebuilding the distributed bit-OR per batch is pure waste. When
@@ -652,6 +685,21 @@ class SemanticState:
         partition-preserving bin-pack, same unchanged geometry
         witness)."""
         return _compact_artifacts(target_file_mb, bands=self.bands)
+
+    def apply_deletes(self, ids: DataFrame) -> dict:
+        """Takedown propagation for the embedding modality: purge
+        deleted vectors' SRP band rows so taken-down content stops
+        surfacing as a semantic-duplicate partner — see
+        :meth:`DedupState.apply_deletes` (same pruned rewrite, same
+        no-op-commits-nothing contract, same caller obligation to shed
+        the ids from ``corpus_lookup``)."""
+        first = ids.columns[0]
+        idf = ids.select(F.col(first).alias("id"))
+        n_band = self.bands.delete_keys(
+            idf, on=["id"],
+            summary_extra={"dedup_geometry": self._geometry()},
+        )
+        return {"band_rows": n_band}
 
 
 def build_semantic_state(

@@ -205,15 +205,25 @@ def q11_intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q12_except_customers",
     covers="U3",
+    # customers with no urgent/high-priority order: the bare
+    # customers-minus-all-orders form verified a 0-row result at sf0.01
+    # (r9 verdict #5 — a hash match on an empty set is near-vacuous);
+    # the priority filter keeps U3 semantics and yields a non-trivial
+    # result at every checked sf (28 rows at sf0.01, 292 at sf0.1)
     oracle="""
 SELECT c_custkey AS custkey FROM customer
 EXCEPT
 SELECT o_custkey AS custkey FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
 """,
 )
 def q12_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
-    ordered = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    ordered = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select(F.col("o_custkey").alias("custkey"))
+    )
     # TPC-DS EXCEPT is set (distinct) semantics → subtract, not exceptAll
     return cust.subtract(ordered)
 
@@ -281,16 +291,24 @@ def q14_exists_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q15_not_exists_anti_join",
     covers="J6 J1 A1",
+    # customers with no urgent/high-priority order, per nation: the
+    # every-customer-has-orders testdata made the unfiltered form verify
+    # an EMPTY result at sf0.01 (r9 verdict #5 — vacuous hash match);
+    # the predicate keeps the NOT-EXISTS-with-condition shape (the
+    # TPC-DS correlated form) and yields 20 groups at sf0.01
     oracle="""
 SELECT n_name, count(*) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority IN ('1-URGENT', '2-HIGH'))
 GROUP BY n_name
 """,
 )
 def q15_not_exists_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
     nation = _t(spark, sf_dir, "nation")
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")

@@ -2178,3 +2178,163 @@ def q130_cdc_consumer_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(w2).cast("bigint").alias("wave2_applied"),
         F.lit(w3).cast("bigint").alias("wave3_applied"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q136: CONTINUOUS CDC CONSUMER (r9 verdict #3) — q130's cursor-tracked
+#       replica driven by a REAL Structured Streaming job
+#       (streaming/incremental.cdc_consumer_stream): each micro-batch
+#       polls the source snapshot log and applies the next window
+#       through sync_replica, with the new cursor stamped INTO the
+#       applied window's own data commit. Exactly-once comes from the
+#       CURSOR (a replayed batch finds it already advanced and applies
+#       nothing), restart-safety from its durability: the consumer is
+#       KILLED mid-stream — the first stream drains one window and
+#       stops, the producer keeps committing while the consumer is
+#       down, and a SECOND stream over the SAME checkpoint (fresh
+#       handles, told only roots) resumes from the on-disk cursor and
+#       drains to the head. A final idle poll pins the no-op contract
+#       (quiet source → no commit, no Spark job). Receipts: cursor at
+#       the restart and at the end, sync-stamp count, idle-poll no-op;
+#       the full replica content is hash-checked against the oracle's
+#       reconstruction of all three producer waves. Scale shape:
+#       per-batch cost is |window changes| (one delete-aware MERGE);
+#       an idle poll is a driver-side manifest read.
+# ---------------------------------------------------------------------------
+def _q136_tick(spark: SparkSession, ticks_dir: str, i: int) -> None:
+    spark.range(1).select(F.lit(i).cast("bigint").alias("tick")).coalesce(
+        1
+    ).write.mode("append").parquet(ticks_dir)
+
+
+@register(
+    "q136_streaming_cdc_consumer",
+    covers=(
+        "streaming cdc-consumer cdc-cursor change-data-feed table-layer "
+        "S5 S7 J4 M5-shape U1 P5 streaming-shape"
+    ),
+    oracle="""
+WITH d AS (SELECT doc_id, text FROM documents),
+final AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN upper(text)
+              WHEN doc_id % 13 = 4 THEN reverse(text)
+              ELSE text END AS text
+  FROM d WHERE doc_id % 13 <> 1
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM d WHERE doc_id % 13 = 2
+  UNION ALL
+  SELECT doc_id + 2000000, text FROM d WHERE doc_id % 13 = 3
+)
+SELECT f.doc_id, f.text,
+       CAST(2 AS BIGINT) AS cursor_at_restart,
+       CAST(4 AS BIGINT) AS cursor_final,
+       CAST(3 AS BIGINT) AS windows_applied,
+       TRUE AS idle_poll_noop_ok
+FROM final f
+""",
+)
+def q136_streaming_cdc_consumer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.changelog import init_replica, replica_cursor
+    from ..streaming.incremental import cdc_consumer_stream
+    from ..tables.snapshot_table import MergeClause, SnapshotTable
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = SnapshotTable(spark, scratch_dir(prefix="q136_base_"))
+    base.create_or_replace(docs, partitions=4)                       # v1
+    replica = SnapshotTable(spark, scratch_dir(prefix="q136_rep_"))
+    init_replica(replica, base, ["doc_id"], at_version=1)
+
+    ticks = scratch_dir(prefix="q136_ticks_")
+    ckpt = scratch_dir(prefix="q136_ckpt_")
+
+    # producer wave 1 (v2): COW merge — update / delete / insert
+    src1 = (
+        docs.filter(F.col("doc_id") % 13 == 0)
+        .select("doc_id", F.upper("text").alias("text"),
+                F.lit("U").alias("__op"))
+        .unionByName(
+            docs.filter(F.col("doc_id") % 13 == 1).select(
+                "doc_id", "text", F.lit("D").alias("__op")
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 13 == 2).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                "text", F.lit("I").alias("__op"),
+            )
+        )
+    )
+    base.merge(
+        src1,
+        on=["doc_id"],
+        clause=MergeClause(
+            matched_update={"text": "s.text"},
+            matched_update_condition="s.__op = 'U'",
+            matched_delete_condition="s.__op = 'D'",
+            insert_values={"doc_id": "s.doc_id", "text": "s.text"},
+        ),
+    )
+
+    # consumer leg 1: one tick → one window applied, then the stream
+    # ends (the "kill": nothing about the consumer survives in memory)
+    _q136_tick(spark, ticks, 1)
+    q1 = cdc_consumer_stream(
+        spark, ticks, replica.root, base.root, ckpt, step=True
+    )
+    q1.awaitTermination(300)
+    cursor_at_restart = int(replica_cursor(
+        SnapshotTable(spark, replica.root)
+    )["applied_version"])
+
+    # the producer keeps committing while the consumer is down
+    base.append(                                                     # v3
+        docs.filter(F.col("doc_id") % 13 == 3).select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+        )
+    )
+    base.merge(                                                      # v4 (MOR)
+        docs.filter(F.col("doc_id") % 13 == 4).select(
+            "doc_id", F.reverse("text").alias("text")
+        ),
+        on=["doc_id"],
+        clause=MergeClause(
+            matched_update={"text": "s.text"},
+            insert_when_not_matched=False,
+        ),
+        mode="merge-on-read",
+    )
+
+    # consumer leg 2: a NEW stream over the SAME checkpoint — resumes
+    # from the durable cursor, told nothing, drains to the head
+    _q136_tick(spark, ticks, 2)
+    _q136_tick(spark, ticks, 3)
+    q2 = cdc_consumer_stream(
+        spark, ticks, replica.root, base.root, ckpt, step=True
+    )
+    q2.awaitTermination(300)
+
+    # idle poll: a quiet source must commit nothing
+    reopened = SnapshotTable(spark, replica.root)
+    v_before_idle = reopened.current_version()
+    _q136_tick(spark, ticks, 4)
+    q3 = cdc_consumer_stream(
+        spark, ticks, replica.root, base.root, ckpt, step=True
+    )
+    q3.awaitTermination(300)
+    idle_noop = reopened.current_version() == v_before_idle
+
+    cursor_final = int(replica_cursor(reopened)["applied_version"])
+    windows_applied = sum(
+        1
+        for s in reopened._snapshots()
+        if "cdc_applied_version" in (s.get("summary") or {})
+        and s["operation"] != "create_or_replace"
+    )
+    return reopened.read().select(
+        "doc_id", "text",
+        F.lit(cursor_at_restart).cast("bigint").alias("cursor_at_restart"),
+        F.lit(cursor_final).cast("bigint").alias("cursor_final"),
+        F.lit(windows_applied).cast("bigint").alias("windows_applied"),
+        F.lit(bool(idle_noop)).alias("idle_poll_noop_ok"),
+    )

@@ -1710,3 +1710,265 @@ def q134_pq_ann_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(stpq.codec == "pq16x16").alias("reopened_codec_ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q135: TAKEDOWN PROPAGATION THROUGH STANDING STATE (r9 verdict #1) —
+#       the one operator family a real 100 TB pipeline hits early that
+#       nothing here provided: an opt-out / contamination / license
+#       takedown must purge a document from the corpus AND from every
+#       derived artifact, or deleted content keeps matching as a
+#       "duplicate" partner and keeps surfacing in ANN results. The
+#       corpus delete is the reference's own delete-aware MERGE (M5,
+#       updating_db_with_deltas_iceberg.ipynb cell 26); table_changes
+#       turns it into a CDF delete window; takedown_ids + 
+#       propagate_takedown fan the ids out to the dedup band index, the
+#       id-bucketed lookup and the ANN inverted lists — each purge a
+#       pruned rewrite of only the files holding a deleted id
+#       (SnapshotTable.delete_keys), never a corpus rewrite. The bloom
+#       prefilter is compensated by construction (stale bits discharge
+#       against the REDUCED fingerprint table; see
+#       DedupState.apply_deletes).
+#
+#       Oracle: the REDUCED-corpus contract, fully hash-checked —
+#       probe copies of deleted docs classify 'new' (exact copies AND
+#       whitespace near-dups: even the near-dup channel must forget),
+#       copies of kept docs still classify exact_dup/near_dup, the ANN
+#       probe returns k rows per query with NO deleted id (and the
+#       pruned probe read itself contains none — the receipt), and the
+#       per-artifact removed-row counts equal the oracle's recount.
+# ---------------------------------------------------------------------------
+def _q135_state(spark: SparkSession, sf_dir: str):
+    from ..operators.ann_state import build_ann_state
+    from ..operators.changelog import table_changes
+    from ..operators.incremental_dedup import build_dedup_state
+    from ..operators.takedown import propagate_takedown, takedown_ids
+    from ..tables.bucketed_lookup import BucketedLookup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    corpus_t = SnapshotTable(spark, scratch_dir(prefix="q135_corpus_"))
+    corpus_t.create_or_replace(docs)                               # v1
+    state = build_dedup_state(
+        spark, docs, "doc_id", "text",
+        scratch_dir("q135_fp_"), scratch_dir("q135_bands_"),
+    )
+    lk = BucketedLookup.create(
+        spark, docs, scratch_dir("q135_lk_"), "doc_id", "text",
+        n_buckets=16,
+    )
+    ast = build_ann_state(
+        spark, emb, scratch_dir("q135_cent_"), scratch_dir("q135_assign_"),
+        n_cells=16,
+    )
+    # the takedown: M5 delete-aware MERGE removes doc_id % 17 == 3  (v2)
+    corpus_t.merge(
+        docs.filter(F.col("doc_id") % 17 == 3).select(
+            "doc_id", F.lit(True).alias("_drop")
+        ),
+        on=["doc_id"],
+        clause=MergeClause(
+            matched_delete_condition="s._drop",
+            insert_when_not_matched=False,
+        ),
+    )
+    ids = takedown_ids(table_changes(corpus_t, ["doc_id"], 1, 2), "doc_id")
+    receipt = propagate_takedown(
+        ids, dedup_state=state, ann_state=ast, lookups=[lk]
+    )
+    return state, lk, ast, receipt
+
+
+_Q135_CACHE: dict = {}
+
+
+def _q135_cached(spark: SparkSession, sf_dir: str):
+    key = session_cache_key(spark, sf_dir)
+    if key not in _Q135_CACHE:
+        _Q135_CACHE[key] = _q135_state(spark, sf_dir)
+    return _Q135_CACHE[key]
+
+
+def _q135_probe(spark: SparkSession, sf_dir: str, state, lk, ast) -> DataFrame:
+    """The post-takedown serving path: classify a probe delta against
+    the reduced artifacts (the purged BucketedLookup IS the partner
+    source) and probe the ANN index with the DELETED docs' own
+    vectors."""
+    from ..operators.incremental_dedup import incremental_neardup_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    delta = (
+        docs.filter(F.col("doc_id") % 17 == 3)
+        .select((F.col("doc_id") + 5_000_000).alias("doc_id"), "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 17 == 5).select(
+                (F.col("doc_id") + 6_000_000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 17 == 7).select(
+                (F.col("doc_id") + 7_000_000).alias("doc_id"),
+                F.regexp_replace("text", " ", "  ").alias("text"),
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 17 == 3).select(
+                (F.col("doc_id") + 8_000_000).alias("doc_id"),
+                F.regexp_replace("text", " ", "  ").alias("text"),
+            )
+        )
+    )
+    classified = incremental_neardup_dedup(
+        state, delta, lk, "doc_id", "text", append_new=False
+    ).select(F.col("id").alias("probe_id"), "status")
+
+    # ANN: the deleted docs' own vectors as queries — every query must
+    # still get k results and NONE may be a deleted id; the pruned
+    # probe READ itself must contain no deleted id either
+    queries = emb.filter(F.col("vec_id") % 17 == 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ast.topk(queries, k=5, nprobe=4).localCheckpoint(eager=False)
+    n_q = queries.count()
+    full_k = (
+        got.groupBy("query_id").count().filter(F.col("count") == 5).count()
+        == n_q
+    )
+    no_deleted = got.filter(F.col("vec_id") % 17 == 3).isEmpty()
+    probed = ast.assignments._read_snapshot_df(
+        ast.assignments._read_snapshot(ast.assignments.current_version()),
+        only_files=ast.probe_files(queries, nprobe=4),
+    )
+    read_clean = probed.filter(F.col("vec_id") % 17 == 3).isEmpty()
+    ann_purged_ok = bool(full_k and no_deleted and read_clean)
+    lookup_purged_ok = lk.fetch(
+        emb.select(F.col("vec_id").alias("doc_id"))
+    ).filter(F.col("doc_id") % 17 == 3).isEmpty()
+    return classified.select(
+        "probe_id",
+        "status",
+        F.lit(ann_purged_ok).alias("ann_purged_ok"),
+        F.lit(bool(lookup_purged_ok)).alias("lookup_purged_ok"),
+    )
+
+
+def _q135_bare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator-only variant: the post-takedown classification + probe
+    over memoized purged artifacts — the standing serve path; the
+    corpus build + CDF propagation is the registered form's harness."""
+    state, lk, ast, _ = _q135_cached(spark, sf_dir)
+    return _q135_probe(spark, sf_dir, state, lk, ast)
+
+
+@register(
+    "q135_takedown_propagation",
+    covers=(
+        "takedown delete-propagation dedup-incremental similarity-ivf "
+        "change-data-feed table-layer M5-shape S5 S7 J4 J5 J6 A1"
+    ),
+    bare=_q135_bare,
+    oracle=f"""
+WITH kept AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 3
+),
+delta AS (
+  SELECT doc_id + 5000000 AS probe_id, text
+  FROM documents WHERE doc_id % 17 = 3
+  UNION ALL
+  SELECT doc_id + 6000000, text
+  FROM documents WHERE doc_id % 17 = 5
+  UNION ALL
+  SELECT doc_id + 7000000, replace(text, ' ', '  ')
+  FROM documents WHERE doc_id % 17 = 7
+  UNION ALL
+  SELECT doc_id + 8000000, replace(text, ' ', '  ')
+  FROM documents WHERE doc_id % 17 = 3
+),
+-- the testdata holds GENUINE near-dup pairs (J≈0.9-0.99), so the
+-- near-dup channel is the exact word-3-gram Jaccard >= 0.7 against the
+-- REDUCED corpus (q33's shingle twin), not just whitespace equality —
+-- a copy of a deleted doc whose only near twin was ALSO deleted must
+-- come back 'new'
+ksh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(0, greatest(len(t) - 3, 0) + 1),
+                                      i -> array_to_string(t[i+1:i+3], ' '))) AS s
+  FROM (SELECT doc_id,
+               regexp_split_to_array(
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+        FROM kept)
+),
+dsh AS (
+  SELECT probe_id, text,
+         list_distinct(list_transform(range(0, greatest(len(t) - 3, 0) + 1),
+                                      i -> array_to_string(t[i+1:i+3], ' '))) AS s
+  FROM (SELECT probe_id, text,
+               regexp_split_to_array(
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+        FROM delta)
+),
+-- inverted-index blocking (q33's recipe): only shingle-sharing pairs
+-- are Jaccard-scored, which is complete for any threshold > 0
+cand AS (
+  SELECT DISTINCT dex.probe_id, kex.doc_id
+  FROM (SELECT probe_id, unnest(s) AS g FROM dsh) dex
+  JOIN (SELECT doc_id, unnest(s) AS g FROM ksh) kex ON dex.g = kex.g
+),
+near AS (
+  SELECT c.probe_id,
+         max(CASE WHEN CAST(len(list_intersect(k.s, p.s)) AS DOUBLE)
+                  / greatest(len(list_distinct(list_concat(k.s, p.s))), 1)
+                  >= 0.7
+             THEN 1 ELSE 0 END) AS is_near
+  FROM cand c
+  JOIN ksh k ON k.doc_id = c.doc_id
+  JOIN dsh p ON p.probe_id = c.probe_id
+  GROUP BY c.probe_id
+)
+SELECT d.probe_id,
+       CASE WHEN EXISTS (SELECT 1 FROM kept c WHERE c.text = d.text)
+              THEN 'exact_dup'
+            WHEN coalesce(n.is_near, 0) = 1
+              THEN 'near_dup'
+            ELSE 'new' END AS status,
+       TRUE AS ann_purged_ok,
+       TRUE AS lookup_purged_ok,
+       (SELECT CAST(count(*) AS BIGINT) FROM documents
+        WHERE doc_id % 17 = 3) AS n_taken_down,
+       (SELECT CAST(count(*) AS BIGINT) FROM documents
+        WHERE doc_id % 17 = 3) AS fp_rows_removed,
+       (SELECT CAST(16 * count(*) AS BIGINT) FROM documents
+        WHERE doc_id % 17 = 3) AS band_rows_removed,
+       (SELECT CAST(count(*) AS BIGINT) FROM documents
+        WHERE doc_id % 17 = 3) AS lookup_rows_removed,
+       (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+        WHERE vec_id % 17 = 3) AS ann_rows_removed
+FROM dsh d LEFT JOIN near n ON n.probe_id = d.probe_id
+""",
+)
+def q135_takedown_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    state, lk, ast, receipt = _q135_state(spark, sf_dir)
+    _Q135_CACHE[session_cache_key(spark, sf_dir)] = (state, lk, ast, receipt)
+    probe = _q135_probe(spark, sf_dir, state, lk, ast)
+    n_del = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 17 == 3
+    ).count()
+    return probe.select(
+        "*",
+        F.lit(n_del).cast("bigint").alias("n_taken_down"),
+        F.lit(receipt["dedup"]["fingerprint_rows"]).cast("bigint").alias(
+            "fp_rows_removed"
+        ),
+        F.lit(receipt["dedup"]["band_rows"]).cast("bigint").alias(
+            "band_rows_removed"
+        ),
+        F.lit(receipt["lookup_0_rows"]).cast("bigint").alias(
+            "lookup_rows_removed"
+        ),
+        F.lit(receipt["ann_rows"]).cast("bigint").alias("ann_rows_removed"),
+    )

@@ -24,6 +24,7 @@ from ..tables.snapshot_table import ConcurrentCommitError, SnapshotTable
 
 __all__ = [
     "IdempotentEpochSink",
+    "cdc_consumer_stream",
     "scd2_stream",
     "windowed_event_counts",
 ]
@@ -142,6 +143,70 @@ class IdempotentEpochSink:
             f"epoch {epoch_id} of {self.query_id!r} lost the commit race "
             "20 times; sink table under pathological contention"
         )
+
+
+def cdc_consumer_stream(
+    spark,
+    ticks_dir: str,
+    replica_root: str,
+    source_root: str,
+    checkpoint_dir: str,
+    *,
+    step: bool = False,
+    trigger_seconds: int | None = None,
+) -> StreamingQuery:
+    """Long-running CDC consumer (r9 verdict #3): a REAL Structured
+    Streaming job whose micro-batches poll the source snapshot log and
+    advance the cursor-tracked replica through ``sync_replica`` — the
+    continuous composition of the batch-call-per-window consumer
+    (operators/changelog.py) with the q132 streaming recipe.
+
+    Exactly-once comes from the CURSOR, not an epoch marker: each
+    applied window stamps the new applied-version INTO its own data
+    commit, so a micro-batch replayed after a crash (foreachBatch is
+    at-least-once) re-reads the cursor from disk, finds it already at
+    the window's end, and applies nothing. The poll closure holds NO
+    consumer state — fresh table handles per batch — so a killed and
+    restarted job resumes purely from the durable cursor, told nothing.
+
+    ``ticks_dir`` is the poll schedule: a file-source stream whose
+    arriving files trigger batches. In production point it at a
+    heartbeat drop (or swap in a rate source) with
+    ``trigger_seconds``; in tests/harness a pre-written set of tick
+    files + ``availableNow`` pins the batch count. ``step=True`` bounds
+    each poll to ONE source version (bounded work per batch — the
+    backpressure knob); default drains to the head.
+
+    Per-batch cost is |window changes| (one delete-aware MERGE) plus a
+    driver-side manifest read when idle — a quiet source costs no Spark
+    job at all."""
+    from ..operators.changelog import replica_cursor, sync_replica
+    from ..tables.snapshot_table import SnapshotTable
+
+    def poll(batch_df: DataFrame, epoch_id: int) -> None:
+        rep = SnapshotTable(spark, replica_root)
+        src = SnapshotTable(spark, source_root)
+        head = src.current_version()
+        at = int(replica_cursor(rep)["applied_version"])
+        if head <= at:
+            return  # idle poll: manifest read only, no Spark job
+        sync_replica(rep, src, to_version=at + 1 if step else head)
+
+    stream = (
+        spark.readStream.schema("tick bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ticks_dir)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(poll)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def scd2_stream(

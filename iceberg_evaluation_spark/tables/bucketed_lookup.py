@@ -236,6 +236,25 @@ class BucketedLookup:
         lk._write_meta()
         return lk
 
+    def delete(self, ids_df: DataFrame) -> int:
+        """Takedown propagation: remove rows by id. The bucket is
+        DERIVED from the id, so both the match scan and the rewrite are
+        partition-pruned to the candidate ids' buckets — a takedown
+        reads and rewrites O(candidate-buckets) files, never the corpus
+        (the ``fetch`` pruning applied to deletion). Returns rows
+        removed; 0 commits nothing."""
+        first = ids_df.columns[0]
+        idf = ids_df.select(F.col(first).alias(self.id_col))
+        buckets = self.candidate_buckets(idf)
+        if not buckets:
+            return 0
+        return self.table.delete_keys(
+            idf,
+            on=[self.id_col],
+            prune_filters=[(BUCKET_COL, "in", buckets)],
+            summary_extra={"lookup_geometry": self._geometry()},
+        )
+
     def compact(self, target_file_mb: int = 128) -> int:
         """Bin-pack the lookup's files (appends add one file per touched
         bucket per delta — periodic compaction keeps the per-bucket file

@@ -1251,6 +1251,96 @@ class SnapshotTable:
         )
         return version
 
+    def delete_keys(
+        self,
+        keys_df: DataFrame,
+        on: list[str],
+        prune_filters: list[tuple[str, str, Any]] | None = None,
+        summary_extra: dict[str, Any] | None = None,
+    ) -> int:
+        """Row-level DELETE by key set (Iceberg ``DELETE FROM t WHERE
+        key IN (…)``): every row whose ``on``-key appears in ``keys_df``
+        is removed, rewriting ONLY the files that contain a match —
+        untouched files are carried by reference. The takedown primitive
+        every standing-state artifact's delete surface routes through.
+
+        Unlike a delete-only :meth:`merge`, the target needs NO
+        key-uniqueness (band indexes hold many rows per id) and the
+        match scan is column-pruned to the key columns. Pass
+        ``prune_filters`` when the key maps to the table's partition
+        layout (id-bucketed lookups, cell-located inverted lists) to
+        restrict even the MATCH scan to the relevant partitions' files
+        — the scan then reads O(touched partitions), never the table.
+
+        Returns the number of rows deleted (0 = no commit, so a no-op
+        takedown never grows the snapshot log)."""
+        base_version = self.current_version()
+        snap = self._read_snapshot(base_version)
+        candidates = (
+            self.pruned_files(prune_filters, version=base_version)
+            if prune_filters
+            else snap["files"]
+        )
+        src = keys_df.select(*on).distinct().localCheckpoint(eager=False)
+        scan = self._read_snapshot_df(
+            snap, only_files=candidates, with_file_col="__file"
+        )
+        # null-safe match, mirroring merge()'s key semantics
+        t_pr = scan.alias("t")
+        k_pr = src.alias("k")
+        cond = None
+        for k in on:
+            c = F.col(f"t.{k}").eqNullSafe(F.col(f"k.{k}"))
+            cond = c if cond is None else (cond & c)
+        touched_rows = (
+            t_pr.join(k_pr, cond, "left_semi")
+            .select("__file")
+            .distinct()
+            .collect()
+        )
+        if not touched_rows:
+            return 0
+        from urllib.parse import unquote
+
+        def _to_rel(uri: str) -> str:
+            marker = "/data/"
+            idx = uri.rfind(marker)
+            rel = "data/" + uri[idx + len(marker):] if idx >= 0 else uri
+            return unquote(rel)
+
+        touched_set = {_to_rel(r["__file"]) for r in touched_rows}
+        touched_rel = [rel for rel in snap["files"] if rel in touched_set]
+        moved = self._read_snapshot_df(snap, only_files=touched_rel)
+        m = moved.alias("t")
+        kept_rows = m.join(k_pr, cond, "left_anti").localCheckpoint(
+            eager=False
+        )
+        n_deleted = int(moved.count()) - int(kept_rows.count())
+        new_files = self._write_files(
+            kept_rows, partition_by=snap.get("partition_by")
+        )
+        keep = [rel for rel in snap["files"] if rel not in touched_set]
+        self._commit(
+            keep + new_files,
+            "delete",
+            {
+                "deleted_rows": n_deleted,
+                "rewritten_files": len(touched_rel),
+                "carried_files": len(keep),
+                "added_files": len(new_files),
+                **(summary_extra or {}),
+            },
+            snap["schema"],
+            expected_version=base_version,
+            # carried files may still have live equality-deletes against
+            # them; rewritten files take this commit's sequence (same
+            # model as copy-on-write merge)
+            delete_files=snap.get("delete_files"),
+            file_seqs=snap.get("file_seqs"),
+            partition_by=snap.get("partition_by"),
+        )
+        return n_deleted
+
     def _apply_merge_mor(
         self, target: DataFrame, source: DataFrame, on: list[str], clause: MergeClause
     ) -> tuple[DataFrame, DataFrame]:

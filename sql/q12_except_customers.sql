@@ -3,3 +3,4 @@
 SELECT c_custkey AS custkey FROM customer
 EXCEPT
 SELECT o_custkey AS custkey FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')

@@ -2,5 +2,6 @@
 -- Runs over the temp views registered by sources.register_star_schema.
 SELECT n_name, count(*) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority IN ('1-URGENT', '2-HIGH'))
 GROUP BY n_name

@@ -87,6 +87,8 @@ DESCRIPTIONS = [
     ("dedup-semantic", "SemDeDup-style semantic dedup (SRP-blocked keep-first)"),
     ("dedup-substring", "Exact substring-span dedup (hashed k-token windows, Lee et al.)"),
     ("dedup-bloom", "Bloom-prefiltered incremental dedup vs reference corpus"),
+    ("takedown", "Takedown driven end-to-end from a CDF delete window"),
+    ("delete-propagation", "Corpus deletes purged from every standing artifact"),
     ("training-shuffle", "Deterministic epoch shard shuffle (seeded global permutation)"),
     (
         "dedup-incremental",
