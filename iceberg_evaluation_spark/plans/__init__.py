@@ -25,35 +25,36 @@ from . import corpus_quality  # noqa: E402,F401
 # rounds" the steady-state fixed point — the auto-sort rotates the whole
 # oldest cohort through each round. Exceeding the pin budget silently
 # ages the tail; don't.
-_R9_PINNED = [
+_R10_PINNED = [
     # flagship stays first (driver entry() smoke-checks it anyway)
     "q01_pricing_summary",
-    # CDF feed pads typed nulls now (r8 ADVICE); q118 is the feed
-    # contract query, q128 its deepest consumer (also gained the
-    # summary_extra-threaded cursor stamp path)
-    "q118_change_data_feed",
-    "q128_cdf_replica_sync",
-    # ann_state overhaul: sync-token witness, log-derived counters,
-    # int8 codec plumbing, split_cell — q129 is the durable-state
-    # contract query; q38 was rebased onto the durable index
-    "q129_durable_ann_state",
+    # ann_state changes this round: pq codebook witness excludes
+    # n_cells (split-then-reopen), topk_rescored left-join fallback,
+    # AnnState.delete — q134 is the pq contract query, q38 the durable
+    # float64 path (also rekeyed its session cache)
+    "q134_pq_ann_rescore",
     "q38_ivf_cosine_topk",
-    # epoch-marker floor (expire_snapshots carry-forward) rewired the
-    # sink's and the index's replay scans — q127 is the sink contract
-    # query; rollup refresh gained the expired-history refusal
+    # sink_epoch_floors gained the supersede-race rescan — q127 is the
+    # exactly-once sink contract query
     "q127_exactly_once_sink",
-    "q119_rollup_cdf_maintenance",
+    # DedupState gained apply_deletes (and its artifacts the delete_keys
+    # commit shape) — q104 is the standing-dedup contract query
+    "q104_incremental_crossrun_dedup",
+    # rewritten this round (de-vacuized result sets, r9 verdict #5)
+    "q12_except_customers",
+    "q15_not_exists_anti_join",
 ]
-# 7 pins + 5 new (q130-q134, never checked → auto-sorted in) = 12 of 50;
-# the remaining 38 slots pull the oldest (r6-era, then r7) verdicts
-# forward — the ≤-3-rounds freshness SLA's steady state.
+# 7 pins + 2 new (q135/q136, never checked → auto-sorted in) = 9 of 50;
+# the remaining 41 slots pull the WHOLE 39-query r7 cohort forward
+# (their verdicts age out of the ≤-3-rounds SLA after this round) plus
+# the two oldest r8s — the freshness SLA's steady state holds exactly.
 _REPO_ROOT = _os.path.dirname(
     _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
 )
 _HISTORY = _registry.load_correctness_history(_REPO_ROOT)
-_registry.PINNED_HEAD[:] = _R9_PINNED
+_registry.PINNED_HEAD[:] = _R10_PINNED
 _registry.PRIORITY[:] = _registry.derive_priority(
-    list(_registry.REGISTRY), _HISTORY, _R9_PINNED
+    list(_registry.REGISTRY), _HISTORY, _R10_PINNED
 )
 
 __all__ = ["Query", "REGISTRY", "register", "all_queries", "all_oracles"]
