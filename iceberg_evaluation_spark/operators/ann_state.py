@@ -611,6 +611,87 @@ class AnnState:
             },
         )
 
+    def sync_from_cdf(
+        self,
+        source: SnapshotTable,
+        keys: list[str],
+        *,
+        query_id: str,
+        from_version: int | None = None,
+        to_version: int | None = None,
+    ) -> dict:
+        """Keep the index in LOCKSTEP with a corpus table: apply each
+        source commit's CDF window — inserts fold in via
+        ``append_epoch`` (delta-sized, no retrain), deletes purge via
+        :meth:`delete` (pruned rewrite), updates retract-then-apply.
+        The full standing composition of the streaming-ingest (q132)
+        and takedown (q135) legs: an opt-out that lands in the corpus
+        propagates to the index on the next sync, and new corpus
+        commits become probe-able without any full rebuild.
+
+        THE EPOCH MARKER IS THE CURSOR: each window's fold stamps the
+        SOURCE VERSION as its epoch id, so ``last_sink_epoch`` recovers
+        how far the index has synced — durable, atomic with the data,
+        and shared with the streaming-ingest replay detection. Windows
+        are applied per source version, deletes before inserts, marker
+        on the LAST commit of the window (the fold when the window has
+        inserts, the delete commit otherwise): a crash anywhere before
+        the marker replays the window — the re-applied deletes match
+        nothing and the fold lands once — and a crash after it skips
+        the window whole. Exactly-once, no extra cursor artifact.
+
+        ``from_version`` bootstraps a freshly built index (build stamps
+        no marker): the source version the build's input scan read.
+        A content-neutral or no-match window stamps nothing and is
+        harmlessly re-examined next sync. Source history expired past
+        the sync point refuses with re-bootstrap guidance (the
+        sync_replica contract). Returns a receipt of windows applied
+        and rows folded/purged."""
+        from .changelog import table_changes
+
+        to = source.current_version() if to_version is None else int(to_version)
+        last = self.last_sink_epoch(query_id)
+        if last < 0:
+            if from_version is None:
+                raise ValueError(
+                    "index has no sync marker for this query_id and no "
+                    "from_version was given — pass the source version "
+                    "the index was built from"
+                )
+            last = int(from_version)
+        receipt = {"windows": 0, "folded": 0, "purged": 0}
+        for v in range(last + 1, to + 1):
+            try:
+                ch = table_changes(source, keys, v - 1, v).localCheckpoint(
+                    eager=False
+                )
+            except FileNotFoundError as e:
+                raise ValueError(
+                    f"source history at {source.root} was expired past "
+                    f"the index's sync point (v{v - 1} unreadable: {e}); "
+                    "rebuild the index from the current corpus (or retain "
+                    "snapshots at least as long as the slowest index's lag)"
+                ) from e
+            dels = ch.filter(
+                F.col("_change_type").isin("delete", "update_preimage")
+            ).select(self.id_col)
+            ins = ch.filter(
+                F.col("_change_type").isin("insert", "update_postimage")
+            ).select(self.id_col, self.vec_col)
+            has_ins = not ins.isEmpty()
+            marker = {
+                "sink_query_id": query_id,
+                "sink_epoch_id": int(v),
+            }
+            if not dels.isEmpty():  # insert-only windows skip the scan
+                receipt["purged"] += self.delete(
+                    dels, summary_extra=None if has_ins else marker
+                )
+            if has_ins:
+                receipt["folded"] += self.append_epoch(ins, query_id, v)
+            receipt["windows"] += 1
+        return receipt
+
     def retrain(self) -> int:
         """Full k-means rebuild from the CURRENT corpus — the amortized
         full-corpus pass. Re-trains centroids, re-assigns every vector,

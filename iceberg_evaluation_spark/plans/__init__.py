@@ -44,10 +44,10 @@ _R10_PINNED = [
     "q12_except_customers",
     "q15_not_exists_anti_join",
 ]
-# 7 pins + 2 new (q135/q136, never checked → auto-sorted in) = 9 of 50;
-# the remaining 41 slots pull the WHOLE 39-query r7 cohort forward
-# (their verdicts age out of the ≤-3-rounds SLA after this round) plus
-# the two oldest r8s — the freshness SLA's steady state holds exactly.
+# 7 pins + 3 new (q135/q136/q137, never checked → auto-sorted in) = 10
+# of 50; the remaining 40 slots pull the WHOLE 39-query r7 cohort
+# forward (their verdicts age out of the ≤-3-rounds SLA after this
+# round) plus the oldest r8 — the freshness SLA's steady state holds.
 _REPO_ROOT = _os.path.dirname(
     _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
 )

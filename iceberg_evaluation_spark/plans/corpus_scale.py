@@ -1972,3 +1972,138 @@ def q135_takedown_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(receipt["ann_rows"]).cast("bigint").alias("ann_rows_removed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q137: CDF-DRIVEN ANN INDEX SYNC — the capstone composition of the
+#       standing similarity pipeline: the corpus table commits (append
+#       + delete-aware MERGE), and AnnState.sync_from_cdf keeps the
+#       index in LOCKSTEP by consuming the table's own change feed —
+#       inserts fold in exactly-once (q132's epoch recipe), deletes
+#       purge the inverted lists (q135's takedown surface), and the
+#       EPOCH MARKER IS THE CURSOR (the source version stamps the
+#       window's last commit, so a crash-replayed sync applies nothing
+#       — receipt-checked by a second sync call). Contract oracle in
+#       the q129 style: every probe of the synced-then-REOPENED index
+#       returns k rows, recall >= 3/5 vs exact brute force over the
+#       FINAL corpus state, no deleted id ever surfaces, and the
+#       windows/folded/purged receipts equal the oracle's recount.
+#       Scale shape: per-window cost is |window changes| (one
+#       delta-sized fold + one victim-local pruned rewrite), never the
+#       corpus — the daily "index follows corpus" loop at 100 TB.
+# ---------------------------------------------------------------------------
+def _q137_run(spark: SparkSession, sf_dir: str):
+    from ..operators.ann_state import build_ann_state, open_ann_state
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    corpus = SnapshotTable(spark, scratch_dir(prefix="q137_corpus_"))
+    corpus.create_or_replace(emb.filter(F.col("vec_id") % 3 != 0))   # v1
+    cent = scratch_dir(prefix="q137_cent_")
+    assign = scratch_dir(prefix="q137_assign_")
+    st = build_ann_state(
+        spark, corpus.read(1), cent, assign, n_cells=16,
+        retrain_fraction=10.0,  # isolate the sync loop from retrain
+    )
+    corpus.append(emb.filter(F.col("vec_id") % 3 == 0))              # v2
+    corpus.merge(                                                    # v3
+        emb.filter(F.col("vec_id") % 7 == 1).select(
+            "vec_id", F.lit(True).alias("_d")
+        ),
+        on=["vec_id"],
+        clause=MergeClause(
+            matched_delete_condition="s._d", insert_when_not_matched=False
+        ),
+    )
+    receipt = st.sync_from_cdf(
+        corpus, ["vec_id"], query_id="q137", from_version=1
+    )
+    # the crash-replay: a fresh sync over the same head must apply
+    # nothing (the marker log IS the durable cursor)
+    replay = st.sync_from_cdf(corpus, ["vec_id"], query_id="q137")
+    reopened = open_ann_state(spark, cent, assign)
+    return corpus, reopened, receipt, replay
+
+
+_Q137_CACHE: dict = {}
+
+
+def _q137_cached(spark: SparkSession, sf_dir: str):
+    key = session_cache_key(spark, sf_dir)
+    if key not in _Q137_CACHE:
+        _Q137_CACHE[key] = _q137_run(spark, sf_dir)
+    return _Q137_CACHE[key]
+
+
+def _q137_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(
+        (F.col("vec_id") < 10) & (F.col("vec_id") % 7 != 1)
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+
+
+def _q137_bare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator-only variant: ONE pruned probe through the synced,
+    reopened index — the serve path of the standing loop."""
+    _, reopened, _, _ = _q137_cached(spark, sf_dir)
+    return reopened.topk(
+        _q137_queries(spark, sf_dir), k=5, nprobe=6
+    ).groupBy("query_id").agg(F.count(F.lit(1)).alias("k_returned"))
+
+
+@register(
+    "q137_cdf_ann_sync",
+    covers=(
+        "similarity-ivf similarity-state change-data-feed takedown "
+        "delete-propagation table-layer S5 S7 M5-shape J5 A2"
+    ),
+    bare=_q137_bare,
+    oracle="""
+SELECT vec_id AS query_id,
+       CAST(5 AS BIGINT) AS k_returned,
+       TRUE AS recall_ok,
+       TRUE AS no_deleted_ok,
+       CAST(2 AS BIGINT) AS windows_applied,
+       CAST(0 AS BIGINT) AS replay_windows,
+       (SELECT CAST(count(*) FILTER (WHERE vec_id % 3 = 0) AS BIGINT)
+        FROM embeddings) AS folded,
+       (SELECT CAST(count(*) FILTER (WHERE vec_id % 7 = 1) AS BIGINT)
+        FROM embeddings) AS purged
+FROM embeddings WHERE vec_id < 10 AND vec_id % 7 <> 1
+""",
+)
+def q137_cdf_ann_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_topk
+
+    corpus, reopened, receipt, replay = _q137_run(spark, sf_dir)
+    _Q137_CACHE[session_cache_key(spark, sf_dir)] = (
+        corpus, reopened, receipt, replay,
+    )
+    queries = _q137_queries(spark, sf_dir)
+    final = corpus.read().select("vec_id", "embedding")
+    approx = reopened.topk(queries, k=5, nprobe=6).localCheckpoint(
+        eager=False
+    )
+    exact = cosine_topk(final, queries, k=5).select("query_id", "vec_id")
+    matches = (
+        approx.join(exact, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("_m"))
+    )
+    no_deleted = bool(approx.filter(F.col("vec_id") % 7 == 1).isEmpty())
+    return (
+        approx.groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k_returned"))
+        .join(matches, "query_id", "left")
+        .select(
+            "query_id",
+            "k_returned",
+            (F.coalesce(F.col("_m"), F.lit(0)) >= 3).alias("recall_ok"),
+            F.lit(no_deleted).alias("no_deleted_ok"),
+            F.lit(receipt["windows"]).cast("bigint").alias("windows_applied"),
+            F.lit(replay["windows"]).cast("bigint").alias("replay_windows"),
+            F.lit(receipt["folded"]).cast("bigint").alias("folded"),
+            F.lit(receipt["purged"]).cast("bigint").alias("purged"),
+        )
+    )

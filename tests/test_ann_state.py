@@ -812,3 +812,81 @@ def test_lloyd_reseeds_empty_clusters():
     d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
     assigned = np.unique(d2.argmin(axis=1))
     assert len(assigned) == 8, f"dead clusters: {set(range(8)) - set(assigned)}"
+
+
+def test_sync_from_cdf_keeps_index_lockstep(spark, tmp_path):
+    """The index-follows-corpus loop: CDF inserts fold in, deletes
+    purge, updates retract-then-apply; the epoch marker doubles as the
+    durable cursor so a re-sync (crash replay) applies nothing."""
+    from iceberg_evaluation_spark.tables.snapshot_table import (
+        MergeClause,
+        SnapshotTable,
+    )
+
+    corpus = SnapshotTable(spark, str(tmp_path / "corpus"))
+    corpus.create_or_replace(_vectors(spark, 100))                   # v1
+    cent, assign = _roots(tmp_path)
+    st = build_ann_state(
+        spark, corpus.read(1), cent, assign, n_cells=4,
+        retrain_fraction=10.0,
+    )
+    corpus.append(_vectors(spark, 30, seed_shift=1000))              # v2
+    corpus.merge(                                                    # v3
+        _vectors(spark, 100).filter(F.col("vec_id") % 5 == 0)
+        .select("vec_id", F.lit(True).alias("_d")),
+        on=["vec_id"],
+        clause=MergeClause(
+            matched_delete_condition="s._d", insert_when_not_matched=False
+        ),
+    )
+    r = st.sync_from_cdf(
+        corpus, ["vec_id"], query_id="sync", from_version=1
+    )
+    assert r == {"windows": 2, "folded": 30, "purged": 20}
+    # index ids == final corpus ids, exactly
+    idx_ids = {r["vec_id"] for r in st.assignments.read().select("vec_id").collect()}
+    src_ids = {r["vec_id"] for r in corpus.read().select("vec_id").collect()}
+    assert idx_ids == src_ids and len(idx_ids) == 110
+    # replay: nothing to do, durable cursor from the marker log
+    st2 = open_ann_state(spark, cent, assign)
+    assert st2.sync_from_cdf(corpus, ["vec_id"], query_id="sync") == {
+        "windows": 0, "folded": 0, "purged": 0,
+    }
+    # delete-only window: the marker rides the delete commit
+    corpus.merge(                                                    # v4
+        _vectors(spark, 30, seed_shift=1000)
+        .filter(F.col("vec_id") % 3 == 0)
+        .select("vec_id", F.lit(True).alias("_d")),
+        on=["vec_id"],
+        clause=MergeClause(
+            matched_delete_condition="s._d", insert_when_not_matched=False
+        ),
+    )
+    r = st2.sync_from_cdf(corpus, ["vec_id"], query_id="sync")
+    assert r["windows"] == 1 and r["folded"] == 0 and r["purged"] == 10
+    assert st2.last_sink_epoch("sync") == 4
+    # probes never see a deleted id
+    q = _vectors(spark, 100).filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = st2.topk(q, k=10, nprobe=4).collect()
+    final = {r["vec_id"] for r in corpus.read().select("vec_id").collect()}
+    assert got and {r["vec_id"] for r in got} <= final
+
+
+def test_sync_from_cdf_refuses_without_bootstrap_and_past_expiry(
+    spark, tmp_path
+):
+    from iceberg_evaluation_spark.tables.snapshot_table import SnapshotTable
+
+    corpus = SnapshotTable(spark, str(tmp_path / "corpus"))
+    corpus.create_or_replace(_vectors(spark, 60))                    # v1
+    cent, assign = _roots(tmp_path)
+    st = build_ann_state(spark, corpus.read(1), cent, assign, n_cells=4)
+    corpus.append(_vectors(spark, 10, seed_shift=500))               # v2
+    with pytest.raises(ValueError, match="no sync marker"):
+        st.sync_from_cdf(corpus, ["vec_id"], query_id="s2")
+    corpus.append(_vectors(spark, 10, seed_shift=600))               # v3
+    corpus.expire_snapshots(keep_last=1)  # v1/v2 manifests gone
+    with pytest.raises(ValueError, match="expired past"):
+        st.sync_from_cdf(corpus, ["vec_id"], query_id="s2", from_version=1)
