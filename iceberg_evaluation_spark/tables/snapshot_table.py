@@ -1257,6 +1257,7 @@ class SnapshotTable:
         on: list[str],
         prune_filters: list[tuple[str, str, Any]] | None = None,
         summary_extra: dict[str, Any] | None = None,
+        mode: str = "copy-on-write",
     ) -> int:
         """Row-level DELETE by key set (Iceberg ``DELETE FROM t WHERE
         key IN (…)``): every row whose ``on``-key appears in ``keys_df``
@@ -1272,8 +1273,19 @@ class SnapshotTable:
         restrict even the MATCH scan to the relevant partitions' files
         — the scan then reads O(touched partitions), never the table.
 
+        ``mode='merge-on-read'`` writes an EQUALITY-DELETE file instead
+        of rewriting anything (Iceberg v2's takedown shape): write cost
+        is O(|matched keys|) however the victims scatter across a
+        100 TB table, at the price of an anti join on every read until
+        ``compact()`` materializes the deletes. Both modes produce
+        byte-identical table contents (the merge() contract). The MOR
+        path still runs the match scan first so a no-match takedown
+        commits nothing and the returned count stays exact.
+
         Returns the number of rows deleted (0 = no commit, so a no-op
         takedown never grows the snapshot log)."""
+        if mode not in ("copy-on-write", "merge-on-read"):
+            raise ValueError(f"unknown delete mode {mode!r}")
         base_version = self.current_version()
         snap = self._read_snapshot(base_version)
         candidates = (
@@ -1312,6 +1324,40 @@ class SnapshotTable:
         touched_rel = [rel for rel in snap["files"] if rel in touched_set]
         moved = self._read_snapshot_df(snap, only_files=touched_rel)
         m = moved.alias("t")
+        if mode == "merge-on-read":
+            hit = m.join(k_pr, cond, "left_semi").localCheckpoint(
+                eager=False
+            )
+            n_deleted = int(hit.count())
+            # write only the keys that actually match (touched-files
+            # scan already pruned the read): the read-side anti join
+            # stays |victims|-sized, and absent keys add no state
+            del_files = self._write_files(
+                hit.select(*on).distinct().coalesce(4)
+            )
+            carried = list(snap.get("delete_files") or [])
+            new_dels = [
+                {"file": rel, "seq": None, "keys": list(on)}
+                for rel in del_files
+            ]
+            self._commit(
+                snap["files"],
+                "delete",
+                {
+                    "deleted_rows": n_deleted,
+                    "mode": "merge-on-read",
+                    "rewritten_files": 0,
+                    "carried_files": len(snap["files"]),
+                    "added_delete_files": len(del_files),
+                    **(summary_extra or {}),
+                },
+                snap["schema"],
+                expected_version=base_version,
+                delete_files=carried + new_dels,
+                file_seqs=snap.get("file_seqs"),
+                partition_by=snap.get("partition_by"),
+            )
+            return n_deleted
         kept_rows = m.join(k_pr, cond, "left_anti").localCheckpoint(
             eager=False
         )

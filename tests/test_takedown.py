@@ -297,3 +297,38 @@ def test_propagate_takedown_from_cdf_window(spark, tmp_path):
         state.bands.current_version(),
         lk.table.current_version(),
     )
+
+
+def test_delete_keys_merge_on_read_matches_cow(spark, tmp_path):
+    """MOR takedown: an equality-delete file instead of any rewrite —
+    byte-identical table contents to the copy-on-write path, O(|ids|)
+    write cost, and compact() materializes the deletes away."""
+    cow = SnapshotTable(spark, str(tmp_path / "cow"))
+    mor = SnapshotTable(spark, str(tmp_path / "mor"))
+    df = spark.range(200).select(
+        F.col("id"), (F.col("id") % 4).alias("p"), (F.col("id") * 3).alias("v")
+    )
+    for t in (cow, mor):
+        t.create_or_replace(df, partition_by=["p"])
+    victims = spark.range(200).filter(F.col("id") % 9 == 2).select("id")
+    n1 = cow.delete_keys(victims, on=["id"])
+    n2 = mor.delete_keys(victims, on=["id"], mode="merge-on-read")
+    assert n1 == n2 > 0
+    snap = mor._read_snapshot(mor.current_version())
+    assert snap["summary"]["rewritten_files"] == 0  # nothing rewritten
+    assert snap["delete_files"]  # the equality-delete file landed
+    rows = lambda t: sorted(
+        (r["id"], r["p"], r["v"]) for r in t.read().collect()
+    )
+    assert rows(cow) == rows(mor)
+    # a second MOR delete of the SAME keys matches nothing: no commit
+    v = mor.current_version()
+    assert mor.delete_keys(victims, on=["id"], mode="merge-on-read") == 0
+    assert mor.current_version() == v
+    # compaction materializes the deletes; contents unchanged
+    before = rows(mor)
+    mor.compact()
+    assert not mor._read_snapshot(mor.current_version())["delete_files"]
+    assert rows(mor) == before
+    with __import__("pytest").raises(ValueError, match="unknown delete mode"):
+        mor.delete_keys(victims, on=["id"], mode="bogus")
