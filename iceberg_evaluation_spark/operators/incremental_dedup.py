@@ -288,7 +288,7 @@ class DedupState:
             bands=self.bands,
         )
 
-    def apply_deletes(self, ids: DataFrame) -> dict:
+    def apply_deletes(self, ids: DataFrame, mode: str = "copy-on-write") -> dict:
         """Takedown propagation: purge documents from BOTH standing
         artifacts — the (id, fp) fingerprint universe and the (id,
         band, bucket) LSH index — so deleted content stops matching as
@@ -297,6 +297,13 @@ class DedupState:
         Rewrites only the files holding a deleted id (the band match
         scan is column-pruned to the id column); 0 matches commit
         nothing. Returns per-artifact removed-row counts.
+
+        ``mode='merge-on-read'`` is the 100 TB shape for THIS artifact
+        family: an id-keyed takedown scatters across the band-hash
+        partition layout, so a copy-on-write purge can rewrite many
+        partitions — MOR writes one equality-delete file instead
+        (O(|victims|)), every index read is already MOR-aware, and the
+        next ``compact()`` materializes the deletes away.
 
         The BLOOM prefilter needs no compensation, by construction: its
         bits cannot be unset, but ``bloom_prefiltered_anti_join``
@@ -314,10 +321,11 @@ class DedupState:
         meaningful."""
         first = ids.columns[0]
         idf = ids.select(F.col(first).alias("id"))
-        n_fp = self.fingerprints.delete_keys(idf, on=["id"])
+        n_fp = self.fingerprints.delete_keys(idf, on=["id"], mode=mode)
         n_band = self.bands.delete_keys(
             idf, on=["id"],
             summary_extra={"dedup_geometry": self._geometry()},
+            mode=mode,
         )
         return {"fingerprint_rows": n_fp, "band_rows": n_band}
 
@@ -686,18 +694,20 @@ class SemanticState:
         witness)."""
         return _compact_artifacts(target_file_mb, bands=self.bands)
 
-    def apply_deletes(self, ids: DataFrame) -> dict:
+    def apply_deletes(self, ids: DataFrame, mode: str = "copy-on-write") -> dict:
         """Takedown propagation for the embedding modality: purge
         deleted vectors' SRP band rows so taken-down content stops
         surfacing as a semantic-duplicate partner — see
         :meth:`DedupState.apply_deletes` (same pruned rewrite, same
         no-op-commits-nothing contract, same caller obligation to shed
-        the ids from ``corpus_lookup``)."""
+        the ids from ``corpus_lookup``, same merge-on-read option for
+        scattered victims)."""
         first = ids.columns[0]
         idf = ids.select(F.col(first).alias("id"))
         n_band = self.bands.delete_keys(
             idf, on=["id"],
             summary_extra={"dedup_geometry": self._geometry()},
+            mode=mode,
         )
         return {"band_rows": n_band}
 

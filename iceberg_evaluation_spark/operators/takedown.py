@@ -57,6 +57,7 @@ def propagate_takedown(
     semantic_state=None,
     ann_state=None,
     lookups=(),
+    mode: str = "copy-on-write",
 ) -> dict:
     """Purge ``ids`` (single-column DataFrame) from every provided
     standing artifact. Pass the artifacts a pipeline actually maintains;
@@ -67,16 +68,24 @@ def propagate_takedown(
     pass matches nothing and commits nothing), so the recovery story is
     "re-run the propagation".
 
+    ``mode='merge-on-read'`` routes the band-index and lookup purges
+    through equality-delete files (O(|victims|) write cost however the
+    victims scatter across the partition layouts — the 100 TB takedown
+    shape; the artifacts' reads are MOR-aware and their ``compact()``
+    materializes). The ANN index always takes the copy-on-write path:
+    its cell-evolution machinery (``split_cell``) operates on
+    delete-free snapshots, and victims are cell-local anyway.
+
     Returns a receipt of removed-row counts per artifact — the audit
     evidence a takedown obligation wants."""
     ids = ids.localCheckpoint(eager=False)
     receipt: dict = {}
     if dedup_state is not None:
-        receipt["dedup"] = dedup_state.apply_deletes(ids)
+        receipt["dedup"] = dedup_state.apply_deletes(ids, mode=mode)
     if semantic_state is not None:
-        receipt["semantic"] = semantic_state.apply_deletes(ids)
+        receipt["semantic"] = semantic_state.apply_deletes(ids, mode=mode)
     if ann_state is not None:
         receipt["ann_rows"] = ann_state.delete(ids)
     for i, lk in enumerate(lookups):
-        receipt[f"lookup_{i}_rows"] = lk.delete(ids)
+        receipt[f"lookup_{i}_rows"] = lk.delete(ids, mode=mode)
     return receipt

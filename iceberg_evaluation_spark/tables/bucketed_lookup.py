@@ -236,13 +236,17 @@ class BucketedLookup:
         lk._write_meta()
         return lk
 
-    def delete(self, ids_df: DataFrame) -> int:
+    def delete(
+        self, ids_df: DataFrame, mode: str = "copy-on-write"
+    ) -> int:
         """Takedown propagation: remove rows by id. The bucket is
         DERIVED from the id, so both the match scan and the rewrite are
         partition-pruned to the candidate ids' buckets — a takedown
         reads and rewrites O(candidate-buckets) files, never the corpus
         (the ``fetch`` pruning applied to deletion). Returns rows
-        removed; 0 commits nothing."""
+        removed; 0 commits nothing. ``mode='merge-on-read'`` writes an
+        equality-delete file instead of rewriting the touched buckets
+        (fetch/read are MOR-aware; ``compact()`` materializes)."""
         first = ids_df.columns[0]
         idf = ids_df.select(F.col(first).alias(self.id_col))
         buckets = self.candidate_buckets(idf)
@@ -253,6 +257,7 @@ class BucketedLookup:
             on=[self.id_col],
             prune_filters=[(BUCKET_COL, "in", buckets)],
             summary_extra={"lookup_geometry": self._geometry()},
+            mode=mode,
         )
 
     def compact(self, target_file_mb: int = 128) -> int:

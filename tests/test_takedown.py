@@ -332,3 +332,51 @@ def test_delete_keys_merge_on_read_matches_cow(spark, tmp_path):
     assert rows(mor) == before
     with __import__("pytest").raises(ValueError, match="unknown delete mode"):
         mor.delete_keys(victims, on=["id"], mode="bogus")
+
+
+def test_apply_deletes_merge_on_read_declassifies_and_compacts(spark, tmp_path):
+    """MOR takedown through the whole dedup family: one equality-delete
+    file per artifact instead of rewriting the scattered band
+    partitions, identical classifications (reads are MOR-aware), and
+    compact() materializes the deletes away."""
+    state = build_dedup_state(
+        spark, _docs(spark, CORPUS), "doc_id", "text",
+        str(tmp_path / "fp"), str(tmp_path / "bands"),
+        index_partitions=4,
+    )
+    receipt = state.apply_deletes(_ids(spark, [1]), mode="merge-on-read")
+    assert receipt == {"fingerprint_rows": 1, "band_rows": 16}
+    snap = state.bands._read_snapshot(state.bands.current_version())
+    assert snap["summary"]["rewritten_files"] == 0
+    assert snap["delete_files"]
+    kept_lookup = _docs(spark, CORPUS[1:])
+    got = {r["id"]: r["status"] for r in incremental_neardup_dedup(
+        state, _docs(spark, [(201, CORPUS[0][1])]), kept_lookup,
+        "doc_id", "text", append_new=False,
+    ).collect()}
+    assert got == {201: "new"}  # MOR-aware index read forgot doc 1
+    state.compact()
+    assert not state.bands._read_snapshot(
+        state.bands.current_version()
+    )["delete_files"]
+    got = {r["id"]: r["status"] for r in incremental_neardup_dedup(
+        state, _docs(spark, [(202, CORPUS[1][1])]), kept_lookup,
+        "doc_id", "text", append_new=False,
+    ).collect()}
+    assert got == {202: "exact_dup"}  # kept content intact post-compact
+
+
+def test_bucketed_lookup_delete_merge_on_read(spark, tmp_path):
+    from iceberg_evaluation_spark.tables.bucketed_lookup import BucketedLookup
+
+    lk = BucketedLookup.create(
+        spark, _docs(spark, CORPUS), str(tmp_path / "lk"),
+        "doc_id", "text", n_buckets=8,
+    )
+    assert lk.delete(_ids(spark, [1, 3]), mode="merge-on-read") == 2
+    assert lk.read().count() == 2
+    assert lk.fetch(_ids(spark, [1])).filter(
+        F.col("doc_id") == 1
+    ).count() == 0
+    lk.compact()
+    assert lk.read().count() == 2
