@@ -890,3 +890,47 @@ def test_sync_from_cdf_refuses_without_bootstrap_and_past_expiry(
     corpus.expire_snapshots(keep_last=1)  # v1/v2 manifests gone
     with pytest.raises(ValueError, match="expired past"):
         st.sync_from_cdf(corpus, ["vec_id"], query_id="s2", from_version=1)
+
+
+def test_sync_from_cdf_is_codec_independent(spark, tmp_path):
+    """The index-follows-corpus loop over a PQ-coded index: folds
+    encode through the codec, purges rewrite the coded layout, probes
+    rescore exactly — same receipts as float64."""
+    from iceberg_evaluation_spark.tables.snapshot_table import (
+        MergeClause,
+        SnapshotTable,
+    )
+
+    corpus = SnapshotTable(spark, str(tmp_path / "corpus"))
+    corpus.create_or_replace(_vectors(spark, 100))                   # v1
+    cent, assign = _roots(tmp_path)
+    st = build_ann_state(
+        spark, corpus.read(1), cent, assign, n_cells=4,
+        codec="pq4x16", retrain_fraction=10.0,
+    )
+    corpus.append(_vectors(spark, 20, seed_shift=2000))              # v2
+    corpus.merge(                                                    # v3
+        _vectors(spark, 100).filter(F.col("vec_id") % 4 == 1)
+        .select("vec_id", F.lit(True).alias("_d")),
+        on=["vec_id"],
+        clause=MergeClause(
+            matched_delete_condition="s._d", insert_when_not_matched=False
+        ),
+    )
+    r = st.sync_from_cdf(corpus, ["vec_id"], query_id="pqsync", from_version=1)
+    assert r == {"windows": 2, "folded": 20, "purged": 25}
+    re = open_ann_state(spark, cent, assign)
+    assert re.codec == "pq4x16"
+    idx_ids = {
+        r["vec_id"] for r in re.assignments.read().select("vec_id").collect()
+    }
+    src_ids = {r["vec_id"] for r in corpus.read().select("vec_id").collect()}
+    assert idx_ids == src_ids
+    # rescored probe over the synced index finds an appended vector
+    q = _vectors(spark, 20, seed_shift=2000).filter(
+        F.col("vec_id") == 2001
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    got = re.topk_rescored(
+        q, corpus.read().select("vec_id", "embedding"), k=3, nprobe=4
+    ).collect()
+    assert got[0]["vec_id"] == 2001
