@@ -934,3 +934,48 @@ def test_sync_from_cdf_is_codec_independent(spark, tmp_path):
         q, corpus.read().select("vec_id", "embedding"), k=3, nprobe=4
     ).collect()
     assert got[0]["vec_id"] == 2001
+
+
+def test_sync_from_cdf_applies_update_windows(spark, tmp_path):
+    """Re-embedding shape: an UPDATE window retracts the preimage and
+    folds the postimage — after sync the index serves the NEW vector
+    and never the old one."""
+    from iceberg_evaluation_spark.tables.snapshot_table import (
+        MergeClause,
+        SnapshotTable,
+    )
+
+    corpus = SnapshotTable(spark, str(tmp_path / "corpus"))
+    corpus.create_or_replace(_vectors(spark, 80))                    # v1
+    cent, assign = _roots(tmp_path)
+    st = build_ann_state(
+        spark, corpus.read(1), cent, assign, n_cells=4,
+        retrain_fraction=10.0,
+    )
+    # re-embed vec 7: its new vector is (a jittered copy of) vec 40's
+    new_vec = _vectors(spark, 80).filter(F.col("vec_id") == 40).select(
+        F.lit(7).cast("bigint").alias("vec_id"), "embedding"
+    )
+    corpus.merge(                                                    # v2
+        new_vec,
+        on=["vec_id"],
+        clause=MergeClause(
+            matched_update={"embedding": "s.embedding"},
+            insert_when_not_matched=False,
+        ),
+    )
+    r = st.sync_from_cdf(corpus, ["vec_id"], query_id="upd", from_version=1)
+    assert r == {"windows": 1, "folded": 1, "purged": 1}
+    # exactly one row for vec 7 in the index, and it equals the NEW vector
+    stored = st._unpack(
+        st.assignments.read().drop("_ann_cell")
+    ).filter(F.col("vec_id") == 7).collect()
+    assert len(stored) == 1
+    want = new_vec.collect()[0]["embedding"]
+    assert [round(x, 6) for x in stored[0]["embedding"]] == [
+        round(float(x), 6) for x in want
+    ]
+    # a probe with the NEW vector finds 7 among its top hits
+    q = new_vec.select(F.col("vec_id").alias("query_id"), "embedding")
+    got = {r["vec_id"] for r in st.topk(q, k=3, nprobe=4).collect()}
+    assert 7 in got
