@@ -18,6 +18,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
+    # ambient-contention context for round-over-round adjudication (r10
+    # verdict #4): a creeping per-query time on a loaded machine is
+    # noise, not regression — record the load so the artifact can say so
+    load_before = os.getloadavg()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # --threads N (or SPARK_GRAFT_THREADS): concurrent-query harness shape
     # (the reference benches one thread per query). Sequential remains the
@@ -98,6 +102,11 @@ def main() -> None:
         "utc": _dt.datetime.now(_dt.timezone.utc).isoformat(
             timespec="seconds"
         ),
+        # 1/5/15-min load BEFORE and AFTER the run: the mechanical
+        # receipt for "ambient contention" adjudications (tools/
+        # bench_ab.py is the per-query A/B half of the same story)
+        "loadavg_before": [round(x, 2) for x in load_before],
+        "loadavg_after": [round(x, 2) for x in os.getloadavg()],
     }
     detail = {
         "metric": "corpus_total_wall",

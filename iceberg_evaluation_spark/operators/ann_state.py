@@ -582,29 +582,48 @@ class AnnState:
         )
 
     def delete(
-        self, ids: DataFrame, summary_extra: dict | None = None
+        self,
+        ids: DataFrame,
+        summary_extra: dict | None = None,
+        mode: str = "copy-on-write",
     ) -> int:
         """Takedown propagation: remove vectors by id from the inverted
-        lists, rewriting ONLY the files that contain a deleted id (the
-        cell-partition layout is preserved, so probe pruning is intact).
-        An opt-out / contamination / license takedown must purge a
-        document from every derived index, or the deleted content keeps
-        surfacing in ANN results — this is the index-side analog of the
-        corpus layer's delete-aware MERGE (reference
+        lists. An opt-out / contamination / license takedown must purge
+        a document from every derived index, or the deleted content
+        keeps surfacing in ANN results — this is the index-side analog
+        of the corpus layer's delete-aware MERGE (reference
         updating_db_with_deltas_iceberg.ipynb cell 26) and DROP…PURGE.
 
-        The match scan is column-pruned to the id column; the rewrite
-        touches matched files only, so the cost tracks the deleted ids'
-        cell locality, never the corpus. Centroids and codebooks are
-        untouched (they are trained summaries, not per-row state — the
-        next scheduled ``retrain()`` re-centers without the deleted
-        mass). Returns the number of vectors removed; 0 commits
-        nothing."""
+        ``mode='copy-on-write'`` rewrites ONLY the files that contain a
+        deleted id (the cell-partition layout is preserved, so probe
+        pruning is intact) — cost tracks the victims' CELL LOCALITY.
+        But takedown victims are content-arbitrary: an opt-out batch's
+        vectors scatter across cells the same way band-hash victims
+        scatter across band partitions (r10's MOR probe: 32/32
+        partitions rewritten), so at 100 TB a scattered batch rewrites
+        one ~128 MB file per victim-holding cell. ``mode=
+        'merge-on-read'`` writes an EQUALITY-DELETE file instead
+        (Iceberg v2's takedown shape, the same ``delete_keys`` machinery
+        the band index and lookups already route through): write cost is
+        O(|victims|) keys HOWEVER they scatter. Every index read is
+        MOR-aware by construction — ``topk``/``topk_rescored`` route
+        through ``read_where`` and ``retrain`` through ``read``, both of
+        which apply live equality-deletes in ``_read_snapshot_df`` —
+        and ``maintain()`` materializes the deletes (compaction
+        publishes a delete-free snapshot) before any ``split_cell``,
+        which requires delete-free state. Both modes produce
+        byte-identical probe results (test-pinned).
+
+        Centroids and codebooks are untouched (they are trained
+        summaries, not per-row state — the next scheduled ``retrain()``
+        re-centers without the deleted mass). Returns the number of
+        vectors removed; 0 commits nothing."""
         first = ids.columns[0]
         idf = ids.select(F.col(first).alias(self.id_col))
         return self.assignments.delete_keys(
             idf,
             on=[self.id_col],
+            mode=mode,
             summary_extra={
                 **self._geometry_extra(),
                 **(summary_extra or {}),
@@ -619,6 +638,7 @@ class AnnState:
         query_id: str,
         from_version: int | None = None,
         to_version: int | None = None,
+        delete_mode: str = "copy-on-write",
     ) -> dict:
         """Keep the index in LOCKSTEP with a corpus table: apply each
         source commit's CDF window — inserts fold in via
@@ -639,6 +659,22 @@ class AnnState:
         the marker replays the window — the re-applied deletes match
         nothing and the fold lands once — and a crash after it skips
         the window whole. Exactly-once, no extra cursor artifact.
+
+        DELETES ARE MARKER-GUARDED TOO (r10 verdict hardening): before
+        each window's delete the marker is re-read and an
+        already-marked window is skipped WHOLE. Within one call the
+        loop never revisits a marked window, but two racing syncs with
+        the same ``query_id`` could: racer A applies window v fully
+        (marker lands), then racer B — which computed its range before
+        A finished — replays v's delete. With windows after v able to
+        RE-INSERT a deleted id, that stale delete would purge the
+        re-inserted vector; the re-read makes it a no-op by the marker,
+        not by luck (pinned: delete-then-reinsert-across-windows test).
+
+        ``delete_mode`` routes the purge legs: 'copy-on-write' (default,
+        pruned rewrite of victim-holding files) or 'merge-on-read'
+        (equality-delete file, O(|victims|) write cost for scattered
+        victims — the 100 TB takedown shape; see :meth:`delete`).
 
         ``from_version`` bootstraps a freshly built index (build stamps
         no marker): the source version the build's input scan read.
@@ -661,6 +697,13 @@ class AnnState:
             last = int(from_version)
         receipt = {"windows": 0, "folded": 0, "purged": 0}
         for v in range(last + 1, to + 1):
+            # marker re-read: a rival sync (same query_id) may have
+            # applied this window since our range was computed; its
+            # delete must NOT re-run here — a later window may have
+            # re-inserted a deleted id, and only the marker (not
+            # "victims are already gone") makes the skip safe
+            if v <= self.last_sink_epoch(query_id):
+                continue
             try:
                 ch = table_changes(source, keys, v - 1, v).localCheckpoint(
                     eager=False
@@ -685,7 +728,9 @@ class AnnState:
             }
             if not dels.isEmpty():  # insert-only windows skip the scan
                 receipt["purged"] += self.delete(
-                    dels, summary_extra=None if has_ins else marker
+                    dels,
+                    summary_extra=None if has_ins else marker,
+                    mode=delete_mode,
                 )
             if has_ins:
                 receipt["folded"] += self.append_epoch(ins, query_id, v)
@@ -930,6 +975,11 @@ class AnnState:
         expire_snapshots) plus the index-specific rebalances.
 
         Order and rationale:
+        0. live equality-delete files (merge-on-read takedowns) →
+           ``compact()`` — materializes the deletes so probes stop
+           paying the anti join and the split step (which requires
+           delete-free snapshots) stays reachable. Skipped when a
+           retrain just ran (retrain publishes delete-free state).
         1. ``stale()`` → ``retrain()`` — the full rebalance rewrites
            every file, so any split/compact done before it is wasted
            work; it runs first and the later signals re-read fresh
@@ -956,6 +1006,18 @@ class AnnState:
         }
         if self.stale():
             receipt["retrained"] = self.retrain()
+        a0 = self.assignments
+        if a0._read_snapshot(a0.current_version()).get("delete_files"):
+            # merge-on-read takedowns (delete(mode='merge-on-read'),
+            # sync_from_cdf(delete_mode=...)) leave live equality-delete
+            # files: every probe pays the anti join and split_cell
+            # requires delete-free snapshots. Compaction reads MOR-aware
+            # and publishes a delete-free snapshot — materializing the
+            # deletes is the maintenance half of the MOR bargain
+            # (Iceberg's rewrite_data_files + rewrite_position_delete
+            # rolled into one here). Runs before the split scan so a
+            # post-MOR maintain() can still split hot cells.
+            receipt["compacted"] = self.compact(target_file_mb=target_file_mb)
         sizes = self.cell_sizes()
         if sizes:
             budget = (
@@ -971,7 +1033,10 @@ class AnnState:
                 )
         a = self.assignments
         n_files = len(a._read_snapshot(a.current_version())["files"])
-        if n_files > frag_files_per_cell * self.n_cells:
+        if (
+            receipt["compacted"] is None
+            and n_files > frag_files_per_cell * self.n_cells
+        ):
             receipt["compacted"] = self.compact(target_file_mb=target_file_mb)
         if keep_last_snapshots is not None:
             receipt["expired"] = a.expire_snapshots(
@@ -1069,6 +1134,7 @@ class AnnState:
         nprobe: int = 4,
         overfetch: int = 4,
         query_id_col: str = "query_id",
+        fallback_col: str | None = None,
     ) -> DataFrame:
         """Two-stage probe — the standard PQ + rerank shape. Stage 1
         shortlists ``k × overfetch`` per query through the pruned index
@@ -1089,7 +1155,16 @@ class AnnState:
         decoded-codec score instead of being silently dropped (r9
         ADVICE: the inner join returned fewer than k rows with no
         error) — the result is always k rows per query, with exact
-        scores wherever the corpus covers the id."""
+        scores wherever the corpus covers the id.
+
+        The fallback is silent by default; ``fallback_col`` names an
+        extra boolean output column (True = exact corpus rescore,
+        False = stage-1 codec score kept) so a pipeline can SEE its
+        fallback rate (r10 verdict #8) — an index kept in lockstep via
+        ``sync_from_cdf`` against the same corpus reports zero
+        fallbacks (test-pinned), so a non-zero count is the "corpus
+        snapshot lags the index" signal, actionable as "re-sync or
+        re-snapshot before serving"."""
         short = self.topk(
             queries, k=k * overfetch, nprobe=nprobe,
             query_id_col=query_id_col,
@@ -1120,6 +1195,11 @@ class AnnState:
                 )
                 .otherwise(F.col("_codec_sim"))
                 .alias("cosine_sim"),
+                *(
+                    [F.col("_cv").isNotNull().alias(fallback_col)]
+                    if fallback_col
+                    else []
+                ),
             )
         )
         w = W.partitionBy(query_id_col).orderBy(

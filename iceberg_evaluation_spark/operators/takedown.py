@@ -23,19 +23,48 @@ artifact's delete surface —
 - :meth:`AnnState.delete` — inverted-list purge, cell layout intact;
 - :meth:`BucketedLookup.delete` — bucket-pruned corpus-copy purge.
 
-Every surface routes through ``SnapshotTable.delete_keys``: a
-column-pruned match scan locates the files holding a deleted id and
-ONLY those files are rewritten — takedown cost tracks the deleted ids'
-locality, never the corpus size. A no-op window (no deletes) commits
-nothing anywhere.
+Every surface routes through ``SnapshotTable.delete_keys``: under
+``mode='copy-on-write'`` a column-pruned match scan locates the files
+holding a deleted id and ONLY those files are rewritten; under
+``mode='merge-on-read'`` each surface writes one equality-delete file
+(O(|victims|) keys however the victims scatter across the partition
+layouts — the 100 TB takedown shape; every surface's reads are
+MOR-aware and their ``compact()``/``maintain()`` materializes). A no-op
+window (no deletes) commits nothing anywhere.
+
+For the compliance use-case this module exists for (opt-out / license
+obligations), the in-memory receipt is not evidence: an auditor needs
+proof that a given takedown COMPLETED against every artifact, and the
+proof must survive the process (r10 verdict #3). Pass ``ledger`` — a
+SnapshotTable — and each artifact's completion is durably recorded
+(takedown id, artifact, removed count, full receipt) right after that
+artifact's delete commit. A re-run of the same takedown skips every
+recorded artifact without touching it; a crash mid-propagation resumes
+from the ledger, re-running only the unrecorded artifacts (re-running a
+purge that committed but crashed before its ledger write is idempotent:
+the second pass matches nothing, commits nothing, then records).
 """
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["takedown_ids", "propagate_takedown"]
+__all__ = [
+    "takedown_ids",
+    "takedown_fingerprint",
+    "propagate_takedown",
+    "LEDGER_SCHEMA",
+]
+
+#: one row per (takedown, artifact) completion; ``receipt`` is the
+#: artifact's full delete receipt as JSON (the audit detail), ``removed``
+#: the total rows purged (the audit headline)
+LEDGER_SCHEMA = (
+    "takedown_id string, artifact string, removed bigint, receipt string"
+)
 
 
 def takedown_ids(changes: DataFrame, id_col: str) -> DataFrame:
@@ -50,6 +79,38 @@ def takedown_ids(changes: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def takedown_fingerprint(ids: DataFrame) -> str:
+    """Deterministic id-SET fingerprint — the ledger key. One scalar
+    aggregate (count + sum of per-id xxhash64), so the driver-side
+    state is two numbers at any |ids|, and the value is independent of
+    row order and duplication (the set is distinct-ed first). Two
+    takedown batches with the same id set resume each other; different
+    sets never collide in practice (64-bit sum + exact count)."""
+    first = ids.columns[0]
+    row = (
+        ids.select(F.col(first).cast("string").alias("_id"))
+        .distinct()
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # sum in decimal(38,0): a long sum of 64-bit hashes overflows
+            # after a handful of rows, which ANSI mode (the vanilla
+            # driver's default) turns into ARITHMETIC_OVERFLOW
+            F.sum(
+                F.xxhash64(F.col("_id")).cast("decimal(38,0)")
+            ).alias("h"),
+        )
+        .collect()[0]
+    )
+    h = int(row["h"] or 0) % (1 << 64)
+    return f"td-{int(row['n'])}-{h:016x}"
+
+
+def _total(receipt) -> int:
+    if isinstance(receipt, dict):
+        return int(sum(int(v) for v in receipt.values()))
+    return int(receipt)
+
+
 def propagate_takedown(
     ids: DataFrame,
     *,
@@ -58,6 +119,7 @@ def propagate_takedown(
     ann_state=None,
     lookups=(),
     mode: str = "copy-on-write",
+    ledger=None,
 ) -> dict:
     """Purge ``ids`` (single-column DataFrame) from every provided
     standing artifact. Pass the artifacts a pipeline actually maintains;
@@ -66,26 +128,83 @@ def propagate_takedown(
     crash mid-propagation leaves some artifacts purged and some not;
     re-running the SAME takedown is idempotent everywhere (the second
     pass matches nothing and commits nothing), so the recovery story is
-    "re-run the propagation".
+    "re-run the propagation" — and with ``ledger``, the re-run also
+    SKIPS every artifact whose completion was durably recorded, touching
+    nothing (no read, no commit) on already-complete surfaces.
 
-    ``mode='merge-on-read'`` routes the band-index and lookup purges
-    through equality-delete files (O(|victims|) write cost however the
-    victims scatter across the partition layouts — the 100 TB takedown
-    shape; the artifacts' reads are MOR-aware and their ``compact()``
-    materializes). The ANN index always takes the copy-on-write path:
-    its cell-evolution machinery (``split_cell``) operates on
-    delete-free snapshots, and victims are cell-local anyway.
+    ``mode='merge-on-read'`` routes EVERY purge — band indexes, lookups,
+    and the ANN inverted lists — through equality-delete files
+    (O(|victims|) write cost however the victims scatter across the
+    partition layouts — the 100 TB takedown shape; the artifacts' reads
+    are MOR-aware and their ``compact()``/``maintain()`` materializes).
+    Takedown victims are content-arbitrary, so they scatter across ANN
+    cells exactly as they scatter across band-hash partitions (r10's
+    write-amp probe: 32/32 partitions rewritten under copy-on-write) —
+    the ANN leg therefore takes the same mode as the rest, via
+    ``AnnState.delete(mode=...)``.
 
-    Returns a receipt of removed-row counts per artifact — the audit
-    evidence a takedown obligation wants."""
+    ``ledger`` (a SnapshotTable) makes completion durable: after each
+    artifact's delete commit, one ``LEDGER_SCHEMA`` row is appended
+    keyed by :func:`takedown_fingerprint`. The ledger IS the compliance
+    evidence — per-artifact removed counts plus the full receipt JSON,
+    in a table whose history is itself snapshot-audited.
+
+    Returns a receipt of removed-row counts per artifact — with
+    ``ledger``, also the takedown id and which artifacts were skipped
+    as already-recorded."""
     ids = ids.localCheckpoint(eager=False)
-    receipt: dict = {}
+    steps: list[tuple[str, str, object]] = []
     if dedup_state is not None:
-        receipt["dedup"] = dedup_state.apply_deletes(ids, mode=mode)
+        steps.append(
+            ("dedup", "dedup",
+             lambda: dedup_state.apply_deletes(ids, mode=mode))
+        )
     if semantic_state is not None:
-        receipt["semantic"] = semantic_state.apply_deletes(ids, mode=mode)
+        steps.append(
+            ("semantic", "semantic",
+             lambda: semantic_state.apply_deletes(ids, mode=mode))
+        )
     if ann_state is not None:
-        receipt["ann_rows"] = ann_state.delete(ids)
+        steps.append(
+            ("ann", "ann_rows", lambda: ann_state.delete(ids, mode=mode))
+        )
     for i, lk in enumerate(lookups):
-        receipt[f"lookup_{i}_rows"] = lk.delete(ids, mode=mode)
+        steps.append(
+            (f"lookup_{i}", f"lookup_{i}_rows",
+             lambda lk=lk: lk.delete(ids, mode=mode))
+        )
+
+    done: dict[str, object] = {}
+    tid = None
+    if ledger is not None:
+        tid = takedown_fingerprint(ids)
+        if ledger.exists():
+            for r in (
+                ledger.read()
+                .filter(F.col("takedown_id") == tid)
+                .collect()
+            ):
+                done[r["artifact"]] = json.loads(r["receipt"])
+
+    receipt: dict = {}
+    skipped: list[str] = []
+    for artifact, key, run in steps:
+        if artifact in done:
+            # already durably recorded: report the LEDGER's numbers and
+            # touch nothing — the artifact sees no read and no commit
+            receipt[key] = done[artifact]
+            skipped.append(artifact)
+            continue
+        res = run()
+        receipt[key] = res
+        if ledger is not None:
+            ledger.append(
+                ledger.spark.createDataFrame(
+                    [(tid, artifact, _total(res), json.dumps(res))],
+                    LEDGER_SCHEMA,
+                )
+            )
+    if ledger is not None:
+        receipt["takedown_id"] = tid
+        receipt["skipped"] = skipped
     return receipt

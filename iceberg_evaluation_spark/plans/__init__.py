@@ -25,36 +25,31 @@ from . import corpus_quality  # noqa: E402,F401
 # rounds" the steady-state fixed point — the auto-sort rotates the whole
 # oldest cohort through each round. Exceeding the pin budget silently
 # ages the tail; don't.
-_R10_PINNED = [
+_R11_PINNED = [
     # flagship stays first (driver entry() smoke-checks it anyway)
     "q01_pricing_summary",
-    # ann_state changes this round: pq codebook witness excludes
-    # n_cells (split-then-reopen), topk_rescored left-join fallback,
-    # AnnState.delete — q134 is the pq contract query, q38 the durable
-    # float64 path (also rekeyed its session cache)
+    # the round's code paths: q135 now runs the whole takedown
+    # merge-on-read with a durable ledger + resume re-run (new
+    # ledger_resume_ok column); q137's sync_from_cdf gained the
+    # marker-guarded per-window delete and the delete_mode route;
+    # q134's topk_rescored gained the fallback_col receipt; q38 is the
+    # float64 durable-open anchor over the same edited module
+    "q135_takedown_propagation",
+    "q137_cdf_ann_sync",
     "q134_pq_ann_rescore",
     "q38_ivf_cosine_topk",
-    # sink_epoch_floors gained the supersede-race rescan — q127 is the
-    # exactly-once sink contract query
-    "q127_exactly_once_sink",
-    # DedupState gained apply_deletes (and its artifacts the delete_keys
-    # commit shape) — q104 is the standing-dedup contract query
-    "q104_incremental_crossrun_dedup",
-    # rewritten this round (de-vacuized result sets, r9 verdict #5)
-    "q12_except_customers",
-    "q15_not_exists_anti_join",
 ]
-# 7 pins + 3 new (q135/q136/q137, never checked → auto-sorted in) = 10
-# of 50; the remaining 40 slots pull the WHOLE 39-query r7 cohort
-# forward (their verdicts age out of the ≤-3-rounds SLA after this
-# round) plus the oldest r8 — the freshness SLA's steady state holds.
+# 5 pins + 1 new (q138, never checked → auto-sorted in) = 6 of 50; the
+# remaining 44 slots pull the WHOLE 41-query r8 cohort forward (their
+# verdicts age out of the ≤-3-rounds SLA after this round) plus the
+# oldest r9 entries — the freshness SLA's steady state holds.
 _REPO_ROOT = _os.path.dirname(
     _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
 )
 _HISTORY = _registry.load_correctness_history(_REPO_ROOT)
-_registry.PINNED_HEAD[:] = _R10_PINNED
+_registry.PINNED_HEAD[:] = _R11_PINNED
 _registry.PRIORITY[:] = _registry.derive_priority(
-    list(_registry.REGISTRY), _HISTORY, _R10_PINNED
+    list(_registry.REGISTRY), _HISTORY, _R11_PINNED
 )
 
 __all__ = ["Query", "REGISTRY", "register", "all_queries", "all_oracles"]

@@ -1723,11 +1723,14 @@ def q134_pq_ann_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
 #       updating_db_with_deltas_iceberg.ipynb cell 26); table_changes
 #       turns it into a CDF delete window; takedown_ids + 
 #       propagate_takedown fan the ids out to the dedup band index, the
-#       id-bucketed lookup and the ANN inverted lists — each purge a
-#       pruned rewrite of only the files holding a deleted id
-#       (SnapshotTable.delete_keys), never a corpus rewrite. The bloom
-#       prefilter is compensated by construction (stale bits discharge
-#       against the REDUCED fingerprint table; see
+#       id-bucketed lookup and the ANN inverted lists — since r11 all
+#       three legs run MERGE-ON-READ (one equality-delete file per
+#       artifact, O(|victims|) write cost however the victims scatter;
+#       every probe below reads THROUGH the live delete files), with a
+#       durable ledger recording per-artifact completion and a resume
+#       re-run that must skip everything without touching any artifact.
+#       The bloom prefilter is compensated by construction (stale bits
+#       discharge against the REDUCED fingerprint table; see
 #       DedupState.apply_deletes).
 #
 #       Oracle: the REDUCED-corpus contract, fully hash-checked —
@@ -1775,8 +1778,39 @@ def _q135_state(spark: SparkSession, sf_dir: str):
         ),
     )
     ids = takedown_ids(table_changes(corpus_t, ["doc_id"], 1, 2), "doc_id")
+    # merge-on-read end-to-end (r10 verdict #1): takedown victims are
+    # content-arbitrary and scatter across every partition layout —
+    # band hashes, id buckets, ANN cells alike — so every purge lands
+    # as an equality-delete file (write cost O(|victims|)), and the
+    # probe legs below read THROUGH the live delete files (the MOR read
+    # path is what the driver hash-checks). The ledger makes completion
+    # durable (r10 verdict #3); the resume re-run must skip every
+    # artifact without touching it.
+    ledger = SnapshotTable(spark, scratch_dir("q135_ledger_"))
     receipt = propagate_takedown(
-        ids, dedup_state=state, ann_state=ast, lookups=[lk]
+        ids, dedup_state=state, ann_state=ast, lookups=[lk],
+        mode="merge-on-read", ledger=ledger,
+    )
+    versions = (
+        state.fingerprints.current_version(),
+        state.bands.current_version(),
+        ast.assignments.current_version(),
+        lk.table.current_version(),
+    )
+    again = propagate_takedown(
+        ids, dedup_state=state, ann_state=ast, lookups=[lk],
+        mode="merge-on-read", ledger=ledger,
+    )
+    receipt["_resume_ok"] = bool(
+        sorted(again["skipped"]) == ["ann", "dedup", "lookup_0"]
+        and again["dedup"] == receipt["dedup"]
+        and versions
+        == (
+            state.fingerprints.current_version(),
+            state.bands.current_version(),
+            ast.assignments.current_version(),
+            lk.table.current_version(),
+        )
     )
     return state, lk, ast, receipt
 
@@ -1947,7 +1981,8 @@ SELECT d.probe_id,
        (SELECT CAST(count(*) AS BIGINT) FROM documents
         WHERE doc_id % 17 = 3) AS lookup_rows_removed,
        (SELECT CAST(count(*) AS BIGINT) FROM embeddings
-        WHERE vec_id % 17 = 3) AS ann_rows_removed
+        WHERE vec_id % 17 = 3) AS ann_rows_removed,
+       TRUE AS ledger_resume_ok
 FROM dsh d LEFT JOIN near n ON n.probe_id = d.probe_id
 """,
 )
@@ -1971,6 +2006,7 @@ def q135_takedown_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lookup_rows_removed"
         ),
         F.lit(receipt["ann_rows"]).cast("bigint").alias("ann_rows_removed"),
+        F.lit(receipt["_resume_ok"]).alias("ledger_resume_ok"),
     )
 
 
@@ -2105,5 +2141,184 @@ def q137_cdf_ann_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(replay["windows"]).cast("bigint").alias("replay_windows"),
             F.lit(receipt["folded"]).cast("bigint").alias("folded"),
             F.lit(receipt["purged"]).cast("bigint").alias("purged"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q138: LIFECYCLE DAY-LOOP (r10 verdict #2) — the full standing-pipeline
+#       composition the reference's own tutorial runs daily
+#       (updating_db_with_deltas_iceberg.ipynb cells 26-45), moved from
+#       tool receipts (tools/probe_lifecycle_dayloop.py) to the same
+#       driver-checked oracle bar as every other claim: THREE days of
+#       [corpus append + delete-aware MERGE takedown + CDF-driven index
+#       sync (merge-on-read purges) + signal-gated maintain()], then the
+#       index is REOPENED in the q129 style and a FULL probe must equal
+#       exact brute force over the surviving corpus, row for row.
+#
+#       Scale shape being certified: each day's index cost is one
+#       delta-sized fold + one O(|victims|) equality-delete write (the
+#       MOR purge receipt: zero data files rewritten), maintain()
+#       materializes the delete files (so probes stop paying the anti
+#       join) and bounds the snapshot log via retention, and the final
+#       replay sync applies ZERO windows (the epoch marker IS the
+#       durable cursor across all three days and the maintenance
+#       rewrites between them). Day receipts ride in the hash-checked
+#       result as booleans + exact totals.
+# ---------------------------------------------------------------------------
+def _q138_run(spark: SparkSession, sf_dir: str):
+    from ..operators.ann_state import build_ann_state, open_ann_state
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    corpus = SnapshotTable(spark, scratch_dir(prefix="q138_corpus_"))
+    corpus.create_or_replace(emb.filter(F.col("vec_id") % 9 <= 3))   # v1
+    cent = scratch_dir(prefix="q138_cent_")
+    assign = scratch_dir(prefix="q138_assign_")
+    st = build_ann_state(spark, corpus.read(1), cent, assign, n_cells=8)
+    days = []
+    totals = {"windows": 0, "folded": 0, "purged": 0}
+    for day in (1, 2, 3):
+        corpus.append(emb.filter(F.col("vec_id") % 9 == 3 + day))    # v2d
+        corpus.merge(                                                # v2d+1
+            corpus.read().filter(F.col("vec_id") % 17 == day).select(
+                "vec_id", F.lit(True).alias("_d")
+            ),
+            on=["vec_id"],
+            clause=MergeClause(
+                matched_delete_condition="s._d",
+                insert_when_not_matched=False,
+            ),
+        )
+        r = st.sync_from_cdf(
+            corpus, ["vec_id"], query_id="q138",
+            from_version=1 if day == 1 else None,
+            delete_mode="merge-on-read",
+        )
+        for k in totals:
+            totals[k] += r[k]
+        a = st.assignments
+        # the day's purge landed as an equality-delete file (zero data
+        # files rewritten — the O(|victims|) write shape)...
+        snap = a._read_snapshot(a.current_version())
+        mor_live = bool(snap.get("delete_files")) and (
+            int(snap["summary"].get("rewritten_files", -1)) == 0
+        )
+        st.maintain(keep_last_snapshots=4)
+        # ...and maintain materialized it (delete-free snapshot), so
+        # the serving probes pay no anti join
+        materialized = not a._read_snapshot(a.current_version()).get(
+            "delete_files"
+        )
+        days.append({"mor_live": mor_live, "materialized": materialized})
+    replay = st.sync_from_cdf(
+        corpus, ["vec_id"], query_id="q138", delete_mode="merge-on-read"
+    )
+    reopened = open_ann_state(spark, cent, assign)
+    bounded = len(st.assignments._snapshots()) <= 5  # retention budget 4
+    return corpus, reopened, days, totals, replay, bounded
+
+
+_Q138_CACHE: dict = {}
+
+
+def _q138_cached(spark: SparkSession, sf_dir: str):
+    key = session_cache_key(spark, sf_dir)
+    if key not in _Q138_CACHE:
+        _Q138_CACHE[key] = _q138_run(spark, sf_dir)
+    return _Q138_CACHE[key]
+
+
+def _q138_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def _q138_bare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator-only variant: ONE full probe through the reopened index
+    after three days of lifecycle — the standing serve path."""
+    _, reopened, _, _, _, _ = _q138_cached(spark, sf_dir)
+    return reopened.topk(
+        _q138_queries(spark, sf_dir), k=5, nprobe=reopened.n_cells
+    ).groupBy("query_id").agg(F.count(F.lit(1)).alias("k_returned"))
+
+
+@register(
+    "q138_lifecycle_dayloop",
+    covers=(
+        "similarity-ivf similarity-state change-data-feed takedown "
+        "delete-propagation maintenance table-layer S5 S7 M5-shape "
+        "M8 M9 A2"
+    ),
+    bare=_q138_bare,
+    oracle="""
+SELECT vec_id AS query_id,
+       CAST(5 AS BIGINT) AS k_returned,
+       TRUE AS recall_ok,
+       TRUE AS no_deleted_ok,
+       CAST(6 AS BIGINT) AS windows_applied,
+       CAST(0 AS BIGINT) AS replay_windows,
+       (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+        WHERE vec_id % 9 IN (4, 5, 6)) AS folded,
+       (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+        WHERE (vec_id % 17 = 1 AND vec_id % 9 <= 4)
+           OR (vec_id % 17 = 2 AND vec_id % 9 <= 5)
+           OR (vec_id % 17 = 3 AND vec_id % 9 <= 6)) AS purged,
+       TRUE AS mor_purges_ok,
+       TRUE AS maintain_materialized_ok,
+       TRUE AS snapshots_bounded
+FROM embeddings WHERE vec_id < 10
+""",
+)
+def q138_lifecycle_dayloop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_topk
+
+    corpus, reopened, days, totals, replay, bounded = _q138_run(
+        spark, sf_dir
+    )
+    _Q138_CACHE[session_cache_key(spark, sf_dir)] = (
+        corpus, reopened, days, totals, replay, bounded,
+    )
+    queries = _q138_queries(spark, sf_dir)
+    final = corpus.read().select("vec_id", "embedding")
+    # FULL probe (nprobe = n_cells): after three days of folds, MOR
+    # purges, materializations, retention expiry and possible
+    # retrain/splits, the reopened index's contents must equal the
+    # surviving corpus EXACTLY — so the full probe equals brute force
+    # row for row (the sharper deterministic contract; approximation
+    # quality at partial nprobe is q38/q129/q137's certification)
+    approx = reopened.topk(
+        queries, k=5, nprobe=reopened.n_cells
+    ).localCheckpoint(eager=False)
+    exact = cosine_topk(final, queries, k=5).select("query_id", "vec_id")
+    matches = (
+        approx.join(exact, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("_m"))
+    )
+    no_deleted = bool(
+        approx.join(final.select("vec_id"), "vec_id", "left_anti").isEmpty()
+    )
+    return (
+        approx.groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k_returned"))
+        .join(matches, "query_id", "left")
+        .select(
+            "query_id",
+            "k_returned",
+            (F.coalesce(F.col("_m"), F.lit(0)) == 5).alias("recall_ok"),
+            F.lit(no_deleted).alias("no_deleted_ok"),
+            F.lit(totals["windows"]).cast("bigint").alias("windows_applied"),
+            F.lit(replay["windows"]).cast("bigint").alias("replay_windows"),
+            F.lit(totals["folded"]).cast("bigint").alias("folded"),
+            F.lit(totals["purged"]).cast("bigint").alias("purged"),
+            F.lit(all(d["mor_live"] for d in days)).alias("mor_purges_ok"),
+            F.lit(all(d["materialized"] for d in days)).alias(
+                "maintain_materialized_ok"
+            ),
+            F.lit(bool(bounded)).alias("snapshots_bounded"),
         )
     )

@@ -979,3 +979,239 @@ def test_sync_from_cdf_applies_update_windows(spark, tmp_path):
     q = new_vec.select(F.col("vec_id").alias("query_id"), "embedding")
     got = {r["vec_id"] for r in st.topk(q, k=3, nprobe=4).collect()}
     assert 7 in got
+
+
+# ------------------------------------------------- merge-on-read takedowns
+def test_mor_delete_matches_cow_and_is_o_victims(spark, tmp_path):
+    """AnnState.delete(mode='merge-on-read') writes one equality-delete
+    file instead of rewriting victim-holding cells (r10 verdict #1: a
+    scattered opt-out batch under COW rewrites one file per touched
+    cell — r10's probe measured 32/32). Contract: probe results
+    byte-identical to the COW path, write-amp receipt rewrites ZERO
+    data files, every read (topk / pruned probe read / rescore) applies
+    the deletes."""
+    corpus = _vectors(spark, 200)
+    # content-arbitrary victims scatter across every cell
+    victims = corpus.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+    queries = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    results = {}
+    for mode, sub in (("copy-on-write", "cow"), ("merge-on-read", "mor")):
+        cent, assign = str(tmp_path / f"c_{sub}"), str(tmp_path / f"a_{sub}")
+        st = build_ann_state(spark, corpus, cent, assign, n_cells=8)
+        n = st.delete(victims, mode=mode)
+        assert n == victims.count()
+        snap = st.assignments._read_snapshot(
+            st.assignments.current_version()
+        )
+        if mode == "merge-on-read":
+            # O(|victims|) write shape: no data file rewritten, one
+            # equality-delete artifact added, every data file carried
+            assert snap["summary"]["rewritten_files"] == 0
+            assert snap["summary"]["added_delete_files"] >= 1
+            assert snap.get("delete_files")
+        else:
+            assert snap["summary"]["rewritten_files"] > 0
+            assert not snap.get("delete_files")
+        results[mode] = {
+            (r["query_id"], r["vec_id"], r["rk"], r["cosine_sim"])
+            for r in st.topk(queries, k=5, nprobe=8).collect()
+        }
+        # no deleted id in the results nor in the pruned probe READ
+        assert all(v % 7 != 0 for (_, v, _, _) in results[mode])
+        probed = st._unpack(
+            st.assignments._read_snapshot_df(
+                st.assignments._read_snapshot(
+                    st.assignments.current_version()
+                ),
+                only_files=st.probe_files(queries, nprobe=8),
+            )
+        )
+        assert probed.filter(F.col("vec_id") % 7 == 0).count() == 0
+    assert results["copy-on-write"] == results["merge-on-read"]
+
+
+def test_mor_delete_then_append_and_maintain_materializes(spark, tmp_path):
+    """Appends after a MOR delete take a HIGHER sequence, so the delete
+    file cannot kill them even when ids collide; maintain() sees the
+    live equality-deletes and materializes them (compaction publishes a
+    delete-free snapshot), after which split_cell is reachable again."""
+    corpus = _vectors(spark, 160)
+    cent, assign = _roots(tmp_path)
+    st = build_ann_state(
+        spark, corpus, cent, assign, n_cells=4, retrain_fraction=10.0
+    )
+    victims = corpus.filter(F.col("vec_id") < 40).select("vec_id")
+    assert st.delete(victims, mode="merge-on-read") == 40
+    # re-insert the SAME ids with fresh vectors (takedown then re-license
+    # shape): the new rows must survive the older delete file
+    reinsert = _vectors(spark, 40, seed_shift=0)  # ids 0..39 again
+    assert st.append_epoch(reinsert, "re", 1) == 40
+    ids = {
+        r["vec_id"]
+        for r in st.assignments.read().select("vec_id").collect()
+    }
+    assert ids == {r["vec_id"] for r in corpus.select("vec_id").collect()}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="live delete files"):
+        st.split_cell(1, 2)
+    receipt = st.maintain()
+    assert receipt["compacted"] is not None
+    snap = st.assignments._read_snapshot(st.assignments.current_version())
+    assert not snap.get("delete_files")
+    # contents unchanged by materialization
+    ids2 = {
+        r["vec_id"]
+        for r in st.assignments.read().select("vec_id").collect()
+    }
+    assert ids2 == ids
+    # split is reachable again on the delete-free snapshot
+    st.split_cell(sorted(st.cell_sizes())[0], 2)
+
+
+def test_sync_from_cdf_merge_on_read_mode(spark, tmp_path):
+    """The index-follows-corpus loop with delete_mode='merge-on-read':
+    same receipts and same final contents as the COW run, but the purge
+    commits are equality-delete files (write cost O(|victims|))."""
+    from iceberg_evaluation_spark.tables.snapshot_table import (
+        MergeClause,
+        SnapshotTable,
+    )
+
+    corpus = SnapshotTable(spark, str(tmp_path / "corpus"))
+    corpus.create_or_replace(_vectors(spark, 100))                   # v1
+    cent, assign = _roots(tmp_path)
+    st = build_ann_state(
+        spark, corpus.read(1), cent, assign, n_cells=4,
+        retrain_fraction=10.0,
+    )
+    corpus.append(_vectors(spark, 30, seed_shift=1000))              # v2
+    corpus.merge(                                                    # v3
+        _vectors(spark, 100).filter(F.col("vec_id") % 5 == 0)
+        .select("vec_id", F.lit(True).alias("_d")),
+        on=["vec_id"],
+        clause=MergeClause(
+            matched_delete_condition="s._d", insert_when_not_matched=False
+        ),
+    )
+    r = st.sync_from_cdf(
+        corpus, ["vec_id"], query_id="sync", from_version=1,
+        delete_mode="merge-on-read",
+    )
+    assert r == {"windows": 2, "folded": 30, "purged": 20}
+    snap = st.assignments._read_snapshot(st.assignments.current_version())
+    assert snap.get("delete_files"), "purge must have landed as MOR"
+    idx_ids = {
+        r["vec_id"] for r in st.assignments.read().select("vec_id").collect()
+    }
+    src_ids = {r["vec_id"] for r in corpus.read().select("vec_id").collect()}
+    assert idx_ids == src_ids
+    # replay applies nothing; maintain materializes the delete files
+    assert st.sync_from_cdf(
+        corpus, ["vec_id"], query_id="sync", delete_mode="merge-on-read"
+    ) == {"windows": 0, "folded": 0, "purged": 0}
+    st.maintain()
+    snap = st.assignments._read_snapshot(st.assignments.current_version())
+    assert not snap.get("delete_files")
+    idx_ids2 = {
+        r["vec_id"] for r in st.assignments.read().select("vec_id").collect()
+    }
+    assert idx_ids2 == src_ids
+
+
+def test_stale_sync_racer_cannot_purge_reinserted_id(spark, tmp_path, monkeypatch):
+    """The cross-window delete/re-insert invariant (r10 verdict #6):
+    window 2 deletes id X, window 3 re-inserts X with a NEW vector. A
+    racer whose window range was computed BEFORE the rival finished
+    (stale last_sink_epoch) must not replay window 2's delete against
+    the re-inserted vector — each window's delete is marker-guarded by
+    a re-read, not by 'victims are already gone'."""
+    from iceberg_evaluation_spark.tables.snapshot_table import (
+        MergeClause,
+        SnapshotTable,
+    )
+
+    corpus = SnapshotTable(spark, str(tmp_path / "corpus"))
+    corpus.create_or_replace(_vectors(spark, 60))                    # v1
+    cent, assign = _roots(tmp_path)
+    st = build_ann_state(
+        spark, corpus.read(1), cent, assign, n_cells=4,
+        retrain_fraction=10.0,
+    )
+    corpus.merge(                                                    # v2: delete X=7
+        corpus.read(1).filter(F.col("vec_id") == 7)
+        .select("vec_id", F.lit(True).alias("_d")),
+        on=["vec_id"],
+        clause=MergeClause(
+            matched_delete_condition="s._d", insert_when_not_matched=False
+        ),
+    )
+    new_vec = _vectors(spark, 60).filter(F.col("vec_id") == 40).select(
+        F.lit(7).cast("bigint").alias("vec_id"), "embedding"
+    )
+    corpus.append(new_vec)                                           # v3: re-insert X
+    # rival sync applies both windows; marker = 3
+    assert st.sync_from_cdf(
+        corpus, ["vec_id"], query_id="sync", from_version=1
+    ) == {"windows": 2, "folded": 1, "purged": 1}
+
+    # the racer: its range computation saw marker 1 (pre-rival), but the
+    # in-loop re-read sees the true marker and skips every window whole
+    racer = open_ann_state(spark, cent, assign)
+    real = racer.last_sink_epoch
+    calls = {"n": 0}
+
+    def stale_first(qid):
+        calls["n"] += 1
+        return 1 if calls["n"] == 1 else real(qid)
+
+    monkeypatch.setattr(racer, "last_sink_epoch", stale_first)
+    r = racer.sync_from_cdf(corpus, ["vec_id"], query_id="sync")
+    assert r == {"windows": 0, "folded": 0, "purged": 0}
+    stored = racer._unpack(
+        racer.assignments.read().drop("_ann_cell")
+    ).filter(F.col("vec_id") == 7).collect()
+    assert len(stored) == 1, "the re-inserted vector must survive the racer"
+    want = new_vec.collect()[0]["embedding"]
+    assert [round(x, 6) for x in stored[0]["embedding"]] == [
+        round(float(x), 6) for x in want
+    ]
+
+
+def test_rescored_fallback_col_and_synced_index_reports_zero(spark, tmp_path):
+    """topk_rescored(fallback_col=...) surfaces the stale-corpus
+    fallback rate (r10 verdict #8): an index holding vectors a lagging
+    corpus snapshot lacks reports fallbacks > 0; the SAME probe against
+    the corpus the index is in lockstep with reports exactly zero."""
+    from iceberg_evaluation_spark.tables.snapshot_table import SnapshotTable
+
+    corpus = SnapshotTable(spark, str(tmp_path / "corpus"))
+    corpus.create_or_replace(_vectors(spark, 80))                    # v1
+    cent, assign = _roots(tmp_path)
+    st = build_ann_state(
+        spark, corpus.read(1), cent, assign, n_cells=4,
+        codec="pq4x16", retrain_fraction=10.0,
+    )
+    corpus.append(_vectors(spark, 20, seed_shift=3000))              # v2
+    assert st.sync_from_cdf(
+        corpus, ["vec_id"], query_id="fb", from_version=1
+    )["folded"] == 20
+    q = _vectors(spark, 20, seed_shift=3000).filter(
+        F.col("vec_id") == 3001
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    # lagging corpus snapshot (v1): the appended ids fall back
+    stale = st.topk_rescored(
+        q, corpus.read(1).select("vec_id", "embedding"),
+        k=5, nprobe=4, fallback_col="exact_rescored",
+    )
+    n_fallback = stale.filter(~F.col("exact_rescored")).count()
+    assert n_fallback > 0
+    # lockstep corpus (current): zero fallbacks
+    synced = st.topk_rescored(
+        q, corpus.read().select("vec_id", "embedding"),
+        k=5, nprobe=4, fallback_col="exact_rescored",
+    )
+    assert synced.filter(~F.col("exact_rescored")).count() == 0
+    assert synced.count() == 5

@@ -380,3 +380,176 @@ def test_bucketed_lookup_delete_merge_on_read(spark, tmp_path):
     ).count() == 0
     lk.compact()
     assert lk.read().count() == 2
+
+
+# --------------------------------------------------------- durable ledger
+def _mini_ann(spark, tmp_path, sub=""):
+    from iceberg_evaluation_spark.operators.ann_state import build_ann_state
+
+    corpus = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda p: (
+                F.when((p % 4) == F.col("id") % 4, 1.0).otherwise(0.0)
+                + (F.col("id") * (p + 1) % 97) / 970.0
+            ),
+        ).alias("embedding"),
+    )
+    return build_ann_state(
+        spark, corpus, str(tmp_path / f"cent{sub}"),
+        str(tmp_path / f"assign{sub}"), id_col="doc_id", n_cells=4,
+    )
+
+
+def test_takedown_ledger_records_resumes_and_rerun_touches_nothing(
+    spark, tmp_path
+):
+    """r10 verdict #3: the completion evidence must survive the process.
+    A ledgered propagation records one row per artifact; re-running the
+    SAME takedown reads 'already complete' from the ledger and touches
+    no artifact (no read, no commit — versions frozen); the receipt
+    reports the ledger's recorded numbers."""
+    from iceberg_evaluation_spark.operators.takedown import (
+        takedown_fingerprint,
+    )
+    from iceberg_evaluation_spark.tables.bucketed_lookup import BucketedLookup
+
+    state = build_dedup_state(
+        spark, _docs(spark, CORPUS), "doc_id", "text",
+        str(tmp_path / "fp"), str(tmp_path / "bands"),
+    )
+    lk = BucketedLookup.create(
+        spark, _docs(spark, CORPUS), str(tmp_path / "lk"),
+        "doc_id", "text", n_buckets=8,
+    )
+    ast = _mini_ann(spark, tmp_path)
+    ledger = SnapshotTable(spark, str(tmp_path / "ledger"))
+    ids = _ids(spark, [1, 3])
+
+    receipt = propagate_takedown(
+        ids, dedup_state=state, ann_state=ast, lookups=[lk], ledger=ledger
+    )
+    assert receipt["takedown_id"] == takedown_fingerprint(ids)
+    assert receipt["skipped"] == []
+    assert receipt["ann_rows"] == 2
+    rows = {
+        (r["artifact"], r["removed"]) for r in ledger.read().collect()
+    }
+    assert rows == {
+        ("dedup", receipt["dedup"]["fingerprint_rows"]
+         + receipt["dedup"]["band_rows"]),
+        ("ann", 2),
+        ("lookup_0", 2),
+    }
+
+    versions = (
+        state.fingerprints.current_version(),
+        state.bands.current_version(),
+        ast.assignments.current_version(),
+        lk.table.current_version(),
+    )
+    again = propagate_takedown(
+        ids, dedup_state=state, ann_state=ast, lookups=[lk], ledger=ledger
+    )
+    assert sorted(again["skipped"]) == ["ann", "dedup", "lookup_0"]
+    # the re-run reports the LEDGER's numbers, not zeros: it never
+    # re-scanned the artifacts
+    assert again["dedup"] == receipt["dedup"]
+    assert again["ann_rows"] == 2 and again["lookup_0_rows"] == 2
+    assert versions == (
+        state.fingerprints.current_version(),
+        state.bands.current_version(),
+        ast.assignments.current_version(),
+        lk.table.current_version(),
+    )
+    # order-independence of the fingerprint: same id set, one ledger key
+    assert takedown_fingerprint(_ids(spark, [3, 1, 3])) == receipt[
+        "takedown_id"
+    ]
+    # a DIFFERENT takedown does not resume from this one
+    other = propagate_takedown(
+        _ids(spark, [2]), dedup_state=state, ledger=ledger
+    )
+    assert other["skipped"] == [] and other["takedown_id"] != receipt[
+        "takedown_id"
+    ]
+
+
+def test_takedown_ledger_resumes_after_crash_mid_propagation(
+    spark, tmp_path
+):
+    """Crash between artifacts: the completed legs are in the ledger,
+    the crashed-and-later legs are not. The resume skips the recorded
+    legs (their tables see no new commit) and completes the rest."""
+    from iceberg_evaluation_spark.tables.bucketed_lookup import BucketedLookup
+
+    state = build_dedup_state(
+        spark, _docs(spark, CORPUS), "doc_id", "text",
+        str(tmp_path / "fp"), str(tmp_path / "bands"),
+    )
+    lk = BucketedLookup.create(
+        spark, _docs(spark, CORPUS), str(tmp_path / "lk"),
+        "doc_id", "text", n_buckets=8,
+    )
+    ast = _mini_ann(spark, tmp_path)
+    ledger = SnapshotTable(spark, str(tmp_path / "ledger"))
+    ids = _ids(spark, [1, 3])
+
+    class _CrashingAnn:
+        def delete(self, _ids, mode="copy-on-write"):
+            raise RuntimeError("simulated crash mid-propagation")
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        propagate_takedown(
+            ids, dedup_state=state, ann_state=_CrashingAnn(),
+            lookups=[lk], ledger=ledger,
+        )
+    # dedup completed and was recorded; ann/lookup never ran
+    assert {r["artifact"] for r in ledger.read().collect()} == {"dedup"}
+    fp_v = state.fingerprints.current_version()
+    band_v = state.bands.current_version()
+
+    resumed = propagate_takedown(
+        ids, dedup_state=state, ann_state=ast, lookups=[lk], ledger=ledger
+    )
+    assert resumed["skipped"] == ["dedup"]
+    # the dedup leg was not touched on resume
+    assert state.fingerprints.current_version() == fp_v
+    assert state.bands.current_version() == band_v
+    assert resumed["dedup"]["fingerprint_rows"] == 2
+    assert resumed["ann_rows"] == 2 and resumed["lookup_0_rows"] == 2
+    assert {r["artifact"] for r in ledger.read().collect()} == {
+        "dedup", "ann", "lookup_0",
+    }
+    # third run: everything already complete
+    final = propagate_takedown(
+        ids, dedup_state=state, ann_state=ast, lookups=[lk], ledger=ledger
+    )
+    assert sorted(final["skipped"]) == ["ann", "dedup", "lookup_0"]
+
+
+def test_propagate_takedown_mor_routes_ann_leg(spark, tmp_path):
+    """mode='merge-on-read' now reaches the ANN inverted lists too (r10
+    verdict #1): the ANN purge lands as an equality-delete commit, and
+    the probe path through the live delete files excludes the victims."""
+    ast = _mini_ann(spark, tmp_path)
+    ids = _ids(spark, [0, 4, 8, 12])
+    receipt = propagate_takedown(ids, ann_state=ast, mode="merge-on-read")
+    assert receipt["ann_rows"] == 4
+    snap = ast.assignments._read_snapshot(
+        ast.assignments.current_version()
+    )
+    assert snap["summary"]["rewritten_files"] == 0
+    assert snap.get("delete_files")
+    q = spark.range(1).select(
+        F.lit(0).alias("query_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda p: F.when(p % 4 == 0, 1.0).otherwise(0.0),
+        ).alias("embedding"),
+    )
+    got = ast.topk(q, k=10, nprobe=4).collect()
+    assert got and all(r["doc_id"] not in (0, 4, 8, 12) for r in got)
