@@ -569,15 +569,28 @@ def q106_streaming_artifact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     from .corpus_text import _q104_delta
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    state = build_dedup_state(
-        spark, docs, "doc_id", "text",
-        scratch_dir("q106_fp_"), scratch_dir("q106_bands_"),
-    )
+    # the state is READ-ONLY in this query (append_new=False below) and
+    # the replay source is immutable once written, so the registered leg
+    # shares the bare leg's session memo outright — no copy needed, and
+    # the corpus-wide build stops being re-paid per bench iteration
+    # (r10 verdict #5). 4 files pins the micro-batch count (2 per
+    # trigger → 2 data batches).
+    key = session_cache_key(spark, sf_dir)
+    hit = _Q106_CACHE.get(key)
+    if hit is None:
+        state = build_dedup_state(
+            spark, docs, "doc_id", "text",
+            scratch_dir("q106_fp_"), scratch_dir("q106_bands_"),
+        )
+        src = scratch_dir(prefix="q106_replay_")
+        _q104_delta(docs).repartition(4, "doc_id").write.mode(
+            "overwrite"
+        ).parquet(src)
+        hit = (state, src)
+        _Q106_CACHE[key] = hit
+    state, src = hit
 
     delta = _q104_delta(docs)
-    src = scratch_dir(prefix="q106_replay_")
-    # 4 files pins the micro-batch count (2 per trigger → 2 data batches)
-    delta.repartition(4, "doc_id").write.mode("overwrite").parquet(src)
 
     sink = SnapshotTable(spark, scratch_dir(prefix="q106_sink_"))
     # exactly-once sink (r7): replayed micro-batches are skipped
@@ -918,8 +931,42 @@ FROM c1, c2
 """.replace("{toks}", _Q115_TOKS).replace("{norm}", _Q115_NORM),
 )
 def q115_gated_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.classifier import demo_weight_vector
+    from ..operators.incremental_dedup import (
+        build_dedup_state,
+        open_dedup_state,
+    )
+    from ..operators.ingest import GatedIngestSession
+    from ..tables.bucketed_lookup import BucketedLookup
+    from ._artifacts import pristine_copy
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    session = _q115_session(spark, docs, "")
+
+    # pristine corpus lookup + dedup state built once per session; the
+    # streaming run below folds accepted rows into both, so each
+    # invocation mutates a fresh copy (r10 verdict #5: these two builds
+    # were the bulk of the verify leg, re-paid per bench iteration)
+    def _build() -> list[str]:
+        c_root = scratch_dir("q115_corpus_")
+        fp, bands = scratch_dir("q115_fp_"), scratch_dir("q115_bands_")
+        BucketedLookup.create(
+            spark, docs, c_root, "doc_id", "text", n_buckets=16
+        )
+        # band index unpartitioned by the sizing rule — see
+        # _q115_session's comment
+        build_dedup_state(spark, docs, "doc_id", "text", fp, bands)
+        return [c_root, fp, bands]
+
+    c_root, fp_root, band_root = pristine_copy(spark, sf_dir, "q115", _build)
+    session = GatedIngestSession(
+        open_dedup_state(spark, fp_root, band_root),
+        demo_weight_vector(spark, 1024),
+        BucketedLookup.open(spark, c_root),
+        id_col="doc_id",
+        text_col="text",
+        num_buckets=1024,
+        keep_threshold=_Q115_KEEP,
+    )
 
     src = scratch_dir(prefix="q115_replay_")
     # two sequential single-file writes: mtime order pins micro-batch
@@ -1660,7 +1707,8 @@ SELECT vec_id AS query_id,
        CAST(5 AS BIGINT) AS k_returned,
        TRUE AS recall_ok,
        TRUE AS probe_bytes_ok,
-       TRUE AS reopened_codec_ok
+       TRUE AS reopened_codec_ok,
+       CAST(0 AS BIGINT) AS codec_fallbacks
 FROM embeddings WHERE vec_id < 5
 """,
 )
@@ -1677,7 +1725,15 @@ def q134_pq_ann_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    approx = stpq.topk_rescored(queries, emb, k=5, nprobe=6, overfetch=6)
+    # fallback_col surfaces the stale-corpus fallback rate (r10 verdict
+    # #8): the rescore corpus here IS the index's build input, so the
+    # receipt must be exactly zero — a non-zero count in production is
+    # the "corpus snapshot lags the index, re-sync before serving" alarm
+    approx = stpq.topk_rescored(
+        queries, emb, k=5, nprobe=6, overfetch=6, fallback_col="_exact"
+    ).localCheckpoint(eager=False)
+    n_fallbacks = approx.filter(~F.col("_exact")).count()
+    approx = approx.drop("_exact")
     exact = cosine_topk(emb, queries, k=5).select("query_id", "vec_id")
     matches = (
         approx.join(exact, ["query_id", "vec_id"], "left_semi")
@@ -1708,6 +1764,7 @@ def q134_pq_ann_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce(F.col("_m"), F.lit(0)) >= 3).alias("recall_ok"),
             F.lit(probe_bytes_ok).alias("probe_bytes_ok"),
             F.lit(stpq.codec == "pq16x16").alias("reopened_codec_ok"),
+            F.lit(n_fallbacks).cast("bigint").alias("codec_fallbacks"),
         )
     )
 
@@ -1742,30 +1799,45 @@ def q134_pq_ann_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
 #       per-artifact removed-row counts equal the oracle's recount.
 # ---------------------------------------------------------------------------
 def _q135_state(spark: SparkSession, sf_dir: str):
-    from ..operators.ann_state import build_ann_state
+    from ..operators.ann_state import build_ann_state, open_ann_state
     from ..operators.changelog import table_changes
-    from ..operators.incremental_dedup import build_dedup_state
+    from ..operators.incremental_dedup import (
+        build_dedup_state,
+        open_dedup_state,
+    )
     from ..operators.takedown import propagate_takedown, takedown_ids
     from ..tables.bucketed_lookup import BucketedLookup
+    from ._artifacts import pristine_copy
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
-    corpus_t = SnapshotTable(spark, scratch_dir(prefix="q135_corpus_"))
-    corpus_t.create_or_replace(docs)                               # v1
-    state = build_dedup_state(
-        spark, docs, "doc_id", "text",
-        scratch_dir("q135_fp_"), scratch_dir("q135_bands_"),
+
+    # the four pristine pre-takedown artifacts build once per session;
+    # every invocation mutates a fresh copy (corpus MERGE delete +
+    # per-artifact purges + ledger writes) — r10 verdict #5: the bench
+    # median-of-3 re-paid the three standing builds per iteration
+    def _build() -> list[str]:
+        corpus_root = scratch_dir(prefix="q135_corpus_")
+        fp, bands = scratch_dir("q135_fp_"), scratch_dir("q135_bands_")
+        lk_root = scratch_dir("q135_lk_")
+        cent, assign = scratch_dir("q135_cent_"), scratch_dir("q135_assign_")
+        SnapshotTable(spark, corpus_root).create_or_replace(docs)  # v1
+        build_dedup_state(spark, docs, "doc_id", "text", fp, bands)
+        BucketedLookup.create(
+            spark, docs, lk_root, "doc_id", "text", n_buckets=16
+        )
+        build_ann_state(spark, emb, cent, assign, n_cells=16)
+        return [corpus_root, fp, bands, lk_root, cent, assign]
+
+    corpus_root, fp, bands, lk_root, cent, assign = pristine_copy(
+        spark, sf_dir, "q135", _build
     )
-    lk = BucketedLookup.create(
-        spark, docs, scratch_dir("q135_lk_"), "doc_id", "text",
-        n_buckets=16,
-    )
-    ast = build_ann_state(
-        spark, emb, scratch_dir("q135_cent_"), scratch_dir("q135_assign_"),
-        n_cells=16,
-    )
+    corpus_t = SnapshotTable(spark, corpus_root)
+    state = open_dedup_state(spark, fp, bands)
+    lk = BucketedLookup.open(spark, lk_root)
+    ast = open_ann_state(spark, cent, assign)
     # the takedown: M5 delete-aware MERGE removes doc_id % 17 == 3  (v2)
     corpus_t.merge(
         docs.filter(F.col("doc_id") % 17 == 3).select(
@@ -2030,18 +2102,30 @@ def q135_takedown_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 def _q137_run(spark: SparkSession, sf_dir: str):
     from ..operators.ann_state import build_ann_state, open_ann_state
+    from ._artifacts import pristine_copy
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
-    corpus = SnapshotTable(spark, scratch_dir(prefix="q137_corpus_"))
-    corpus.create_or_replace(emb.filter(F.col("vec_id") % 3 != 0))   # v1
-    cent = scratch_dir(prefix="q137_cent_")
-    assign = scratch_dir(prefix="q137_assign_")
-    st = build_ann_state(
-        spark, corpus.read(1), cent, assign, n_cells=16,
-        retrain_fraction=10.0,  # isolate the sync loop from retrain
-    )
+
+    # pristine corpus v1 + built index, copied per invocation (the run
+    # mutates both: corpus append/merge, index folds/purges) — r10
+    # verdict #5 harness-cost control
+    def _build() -> list[str]:
+        corpus_root = scratch_dir(prefix="q137_corpus_")
+        cent = scratch_dir(prefix="q137_cent_")
+        assign = scratch_dir(prefix="q137_assign_")
+        t = SnapshotTable(spark, corpus_root)
+        t.create_or_replace(emb.filter(F.col("vec_id") % 3 != 0))    # v1
+        build_ann_state(
+            spark, t.read(1), cent, assign, n_cells=16,
+            retrain_fraction=10.0,  # isolate the sync loop from retrain
+        )
+        return [corpus_root, cent, assign]
+
+    corpus_root, cent, assign = pristine_copy(spark, sf_dir, "q137", _build)
+    corpus = SnapshotTable(spark, corpus_root)
+    st = open_ann_state(spark, cent, assign)
     corpus.append(emb.filter(F.col("vec_id") % 3 == 0))              # v2
     corpus.merge(                                                    # v3
         emb.filter(F.col("vec_id") % 7 == 1).select(
@@ -2168,15 +2252,26 @@ def q137_cdf_ann_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 def _q138_run(spark: SparkSession, sf_dir: str):
     from ..operators.ann_state import build_ann_state, open_ann_state
+    from ._artifacts import pristine_copy
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
-    corpus = SnapshotTable(spark, scratch_dir(prefix="q138_corpus_"))
-    corpus.create_or_replace(emb.filter(F.col("vec_id") % 9 <= 3))   # v1
-    cent = scratch_dir(prefix="q138_cent_")
-    assign = scratch_dir(prefix="q138_assign_")
-    st = build_ann_state(spark, corpus.read(1), cent, assign, n_cells=8)
+
+    # pristine day-0 state (corpus v1 + built index), copied per
+    # invocation — the three-day loop below mutates both heavily
+    def _build() -> list[str]:
+        corpus_root = scratch_dir(prefix="q138_corpus_")
+        cent = scratch_dir(prefix="q138_cent_")
+        assign = scratch_dir(prefix="q138_assign_")
+        t = SnapshotTable(spark, corpus_root)
+        t.create_or_replace(emb.filter(F.col("vec_id") % 9 <= 3))    # v1
+        build_ann_state(spark, t.read(1), cent, assign, n_cells=8)
+        return [corpus_root, cent, assign]
+
+    corpus_root, cent, assign = pristine_copy(spark, sf_dir, "q138", _build)
+    corpus = SnapshotTable(spark, corpus_root)
+    st = open_ann_state(spark, cent, assign)
     days = []
     totals = {"windows": 0, "folded": 0, "purged": 0}
     for day in (1, 2, 3):

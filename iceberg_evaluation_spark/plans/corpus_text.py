@@ -1034,6 +1034,8 @@ _Q104_EXISTS_NORM = (
 # registered query's extra cost (state build + a second replay run +
 # the append writes) is the verification harness, reported as verify_s.
 _Q104_STATE_CACHE: dict = {}
+# build-time capped_drops of the memoized pristine build, by session key
+_Q104_BUILD_CAPPED: dict = {}
 
 
 def _q104_delta(docs):
@@ -1122,23 +1124,41 @@ def q104_incremental_crossrun_dedup(spark: SparkSession, sf_dir: str) -> DataFra
     from ..operators.incremental_dedup import (
         build_dedup_state,
         incremental_neardup_dedup,
+        open_dedup_state,
     )
+    from ._artifacts import pristine_copy
     from ._tmpdirs import scratch_dir
 
     from ..tables.bucketed_lookup import BucketedLookup
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    state = build_dedup_state(
-        spark, docs, "doc_id", "text",
-        scratch_dir("q104_fp_"), scratch_dir("q104_bands_"),
-    )
-    # the standing partner lookup lives id-bucketed (r7): each run's
-    # partner fetch file-prunes to candidate buckets, never re-scanning
-    # the corpus — same classifications, bounded IO
-    lookup = BucketedLookup.create(
-        spark, docs, scratch_dir("q104_lookup_"), "doc_id", "text",
-        n_buckets=16,
-    )
+
+    # pristine artifacts built ONCE per session, each invocation gets a
+    # fresh copy (the registered run MUTATES them: fold + append) —
+    # r10 verdict #5: the bench's median-of-3 was paying the corpus-wide
+    # build per iteration as pure harness cost
+    cache_key = session_cache_key(spark, sf_dir)
+
+    def _build() -> list[str]:
+        fp, bands = scratch_dir("q104_fp_"), scratch_dir("q104_bands_")
+        lk = scratch_dir("q104_lookup_")
+        built = build_dedup_state(spark, docs, "doc_id", "text", fp, bands)
+        # capped_drops is a BUILD-time receipt (an opened state restarts
+        # it at 0): keep the real build's value so the exactness
+        # precondition stays genuinely checked
+        _Q104_BUILD_CAPPED[cache_key] = int(built.capped_drops)
+        # the standing partner lookup lives id-bucketed (r7): each run's
+        # partner fetch file-prunes to candidate buckets, never
+        # re-scanning the corpus — same classifications, bounded IO
+        BucketedLookup.create(
+            spark, docs, lk, "doc_id", "text", n_buckets=16
+        )
+        return [fp, bands, lk]
+
+    fp_root, band_root, lk_root = pristine_copy(spark, sf_dir, "q104", _build)
+    state = open_dedup_state(spark, fp_root, band_root)
+    state.capped_drops = _Q104_BUILD_CAPPED[cache_key]
+    lookup = BucketedLookup.open(spark, lk_root)
 
     delta = _q104_delta(docs)
 
@@ -1325,12 +1345,23 @@ def q105_incremental_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFr
     from ..operators.incremental_dedup import (
         build_semantic_state,
         incremental_semantic_dedup,
+        open_semantic_state,
     )
+    from ._artifacts import pristine_copy
     from ._tmpdirs import scratch_dir
 
     emb = _q105_emb(spark, sf_dir)
     delta = _q105_delta(emb)
-    bands = build_semantic_state(spark, emb, scratch_dir("q105_bands_"))
+
+    # pristine SRP band index built once per session, mutated per
+    # invocation (run 1 folds the new rows in) — r10 verdict #5
+    def _build() -> list[str]:
+        root = scratch_dir("q105_bands_")
+        build_semantic_state(spark, emb, root)
+        return [root]
+
+    (band_root,) = pristine_copy(spark, sf_dir, "q105", _build)
+    bands = open_semantic_state(spark, band_root)
     r1 = incremental_semantic_dedup(
         bands, delta, emb, threshold=0.95, append_new=True
     ).localCheckpoint()
@@ -1551,21 +1582,35 @@ def _q117_bare(spark: SparkSession, sf_dir: str) -> DataFrame:
     bare=_q117_bare,
 )
 def q117_gated_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.incremental_dedup import build_semantic_state
+    from ..operators.incremental_dedup import (
+        build_semantic_state,
+        open_semantic_state,
+    )
     from ..operators.ingest import gated_semantic_delta
+    from ._artifacts import pristine_copy
     from ._tmpdirs import scratch_dir
 
     from ..tables.bucketed_lookup import BucketedLookup
 
     emb = _q105_emb(spark, sf_dir)
     delta = _q117_delta(emb)
-    state = build_semantic_state(spark, emb, scratch_dir("q117_bands_"))
-    # id-bucketed standing lookup (r7): the partner fetch file-prunes
-    # to candidate buckets on both runs
-    lookup = BucketedLookup.create(
-        spark, emb, scratch_dir("q117_lookup_"), "vec_id", "embedding",
-        n_buckets=16,
-    )
+
+    # pristine SRP band index + id-bucketed lookup built once per
+    # session; each invocation mutates a fresh copy (append_new run 1 +
+    # the lookup append) — r10 verdict #5 harness-cost control
+    def _build() -> list[str]:
+        bands, lk = scratch_dir("q117_bands_"), scratch_dir("q117_lookup_")
+        build_semantic_state(spark, emb, bands)
+        # id-bucketed standing lookup (r7): the partner fetch
+        # file-prunes to candidate buckets on both runs
+        BucketedLookup.create(
+            spark, emb, lk, "vec_id", "embedding", n_buckets=16
+        )
+        return [bands, lk]
+
+    band_root, lk_root = pristine_copy(spark, sf_dir, "q117", _build)
+    state = open_semantic_state(spark, band_root)
+    lookup = BucketedLookup.open(spark, lk_root)
     r1 = gated_semantic_delta(
         state, delta, lookup, append_new=True
     ).localCheckpoint()
@@ -1694,21 +1739,35 @@ def q126_dedup_state_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..tables.bucketed_lookup import BucketedLookup
     from ._tmpdirs import scratch_dir
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    fp_root = scratch_dir("q126_fp_")
-    band_root = scratch_dir("q126_bands_")
-    lookup_root = scratch_dir("q126_lookup_")
+    from ._artifacts import pristine_copy
 
-    # --- "yesterday": build, classify, fold --------------------------
-    state1 = build_dedup_state(
-        spark, docs, "doc_id", "text", fp_root, band_root,
-        index_partitions=32,  # r7: hash-partitioned band index — every
-        #                        delta's index read file-prunes to its
-        #                        touched partitions
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    # pristine "yesterday" artifacts built once per session; each
+    # invocation mutates a fresh copy (fold + lookup append), so the
+    # restart contract below always starts from the same built state
+    # without re-paying the corpus-wide build per bench iteration
+    # (r10 verdict #5)
+    def _build() -> list[str]:
+        fp, bands = scratch_dir("q126_fp_"), scratch_dir("q126_bands_")
+        lk = scratch_dir("q126_lookup_")
+        build_dedup_state(
+            spark, docs, "doc_id", "text", fp, bands,
+            index_partitions=32,  # r7: hash-partitioned band index —
+            #                        every delta's index read file-prunes
+            #                        to its touched partitions
+        )
+        BucketedLookup.create(
+            spark, docs, lk, "doc_id", "text", n_buckets=64
+        )
+        return [fp, bands, lk]
+
+    fp_root, band_root, lookup_root = pristine_copy(
+        spark, sf_dir, "q126", _build
     )
-    lookup1 = BucketedLookup.create(
-        spark, docs, lookup_root, "doc_id", "text", n_buckets=64
-    )
+    # --- "yesterday": classify against the built state, fold ---------
+    state1 = open_dedup_state(spark, fp_root, band_root)
+    lookup1 = BucketedLookup.open(spark, lookup_root)
     delta = _q104_delta(docs)
 
     def counts(res: DataFrame) -> DataFrame:
