@@ -89,6 +89,7 @@ DESCRIPTIONS = [
     ("dedup-bloom", "Bloom-prefiltered incremental dedup vs reference corpus"),
     ("takedown", "Takedown driven end-to-end from a CDF delete window"),
     ("delete-propagation", "Corpus deletes purged from every standing artifact"),
+    ("maintenance", "Signal-gated standing-state maintenance (retrain / split / MOR materialization / compaction / retention) inside a multi-day lifecycle loop"),
     ("training-shuffle", "Deterministic epoch shard shuffle (seeded global permutation)"),
     (
         "dedup-incremental",
