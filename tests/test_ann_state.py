@@ -1215,3 +1215,87 @@ def test_rescored_fallback_col_and_synced_index_reports_zero(spark, tmp_path):
     )
     assert synced.filter(~F.col("exact_rescored")).count() == 0
     assert synced.count() == 5
+
+
+def test_sync_from_cdf_batched_windows(spark, tmp_path):
+    """batch_windows=True coalesces the whole pending span into ONE net
+    diff (r10 'What's missing' #3): a source committing many small CDC
+    windows costs one delete + one fold instead of one-plus commits per
+    source version — with contents identical to the per-version path
+    (net semantics: insert-then-delete inside the span appears nowhere,
+    a double re-embed nets to one retract+apply) and the same
+    crash-replay exactly-once marker."""
+    from iceberg_evaluation_spark.tables.snapshot_table import (
+        MergeClause,
+        SnapshotTable,
+    )
+
+    def make_corpus(root):
+        c = SnapshotTable(spark, str(tmp_path / root))
+        c.create_or_replace(_vectors(spark, 100))                    # v1
+        # six small windows: appends, deletes, an insert-then-delete id
+        c.append(_vectors(spark, 10, seed_shift=1000))               # v2
+        c.merge(                                                     # v3
+            _vectors(spark, 100).filter(F.col("vec_id") % 10 == 0)
+            .select("vec_id", F.lit(True).alias("_d")),
+            on=["vec_id"],
+            clause=MergeClause(
+                matched_delete_condition="s._d",
+                insert_when_not_matched=False,
+            ),
+        )
+        c.append(_vectors(spark, 10, seed_shift=2000))               # v4
+        c.merge(                                                     # v5: delete the v4 rows again
+            _vectors(spark, 10, seed_shift=2000)
+            .select("vec_id", F.lit(True).alias("_d")),
+            on=["vec_id"],
+            clause=MergeClause(
+                matched_delete_condition="s._d",
+                insert_when_not_matched=False,
+            ),
+        )
+        c.append(_vectors(spark, 5, seed_shift=3000))                # v6
+        return c
+
+    results = {}
+    for mode, batched in (("pv", False), ("bw", True)):
+        corpus = make_corpus(f"corpus_{mode}")
+        cent = str(tmp_path / f"cent_{mode}")
+        assign = str(tmp_path / f"assign_{mode}")
+        st = build_ann_state(
+            spark, corpus.read(1), cent, assign, n_cells=4,
+            retrain_fraction=10.0,
+        )
+        v_before = st.assignments.current_version()
+        r = st.sync_from_cdf(
+            corpus, ["vec_id"], query_id="s", from_version=1,
+            batch_windows=batched,
+        )
+        commits = st.assignments.current_version() - v_before
+        assert r["windows"] == 5
+        if batched:
+            # net span: v4's insert-then-delete rows appear NOWHERE —
+            # folded/purged are the NET counts, and the whole span cost
+            # at most one delete + one fold commit
+            assert r["folded"] == 15 and r["purged"] == 10
+            assert r["commits"] == commits <= 2
+        else:
+            # per-version replays the churn literally
+            assert r["folded"] == 25 and r["purged"] == 20
+            assert commits == 5  # 3 folds + 2 delete commits
+        results[mode] = {
+            r2["vec_id"]
+            for r2 in st.assignments.read().select("vec_id").collect()
+        }
+        # marker = span end either way; replay applies nothing
+        assert st.last_sink_epoch("s") == 6
+        replay = st.sync_from_cdf(
+            corpus, ["vec_id"], query_id="s", batch_windows=batched
+        )
+        assert replay["windows"] == 0
+        assert replay["folded"] == 0 and replay["purged"] == 0
+        src = {
+            r2["vec_id"] for r2 in corpus.read().select("vec_id").collect()
+        }
+        assert results[mode] == src
+    assert results["pv"] == results["bw"]

@@ -101,8 +101,15 @@ def main() -> None:
             ).cast("float"),
         ).alias("embedding"),
     ).localCheckpoint()
+    # an ODD victim stride: a round stride (n/victims = 400) shares the
+    # synthetic corpus's power-of-two direction-group period, which
+    # accidentally concentrates every victim into ~2 cells — real
+    # takedown batches are content-arbitrary, so the probe must scatter
+    # (odd ⇒ coprime with the dim-periodic group structure, victims hit
+    # every direction group and therefore ~every cell)
+    stride = max(3, (n_vecs // n_vic) | 1)
     ann_victims = vecs.filter(
-        F.col("vec_id") % (n_vecs // n_vic) == 0
+        F.col("vec_id") % stride == 0
     ).select("vec_id")
     q = vecs.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
