@@ -2244,11 +2244,18 @@ def q137_cdf_ann_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 #       delta-sized fold + one O(|victims|) equality-delete write (the
 #       MOR purge receipt: zero data files rewritten), maintain()
 #       materializes the delete files (so probes stop paying the anti
-#       join) and bounds the snapshot log via retention, and the final
-#       replay sync applies ZERO windows (the epoch marker IS the
-#       durable cursor across all three days and the maintenance
-#       rewrites between them). Day receipts ride in the hash-checked
-#       result as booleans + exact totals.
+#       join) and bounds the snapshot log via retention. Then a
+#       CATCH-UP: two more corpus windows land while the sync loop is
+#       down and ONE batched sync (batch_windows=True) applies the
+#       whole span as a net diff in ≤2 index commits — day-4 inserts
+#       that day 5 deletes appear in NEITHER count — and its MOR
+#       delete files stay live into the final probe, so the closing
+#       full-probe-equals-brute-force recount also certifies the
+#       merge-on-read read path. The final replay sync applies ZERO
+#       windows (the epoch marker IS the durable cursor across all
+#       five days and the maintenance rewrites between them). Day and
+#       batch receipts ride in the hash-checked result as booleans +
+#       exact totals.
 # ---------------------------------------------------------------------------
 def _q138_run(spark: SparkSession, sf_dir: str):
     from ..operators.ann_state import build_ann_state, open_ann_state
@@ -2307,12 +2314,41 @@ def _q138_run(spark: SparkSession, sf_dir: str):
             "delete_files"
         )
         days.append({"mor_live": mor_live, "materialized": materialized})
+    # catch-up: two more corpus windows (an append day and a takedown
+    # day) land while the sync loop is DOWN, then ONE batched sync
+    # applies the whole span as a net diff (sync_from_cdf
+    # batch_windows=True) — at most one delete + one fold commit for
+    # any number of pending source windows, marker = span end. The
+    # batch's MOR delete files stay LIVE into the final probe below,
+    # so the closing full-probe-equals-brute-force recount also
+    # certifies the merge-on-read read path end-to-end.
+    corpus.append(emb.filter(F.col("vec_id") % 9 == 7))              # v8
+    corpus.merge(                                                    # v9
+        corpus.read().filter(F.col("vec_id") % 17 == 4).select(
+            "vec_id", F.lit(True).alias("_d")
+        ),
+        on=["vec_id"],
+        clause=MergeClause(
+            matched_delete_condition="s._d",
+            insert_when_not_matched=False,
+        ),
+    )
+    v_before = st.assignments.current_version()
+    batch = st.sync_from_cdf(
+        corpus, ["vec_id"], query_id="q138",
+        delete_mode="merge-on-read", batch_windows=True,
+    )
+    batch["commits_le2"] = bool(
+        st.assignments.current_version() - v_before <= 2
+        and batch.get("commits", 99) <= 2
+    )
     replay = st.sync_from_cdf(
         corpus, ["vec_id"], query_id="q138", delete_mode="merge-on-read"
     )
     reopened = open_ann_state(spark, cent, assign)
-    bounded = len(st.assignments._snapshots()) <= 5  # retention budget 4
-    return corpus, reopened, days, totals, replay, bounded
+    # retention budget 4 + the batch's ≤2 post-maintain commits
+    bounded = len(st.assignments._snapshots()) <= 7
+    return corpus, reopened, days, totals, batch, replay, bounded
 
 
 _Q138_CACHE: dict = {}
@@ -2335,7 +2371,7 @@ def _q138_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q138_bare(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Operator-only variant: ONE full probe through the reopened index
     after three days of lifecycle — the standing serve path."""
-    _, reopened, _, _, _, _ = _q138_cached(spark, sf_dir)
+    _, reopened, _, _, _, _, _ = _q138_cached(spark, sf_dir)
     return reopened.topk(
         _q138_queries(spark, sf_dir), k=5, nprobe=reopened.n_cells
     ).groupBy("query_id").agg(F.count(F.lit(1)).alias("k_returned"))
@@ -2362,6 +2398,14 @@ SELECT vec_id AS query_id,
         WHERE (vec_id % 17 = 1 AND vec_id % 9 <= 4)
            OR (vec_id % 17 = 2 AND vec_id % 9 <= 5)
            OR (vec_id % 17 = 3 AND vec_id % 9 <= 6)) AS purged,
+       CAST(2 AS BIGINT) AS batch_windows_applied,
+       -- the batch is a NET diff: day-4 inserts that day 5 deletes
+       -- (vec_id%9=7 AND vec_id%17=4) appear in NEITHER count
+       (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+        WHERE vec_id % 9 = 7 AND vec_id % 17 <> 4) AS batch_folded,
+       (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+        WHERE vec_id % 17 = 4 AND vec_id % 9 <= 6) AS batch_purged,
+       TRUE AS batch_commits_le2,
        TRUE AS mor_purges_ok,
        TRUE AS maintain_materialized_ok,
        TRUE AS snapshots_bounded
@@ -2371,11 +2415,11 @@ FROM embeddings WHERE vec_id < 10
 def q138_lifecycle_dayloop(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import cosine_topk
 
-    corpus, reopened, days, totals, replay, bounded = _q138_run(
+    corpus, reopened, days, totals, batch, replay, bounded = _q138_run(
         spark, sf_dir
     )
     _Q138_CACHE[session_cache_key(spark, sf_dir)] = (
-        corpus, reopened, days, totals, replay, bounded,
+        corpus, reopened, days, totals, batch, replay, bounded,
     )
     queries = _q138_queries(spark, sf_dir)
     final = corpus.read().select("vec_id", "embedding")
@@ -2410,6 +2454,12 @@ def q138_lifecycle_dayloop(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(replay["windows"]).cast("bigint").alias("replay_windows"),
             F.lit(totals["folded"]).cast("bigint").alias("folded"),
             F.lit(totals["purged"]).cast("bigint").alias("purged"),
+            F.lit(batch["windows"]).cast("bigint").alias(
+                "batch_windows_applied"
+            ),
+            F.lit(batch["folded"]).cast("bigint").alias("batch_folded"),
+            F.lit(batch["purged"]).cast("bigint").alias("batch_purged"),
+            F.lit(batch["commits_le2"]).alias("batch_commits_le2"),
             F.lit(all(d["mor_live"] for d in days)).alias("mor_purges_ok"),
             F.lit(all(d["materialized"] for d in days)).alias(
                 "maintain_materialized_ok"

@@ -1299,3 +1299,42 @@ def test_sync_from_cdf_batched_windows(spark, tmp_path):
         }
         assert results[mode] == src
     assert results["pv"] == results["bw"]
+
+
+def test_mor_delete_is_codec_independent(spark, tmp_path):
+    """MOR takedown over a PQ-coded index: the equality-delete file
+    holds id keys, the anti join applies BEFORE decode, and the decoded
+    probe serves only survivors — same contract as float64."""
+    corpus = _vectors(spark, 160)
+    cent, assign = _roots(tmp_path)
+    st = build_ann_state(
+        spark, corpus, cent, assign, n_cells=4, codec="pq4x16",
+    )
+    victims = corpus.filter(F.col("vec_id") % 3 == 0).select("vec_id")
+    n = st.delete(victims, mode="merge-on-read")
+    assert n == victims.count()
+    snap = st.assignments._read_snapshot(st.assignments.current_version())
+    assert snap["summary"]["rewritten_files"] == 0
+    assert snap.get("delete_files")
+    q = corpus.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = st.topk(q, k=8, nprobe=4).collect()
+    assert got and all(r["vec_id"] % 3 != 0 for r in got)
+    # rescored path through the live delete files, against the reduced
+    # corpus: k rows, zero fallbacks, no victim
+    kept = corpus.filter(F.col("vec_id") % 3 != 0)
+    resc = st.topk_rescored(
+        q, kept, k=5, nprobe=4, fallback_col="exact"
+    ).collect()
+    assert len(resc) == 10 and all(r["exact"] for r in resc)
+    assert all(r["vec_id"] % 3 != 0 for r in resc)
+    # reopen + maintain materializes; contents unchanged
+    re = open_ann_state(spark, cent, assign)
+    re.maintain()
+    snap = re.assignments._read_snapshot(re.assignments.current_version())
+    assert not snap.get("delete_files")
+    ids = {r["vec_id"] for r in re.assignments.read().select("vec_id").collect()}
+    assert ids == {
+        r["vec_id"] for r in kept.select("vec_id").collect()
+    }
