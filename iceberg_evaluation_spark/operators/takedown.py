@@ -56,6 +56,7 @@ __all__ = [
     "takedown_ids",
     "takedown_fingerprint",
     "propagate_takedown",
+    "takedown_audit",
     "LEDGER_SCHEMA",
 ]
 
@@ -208,3 +209,57 @@ def propagate_takedown(
         receipt["takedown_id"] = tid
         receipt["skipped"] = skipped
     return receipt
+
+
+def takedown_audit(
+    ids: DataFrame,
+    *,
+    dedup_state=None,
+    semantic_state=None,
+    ann_state=None,
+    lookups=(),
+) -> dict:
+    """Content-level takedown evidence: how many rows keyed by ``ids``
+    each standing artifact STILL holds. The ledger proves a propagation
+    ran to completion; this proves the artifacts themselves are clean —
+    the second half of the compliance story (an auditor checks content,
+    not just process), and the detector for the gap the ledger cannot
+    see: a takedown that was never propagated at all.
+
+    Scoped to the candidate id set, so the reads stay pruned/cheap:
+    the bucketed lookups read only the candidate buckets' files
+    (``fetch`` partition pruning), the band/fingerprint/ANN scans are
+    column-pruned to the id column (the ``delete_keys`` match-scan
+    shape, read-only), and every count is one semi-join against the
+    checkpointed id set — cost tracks |ids| and their locality, never
+    the corpus. All reads are MOR-aware, so live equality-deletes
+    count as already-purged.
+
+    Returns ``{artifact: leaked_row_count}`` over the same artifact
+    names the ledger records; all-zero = clean."""
+    first = ids.columns[0]
+    ids = ids.select(first).distinct().localCheckpoint(eager=False)
+
+    def _count(df: DataFrame, col: str) -> int:
+        k = ids.select(F.col(first).alias("__k"))
+        return int(
+            df.select(F.col(col)).join(
+                k, F.col(col).eqNullSafe(F.col("__k")), "left_semi"
+            ).count()
+        )
+
+    out: dict[str, int] = {}
+    if dedup_state is not None:
+        out["dedup"] = _count(
+            dedup_state.fingerprints.read(), "id"
+        ) + _count(dedup_state.bands.read(), "id")
+    if semantic_state is not None:
+        out["semantic"] = _count(semantic_state.bands.read(), "id")
+    if ann_state is not None:
+        out["ann"] = _count(
+            ann_state.assignments.read().select(ann_state.id_col),
+            ann_state.id_col,
+        )
+    for i, lk in enumerate(lookups):
+        out[f"lookup_{i}"] = _count(lk.fetch(ids), lk.id_col)
+    return out

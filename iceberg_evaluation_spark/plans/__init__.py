@@ -39,10 +39,10 @@ _R11_PINNED = [
     "q134_pq_ann_rescore",
     "q38_ivf_cosine_topk",
 ]
-# 5 pins + 1 new (q138, never checked → auto-sorted in) = 6 of 50; the
-# remaining 44 slots pull the WHOLE 41-query r8 cohort forward (their
-# verdicts age out of the ≤-3-rounds SLA after this round) plus the
-# oldest r9 entries — the freshness SLA's steady state holds.
+# 5 pins + 2 new (q138/q139, never checked → auto-sorted in) = 7 of
+# 50; the remaining 43 slots pull the WHOLE 41-query r8 cohort forward
+# (their verdicts age out of the ≤-3-rounds SLA after this round) plus
+# the oldest r9 entries — the freshness SLA's steady state holds.
 _REPO_ROOT = _os.path.dirname(
     _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
 )

@@ -553,3 +553,46 @@ def test_propagate_takedown_mor_routes_ann_leg(spark, tmp_path):
     )
     got = ast.topk(q, k=10, nprobe=4).collect()
     assert got and all(r["doc_id"] not in (0, 4, 8, 12) for r in got)
+
+
+def test_takedown_audit_counts_leaks_and_reads_pruned(spark, tmp_path):
+    """takedown_audit is the content half of the compliance story: it
+    counts rows each artifact still holds for the id set. Before the
+    propagation it reports the exact leak multiplicities (1 fp + 16
+    band rows per doc, 1 lookup row, 1 ANN row); after a MERGE-ON-READ
+    propagation — delete files still live, nothing materialized — it
+    reports all-zero, because every read is MOR-aware."""
+    from iceberg_evaluation_spark.operators.takedown import takedown_audit
+    from iceberg_evaluation_spark.tables.bucketed_lookup import BucketedLookup
+
+    state = build_dedup_state(
+        spark, _docs(spark, CORPUS), "doc_id", "text",
+        str(tmp_path / "fp"), str(tmp_path / "bands"),
+    )
+    lk = BucketedLookup.create(
+        spark, _docs(spark, CORPUS), str(tmp_path / "lk"),
+        "doc_id", "text", n_buckets=8,
+    )
+    ast = _mini_ann(spark, tmp_path)
+    ids = _ids(spark, [1, 3])
+
+    before = takedown_audit(
+        ids, dedup_state=state, ann_state=ast, lookups=[lk]
+    )
+    assert before == {"dedup": 2 + 32, "ann": 2, "lookup_0": 2}
+
+    propagate_takedown(
+        ids, dedup_state=state, ann_state=ast, lookups=[lk],
+        mode="merge-on-read",
+    )
+    # delete files live (no compact/maintain ran) — audit reads through
+    assert ast.assignments._read_snapshot(
+        ast.assignments.current_version()
+    ).get("delete_files")
+    after = takedown_audit(
+        ids, dedup_state=state, ann_state=ast, lookups=[lk]
+    )
+    assert after == {"dedup": 0, "ann": 0, "lookup_0": 0}
+    # a KEPT id still counts — the audit is scoped, not vacuous
+    kept = takedown_audit(_ids(spark, [2]), dedup_state=state, lookups=[lk])
+    assert kept == {"dedup": 17, "lookup_0": 1}
