@@ -23,6 +23,7 @@ state."""
 
 from __future__ import annotations
 
+import os
 import shutil
 from collections.abc import Callable
 
@@ -54,6 +55,20 @@ def pristine_copy(
     out = []
     for src in _PRISTINE[key]:
         dst = scratch_dir(f"{tag}_use_")
-        shutil.copytree(src, dst, dirs_exist_ok=True)
+        try:
+            # hardlink "copy": near-free, and SAFE because the table
+            # layer never modifies a file in place — data files are
+            # immutable, and every manifest/meta/VERSION update writes
+            # a new file then os.replace()s the directory entry, which
+            # relinks the COPY's entry without touching the shared
+            # inode the template still points at. Directories are real
+            # (only files link), so the copy's new commits land in its
+            # own tree.
+            shutil.copytree(
+                src, dst, dirs_exist_ok=True, copy_function=os.link
+            )
+        except OSError:
+            shutil.rmtree(dst, ignore_errors=True)
+            shutil.copytree(src, dst, dirs_exist_ok=True)
         out.append(dst)
     return out
