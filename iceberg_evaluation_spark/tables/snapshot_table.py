@@ -420,13 +420,33 @@ class SnapshotTable:
         commit_dir = f"commit-{uuid.uuid4().hex[:12]}"
         out_path = os.path.join(self._data_dir, commit_dir)
         if partition_by:
+            # entries are identity columns or hidden-partition transform
+            # specs ("days(ts)", "bucket(16, id)"): transforms derive a
+            # self-describing dir column that partitionBy strips from the
+            # data files — it lives only in the directory layout
+            from .transforms import parse_spec_list
+
+            fields = parse_spec_list(partition_by)
+            types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+            dir_cols: list[str] = []
+            for fld in fields:
+                if fld.is_identity:
+                    dir_cols.append(fld.source)
+                    continue
+                if fld.source not in types:
+                    raise ValueError(
+                        f"partition transform {fld.spec!r} source column "
+                        f"{fld.source!r} not in frame"
+                    )
+                df = df.withColumn(fld.dir_name, fld.expr(types[fld.source]))
+                dir_cols.append(fld.dir_name)
             # co-locate rows of a partition before the partitioned write so
             # each task emits files for few partition values, not all
             writer = (
-                df.repartition(target_partitions, *partition_by)
+                df.repartition(target_partitions, *dir_cols)
                 if target_partitions is not None
-                else df.repartition(*partition_by)
-            ).write.partitionBy(*partition_by)
+                else df.repartition(*dir_cols)
+            ).write.partitionBy(*dir_cols)
         else:
             w = df if target_partitions is None else df.repartition(target_partitions)
             writer = w.write
@@ -459,9 +479,22 @@ class SnapshotTable:
         ``k=v`` directories, the partition values ride in the manifest,
         and partition predicates prune files without touching footers."""
         if partition_by:
-            missing = [c for c in partition_by if c not in df.columns]
+            from .transforms import parse_spec_list
+
+            fields = parse_spec_list(partition_by)  # validates the grammar
+            missing = [f.source for f in fields if f.source not in df.columns]
             if missing:
                 raise ValueError(f"partition_by columns {missing} not in frame")
+            clash = [
+                f.dir_name
+                for f in fields
+                if not f.is_identity and f.dir_name in df.columns
+            ]
+            if clash:
+                raise ValueError(
+                    f"transform dir columns {clash} collide with data columns"
+                )
+            partition_by = [f.spec for f in fields]  # canonical spelling
         files = self._write_files(df, partitions, partition_by=partition_by)
         return self._commit(
             files, "create_or_replace",
@@ -557,6 +590,17 @@ class SnapshotTable:
         schema = StructType.fromJson(json.loads(snap["schema"]))
         if name in schema.fieldNames():
             raise ValueError(f"column {name!r} already exists")
+        from .transforms import parse_spec_list as _psl
+
+        live_dirs = [
+            f.dir_name for f in _psl(snap.get("partition_by")) if not f.is_identity
+        ]
+        if name in live_dirs:
+            raise ValueError(
+                f"column {name!r} collides with a hidden-partition dir "
+                "column of the current spec; pick another name or evolve "
+                "the partition spec first"
+            )
         # Resurrection guard: reads map parquet columns by NAME, so if any
         # file in the CURRENT snapshot was written while a since-dropped
         # column of the same name existed, re-adding the name would read
@@ -613,10 +657,13 @@ class SnapshotTable:
         schema = StructType.fromJson(json.loads(snap["schema"]))
         if name not in schema.fieldNames():
             raise ValueError(f"column {name!r} does not exist")
-        if name in (snap.get("partition_by") or []):
+        from .transforms import parse_spec_list as _psl
+
+        if name in [f.source for f in _psl(snap.get("partition_by"))]:
             raise ValueError(
-                f"column {name!r} is a partition column; repartition the "
-                "table (create_or_replace) before dropping it"
+                f"column {name!r} is a partition (or transform-source) "
+                "column; repartition the table (create_or_replace) before "
+                "dropping it"
             )
         if any(name in d["keys"] for d in snap.get("delete_files") or []):
             raise ValueError(
@@ -645,16 +692,34 @@ class SnapshotTable:
         under the new spec. ``compact()`` after the change migrates the
         whole table to the new layout — the explicit rewrite Iceberg
         also requires to re-layout history. ``None``/empty removes
-        partitioning for future writes."""
+        partitioning for future writes.
+
+        Entries may be identity columns or hidden-partition transform
+        specs (``"days(ts)"``, ``"bucket(16, id)"``, ``"truncate(4,
+        c)"`` — Iceberg spec §Partition Transforms): queries keep
+        filtering on the SOURCE column and ``read_where`` prunes
+        through the transform."""
         base = self.current_version()
         snap = self._read_snapshot(base)
         from pyspark.sql.types import StructType
 
+        from .transforms import parse_spec_list
+
         schema = StructType.fromJson(json.loads(snap["schema"]))
-        cols = list(partition_by or [])
-        missing = [c for c in cols if c not in schema.fieldNames()]
+        fields = parse_spec_list(list(partition_by or []))
+        cols = [f.spec for f in fields]
+        missing = [f.source for f in fields if f.source not in schema.fieldNames()]
         if missing:
             raise ValueError(f"partition_by columns {missing} not in schema")
+        clash = [
+            f.dir_name
+            for f in fields
+            if not f.is_identity and f.dir_name in schema.fieldNames()
+        ]
+        if clash:
+            raise ValueError(
+                f"transform dir columns {clash} collide with schema columns"
+            )
         return self._commit(
             snap["files"],
             "set_partition_spec",
@@ -938,6 +1003,40 @@ class SnapshotTable:
                     return True, raw  # string-compare (dates sort lexically)
             return False, None
 
+        from .transforms import dir_field_for
+
+        def _transform_disjoint(rel: str, col: str, op: str, val: Any) -> bool:
+            """True iff a hidden-partition dir segment PROVES the file
+            holds no ``col op val`` rows. Self-describing names
+            (``ts_day=…``, ``id_bucket16=…``) carry the transform and
+            its parameter, so files from any spec era prune by their
+            own layout. A segment whose name is a REAL schema column is
+            identity-partitioned data, never a transform. Uncertain →
+            False (file falls through to footer-stats pruning — the
+            transforms compose with min/max on the raw column)."""
+            from urllib.parse import unquote
+
+            src_t = part_types.get(col, "string")
+            for seg in rel.split(os.sep)[:-1]:
+                if "=" not in seg:
+                    continue
+                name, _, raw = seg.partition("=")
+                if name in part_types:
+                    continue
+                fld = dir_field_for(col, name)
+                if fld is None:
+                    continue
+                raw = unquote(raw)
+                if raw == "__HIVE_DEFAULT_PARTITION__":
+                    return True  # NULL source never satisfies these ops
+                try:
+                    fv = fld.parse_dir_value(raw, src_t)
+                except ValueError:
+                    continue
+                if not fld.file_may_match(fv, op, val, src_t):
+                    return True
+            return False
+
         kept: list[str] = []
         for rel in snap["files"]:
             keep = True
@@ -961,6 +1060,12 @@ class SnapshotTable:
                         except TypeError:
                             pass  # incomparable → fall through to keep
                         continue
+                    # hidden-partition transforms: a self-describing dir
+                    # (ts_day=…) may prove disjointness; otherwise the
+                    # footer stats on the raw column still apply below
+                    if _transform_disjoint(rel, col, op, val):
+                        keep = False
+                        break
                 if meta is None:
                     meta = pq.read_metadata(os.path.join(self.root, rel))
                     names = {
