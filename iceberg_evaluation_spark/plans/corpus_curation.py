@@ -2338,3 +2338,71 @@ def q136_streaming_cdc_consumer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(windows_applied).cast("bigint").alias("windows_applied"),
         F.lit(bool(idle_noop)).alias("idle_poll_noop_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q140: hidden-partitioning transform pruning — the Iceberg scan feature
+#       the reference's runtime ships beyond identity date partitioning
+#       (Iceberg spec §Partition Transforms; the reference's own tables
+#       stop at an identity date key, utils/metadata/store_sales.json:
+#       105-107). Events are CTAS'd under days(ts) × bucket(4, user_id);
+#       the query filters on the RAW columns only — never naming the
+#       layout — and read_where prunes through both transforms: the
+#       8-day window × single user bucket bounds the scan to ≤ 8 files
+#       (the '< Jan-18' bound conservatively keeps the Jan-18 day dir,
+#       which raw-column footer stats then drop — the receipt is
+#       achievable only because dir- and stats-pruning COMPOSE). At
+#       100 TB this is the difference between reading one user-day
+#       sliver and a month of everything. scan_bound_ok pins the file
+#       bound, pruned_strict pins that pruning actually engaged;
+#       aggregate values hash against the raw-parquet oracle, so an
+#       unsound translation (a wrongly-pruned file) shifts the sums and
+#       fails. Transform parity/soundness pinned in
+#       tests/test_transforms.py + test_hidden_partitioning.py.
+# ---------------------------------------------------------------------------
+@register(
+    "q140_hidden_partition_pruning",
+    covers="table-layer S5 S6 P3 A1 A3 P5 hidden-partitioning",
+    oracle=f"""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       {sql_sum('value')} AS total_value,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+       CAST(floor(epoch(min(ts)) / 86400) AS BIGINT) AS first_day,
+       CAST(floor(epoch(max(ts)) / 86400) AS BIGINT) AS last_day,
+       TRUE AS pruned_strict,
+       TRUE AS scan_bound_ok
+FROM events
+WHERE user_id = 7
+  AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+  AND ts < TIMESTAMP '2024-01-18 00:00:00'
+""",
+)
+def q140_hidden_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as dt
+
+    from ..tables.snapshot_table import SnapshotTable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    table = SnapshotTable(spark, scratch_dir(prefix="hidpart_"))
+    table.create_or_replace(
+        ev, partitions=4, partition_by=["days(ts)", "bucket(4, user_id)"]
+    )
+    lo, hi = dt.datetime(2024, 1, 10), dt.datetime(2024, 1, 18)
+    filters = [("user_id", "=", 7), ("ts", ">=", lo), ("ts", "<", hi)]
+    files_total = len(table._read_snapshot(table.current_version())["files"])
+    files_scanned = len(table.pruned_files(filters))
+    return table.read_where(filters).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        exact_sum(F.col("value")).alias("total_value"),
+        F.countDistinct("event_type").cast("bigint").alias("n_types"),
+        F.floor(F.min(F.col("ts").cast("long")) / 86400)
+        .cast("bigint")
+        .alias("first_day"),
+        F.floor(F.max(F.col("ts").cast("long")) / 86400)
+        .cast("bigint")
+        .alias("last_day"),
+        F.lit(files_scanned < files_total).alias("pruned_strict"),
+        F.lit(1 <= files_scanned <= 8).alias("scan_bound_ok"),
+    )

@@ -450,7 +450,18 @@ class SnapshotTable:
         else:
             w = df if target_partitions is None else df.repartition(target_partitions)
             writer = w.write
-        writer.mode("overwrite").parquet(out_path)
+        # Spark still defaults to INT96 timestamps, which carry NO parquet
+        # min/max statistics — every timestamp predicate would lose footer
+        # pruning. Iceberg mandates TIMESTAMP_MICROS (spec §Primitive
+        # Types); write the table's files the same way. Set-and-restore:
+        # the session conf must not leak to the caller's own writes.
+        conf_key = "spark.sql.parquet.outputTimestampType"
+        prev_conf = self.spark.conf.get(conf_key)
+        self.spark.conf.set(conf_key, "TIMESTAMP_MICROS")
+        try:
+            writer.mode("overwrite").parquet(out_path)
+        finally:
+            self.spark.conf.set(conf_key, prev_conf)
         rels = []
         for dirpath, _, names in os.walk(out_path):
             for name in names:
@@ -1083,8 +1094,18 @@ class SnapshotTable:
                     if st is None or not st.has_min_max:
                         mn = mx = None
                         break
-                    mn = st.min if mn is None else min(mn, st.min)
-                    mx = st.max if mx is None else max(mx, st.max)
+                    # TIMESTAMP_MICROS stats surface tz-aware (UTC) from
+                    # pyarrow; the engine's literals are naive-UTC —
+                    # strip the tz or the comparison TypeErrors and the
+                    # file is kept unpruned
+                    smn, smx = st.min, st.max
+                    import datetime as _dtmod
+
+                    if isinstance(smn, _dtmod.datetime) and smn.tzinfo is not None:
+                        smn = smn.astimezone(_dtmod.timezone.utc).replace(tzinfo=None)
+                        smx = smx.astimezone(_dtmod.timezone.utc).replace(tzinfo=None)
+                    mn = smn if mn is None else min(mn, smn)
+                    mx = smx if mx is None else max(mx, smx)
                 if mn is None:
                     continue  # no stats → keep
                 try:
