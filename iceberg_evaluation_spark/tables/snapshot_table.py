@@ -333,6 +333,28 @@ class SnapshotTable:
                 f"computed against v{expected_version}; retry on fresh state"
             )
         version = current + 1
+        # Manifest-embedded per-file column stats (Iceberg manifest
+        # model: lower/upper bounds ride the manifest entry, written
+        # ONCE at commit time). pruned_files reads these instead of
+        # re-opening every live footer per query — at manifest scale
+        # the prune is a driver-side dict walk, not O(files) footer IO.
+        # Stats for carried-forward files are inherited by path (data
+        # files are immutable); only this commit's new files pay a
+        # footer read, once, ever.
+        prev_stats: dict[str, Any] = {}
+        if current > 0:
+            try:
+                prev_stats = self._read_snapshot(current).get("file_stats") or {}
+            except (OSError, ValueError):
+                prev_stats = {}
+        file_stats: dict[str, Any] = {}
+        for rel in files:
+            if rel in prev_stats:
+                file_stats[rel] = prev_stats[rel]
+            else:
+                enc = self._encode_file_stats(rel)
+                if enc is not None:
+                    file_stats[rel] = enc
         seqs = {rel: int((file_seqs or {}).get(rel, version)) for rel in files}
         dels = [
             {**d, "seq": version if d.get("seq") is None else int(d["seq"])}
@@ -348,6 +370,7 @@ class SnapshotTable:
             "file_seqs": seqs,
             "delete_files": dels,
             "partition_by": list(partition_by or []),
+            "file_stats": file_stats,
         }
         # publish the manifest with an EXCLUSIVE atomic link, not a
         # clobbering rename: two writers can both pass the version check
@@ -409,6 +432,96 @@ class SnapshotTable:
         # REGRESS the pointer (leapfrog race) — see _flip_version_monotonic.
         self._flip_version_monotonic(version)
         return version
+
+    # ----------------------------------------------------- manifest stats
+    def _encode_file_stats(self, rel: str) -> dict[str, list[Any]] | None:
+        """JSON-safe ``{column: [tag, min, max]}`` from one file's
+        parquet footer — min of row-group mins / max of maxes, a column
+        dropped entirely if ANY row group lacks min/max (exactly the
+        conservative semantics the footer path applies per query).
+        Non-primitive and unstat-able columns are simply absent (absent
+        ⇒ keep — never prunes). Returns None if the footer is
+        unreadable; the file then takes the per-query footer fallback."""
+        import datetime as _dt
+        import decimal as _dec
+
+        import pyarrow.parquet as pq
+
+        try:
+            meta = pq.read_metadata(os.path.join(self.root, rel))
+        except OSError:
+            return None
+        out: dict[str, Any] = {}
+        # manifest-entry row/byte counts (Iceberg: record_count /
+        # file_size_in_bytes) — files_metadata reads these instead of
+        # footers; '#'-keys can't collide with parquet column paths here
+        out["#rows"] = int(meta.num_rows)
+        try:
+            out["#bytes"] = int(os.path.getsize(os.path.join(self.root, rel)))
+        except OSError:
+            pass
+        out["#row_groups"] = int(meta.num_row_groups)
+        ncols = meta.num_columns
+        for i in range(ncols):
+            name = meta.schema.column(i).name
+            mn = mx = None
+            ok = True
+            for g in range(meta.num_row_groups):
+                st = meta.row_group(g).column(i).statistics
+                try:
+                    if st is None or not st.has_min_max:
+                        ok = False
+                        break
+                    smn, smx = st.min, st.max
+                except Exception:  # pyarrow: "Cannot extract statistics
+                    ok = False  # for type" (e.g. some decimal encodings)
+                    break
+                mn = smn if mn is None else min(mn, smn)
+                mx = smx if mx is None else max(mx, smx)
+            if not ok or mn is None:
+                continue
+            if isinstance(mn, bool):
+                continue  # no supported prune op targets booleans
+            if isinstance(mn, int):
+                out[name] = ["i", mn, mx]
+            elif isinstance(mn, float):
+                out[name] = ["f", mn, mx]
+            elif isinstance(mn, str):
+                out[name] = ["s", mn, mx]
+            elif isinstance(mn, _dt.datetime):
+                def _us(v: _dt.datetime) -> int:
+                    if v.tzinfo is not None:
+                        v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+                    d = v - _dt.datetime(1970, 1, 1)
+                    return (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds
+
+                out[name] = ["t", _us(mn), _us(mx)]
+            elif isinstance(mn, _dt.date):
+                out[name] = ["d", mn.isoformat(), mx.isoformat()]
+            elif isinstance(mn, _dec.Decimal):
+                out[name] = ["c", str(mn), str(mx)]
+            # bytes / other exotic reprs: skip (absent ⇒ keep)
+        return out
+
+    @staticmethod
+    def _decode_stat(entry: list[Any]) -> tuple[Any, Any]:
+        """Inverse of _encode_file_stats for one column: the same Python
+        values the per-query footer path would compare against."""
+        import datetime as _dt
+        import decimal as _dec
+
+        tag, mn, mx = entry
+
+        def one(v: Any) -> Any:
+            if tag == "t":
+                return _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=v)
+            if tag == "d":
+                return _dt.date.fromisoformat(v)
+            if tag == "c":
+                return _dec.Decimal(v)
+            return v
+
+        return one(mn), one(mx)
 
     # ------------------------------------------------------------ data files
     def _write_files(
@@ -1048,6 +1161,7 @@ class SnapshotTable:
                     return True
             return False
 
+        fstats: dict[str, Any] = snap.get("file_stats") or {}
         kept: list[str] = []
         for rel in snap["files"]:
             keep = True
@@ -1077,37 +1191,57 @@ class SnapshotTable:
                     if _transform_disjoint(rel, col, op, val):
                         keep = False
                         break
-                if meta is None:
-                    meta = pq.read_metadata(os.path.join(self.root, rel))
-                    names = {
-                        meta.schema.column(i).name: i
-                        for i in range(meta.num_columns)
-                    }
-                idx = names.get(col)
-                if idx is None:
-                    continue  # pre-evolution file: column reads NULL → no match
-                    # (NULL never satisfies these ops, so the file COULD be
-                    # dropped; kept conservatively to stay simple and safe)
-                mn = mx = None
-                for g in range(meta.num_row_groups):
-                    st = meta.row_group(g).column(idx).statistics
-                    if st is None or not st.has_min_max:
-                        mn = mx = None
-                        break
-                    # TIMESTAMP_MICROS stats surface tz-aware (UTC) from
-                    # pyarrow; the engine's literals are naive-UTC —
-                    # strip the tz or the comparison TypeErrors and the
-                    # file is kept unpruned
-                    smn, smx = st.min, st.max
-                    import datetime as _dtmod
+                entry = fstats.get(rel)
+                if entry is not None:
+                    # manifest-embedded stats: no footer IO for this file
+                    se = entry.get(col)
+                    if not isinstance(se, list):
+                        continue  # column unstat-able / absent → keep
+                    mn, mx = self._decode_stat(se)
+                else:
+                    # pre-upgrade snapshot: per-query footer fallback
+                    if meta is None:
+                        meta = pq.read_metadata(os.path.join(self.root, rel))
+                        names = {
+                            meta.schema.column(i).name: i
+                            for i in range(meta.num_columns)
+                        }
+                    idx = names.get(col)
+                    if idx is None:
+                        continue  # pre-evolution file: column reads NULL →
+                        # no match (kept conservatively, simple and safe)
+                    mn = mx = None
+                    for g in range(meta.num_row_groups):
+                        st = meta.row_group(g).column(idx).statistics
+                        try:
+                            if st is None or not st.has_min_max:
+                                mn = mx = None
+                                break
+                            # TIMESTAMP_MICROS stats surface tz-aware
+                            # (UTC) from pyarrow; the engine's literals
+                            # are naive-UTC — strip the tz or the
+                            # comparison TypeErrors and the file is
+                            # kept unpruned
+                            smn, smx = st.min, st.max
+                        except Exception:  # unextractable stats → keep
+                            mn = mx = None
+                            break
+                        import datetime as _dtmod
 
-                    if isinstance(smn, _dtmod.datetime) and smn.tzinfo is not None:
-                        smn = smn.astimezone(_dtmod.timezone.utc).replace(tzinfo=None)
-                        smx = smx.astimezone(_dtmod.timezone.utc).replace(tzinfo=None)
-                    mn = smn if mn is None else min(mn, smn)
-                    mx = smx if mx is None else max(mx, smx)
-                if mn is None:
-                    continue  # no stats → keep
+                        if (
+                            isinstance(smn, _dtmod.datetime)
+                            and smn.tzinfo is not None
+                        ):
+                            smn = smn.astimezone(_dtmod.timezone.utc).replace(
+                                tzinfo=None
+                            )
+                            smx = smx.astimezone(_dtmod.timezone.utc).replace(
+                                tzinfo=None
+                            )
+                        mn = smn if mn is None else min(mn, smn)
+                        mx = smx if mx is None else max(mx, smx)
+                    if mn is None:
+                        continue  # no stats → keep
                 try:
                     drop = not _overlaps(mn, mx, op, val)
                 except TypeError:
@@ -1197,18 +1331,22 @@ class SnapshotTable:
         for s in self._snapshots():
             for rel in s["files"]:
                 first_seen.setdefault(rel, s["version"])
+        fstats = snap.get("file_stats") or {}
         rows = []
         for rel in snap["files"]:
-            path = os.path.join(self.root, rel)
-            meta = pq.read_metadata(path)
+            entry = fstats.get(rel)
+            if entry and "#rows" in entry and "#bytes" in entry:
+                # manifest-embedded counts: zero footer IO (Iceberg's
+                # record_count / file_size_in_bytes manifest fields)
+                nrows, nbytes = int(entry["#rows"]), int(entry["#bytes"])
+                ngroups = int(entry.get("#row_groups", 1))
+            else:
+                path = os.path.join(self.root, rel)
+                meta = pq.read_metadata(path)
+                nrows, nbytes = int(meta.num_rows), int(os.path.getsize(path))
+                ngroups = int(meta.num_row_groups)
             rows.append(
-                (
-                    rel,
-                    int(meta.num_rows),
-                    int(os.path.getsize(path)),
-                    int(meta.num_row_groups),
-                    first_seen.get(rel, snap["version"]),
-                )
+                (rel, nrows, nbytes, ngroups, first_seen.get(rel, snap["version"]))
             )
         return self.spark.createDataFrame(
             rows,
