@@ -2406,3 +2406,46 @@ def q140_hidden_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame
         F.lit(files_scanned < files_total).alias("pruned_strict"),
         F.lit(1 <= files_scanned <= 8).alias("scan_bound_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q141: $partitions metadata table under a hidden-partition spec
+#       (Iceberg ``SELECT * FROM t.$partitions``; reference metadata
+#       scans are $history/$files — this widens the same surface).
+#       Events are CTAS'd under days(ts); partitions_metadata() serves
+#       per-day file/record/byte rollups straight from the manifest's
+#       embedded stats (zero footer IO — probe-receipted in
+#       tools/probe_manifest_stats.py). The oracle recomputes the
+#       per-day record counts from raw parquet via the SAME epoch-day
+#       arithmetic the transform writes, and n_files=1 is deterministic
+#       by construction (each day-dir is written by exactly one task
+#       after the dir-column repartition), so file-splitting or
+#       misattributed rows hash-fail. sized_ok pins that every
+#       partition reports real bytes.
+# ---------------------------------------------------------------------------
+@register(
+    "q141_partitions_metadata",
+    covers="table-layer S9 metadata-scan hidden-partitioning A1",
+    oracle="""
+SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_id,
+       CAST(1 AS BIGINT) AS n_files,
+       CAST(count(*) AS BIGINT) AS record_count,
+       TRUE AS sized_ok
+FROM events
+GROUP BY 1
+""",
+)
+def q141_partitions_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables.snapshot_table import SnapshotTable
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    table = SnapshotTable(spark, scratch_dir(prefix="partmeta_"))
+    table.create_or_replace(ev, partitions=4, partition_by=["days(ts)"])
+    return table.partitions_metadata().select(
+        F.regexp_extract("partition", r"ts_day=(-?\d+)", 1)
+        .cast("bigint")
+        .alias("day_id"),
+        F.col("file_count").alias("n_files"),
+        "record_count",
+        (F.col("size_bytes") > 0).alias("sized_ok"),
+    )

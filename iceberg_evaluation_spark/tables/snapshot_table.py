@@ -1354,6 +1354,49 @@ class SnapshotTable:
             " n_row_groups INT, added_in_version INT",
         )
 
+    def partitions_metadata(self, version: int | None = None) -> DataFrame:
+        """Per-partition summary of a snapshot (Iceberg ``SELECT * FROM
+        t.$partitions``): the partition path (``k=v`` segments joined
+        with ``/``, ``''`` for unpartitioned files), file count, record
+        count, and byte size. Served from the manifest's embedded file
+        stats — zero footer IO on stats-carrying tables; pre-upgrade
+        files take one footer read each (same cost as files_metadata).
+        Files written under different spec eras aggregate under their
+        OWN layout, exactly like Iceberg's partitions table after spec
+        evolution. Counts are DATA-file record counts (Iceberg
+        semantics): rows masked by live equality-deletes still count
+        here until compact() materializes them."""
+        import pyarrow.parquet as pq
+
+        snap = self._read_snapshot(
+            self.current_version() if version is None else version
+        )
+        fstats = snap.get("file_stats") or {}
+        agg: dict[str, list[int]] = {}
+        for rel in snap["files"]:
+            part = "/".join(
+                seg for seg in rel.split(os.sep)[:-1] if "=" in seg
+            )
+            entry = fstats.get(rel)
+            if entry and "#rows" in entry and "#bytes" in entry:
+                nrows, nbytes = int(entry["#rows"]), int(entry["#bytes"])
+            else:
+                path = os.path.join(self.root, rel)
+                nrows = int(pq.read_metadata(path).num_rows)
+                nbytes = int(os.path.getsize(path))
+            acc = agg.setdefault(part, [0, 0, 0])
+            acc[0] += 1
+            acc[1] += nrows
+            acc[2] += nbytes
+        rows = [
+            (part, acc[0], acc[1], acc[2]) for part, acc in sorted(agg.items())
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "partition STRING, file_count LONG, record_count LONG,"
+            " size_bytes LONG",
+        )
+
     # ------------------------------------------------------------------ merge
     def merge(
         self,
