@@ -2449,3 +2449,71 @@ def q141_partitions_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         "record_count",
         (F.col("size_bytes") > 0).alias("sized_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q142: key-delete pruned through the bucket transform — the point-
+#       takedown cost story at scale: DELETE WHERE user_id IN (3, 7)
+#       on a bucket(8, user_id) layout scans and rewrites ONLY the
+#       victims' bucket dirs (<= 2 of 8), never the table. The Spark
+#       side computes the victims' bucket values with the SAME murmur3
+#       mirror the pruner uses and pins (a) candidates ⊆ victim-bucket
+#       files, (b) rewritten_files <= candidates, (c) pruning engaged
+#       strictly. Contents after the delete hash against the raw-
+#       parquet oracle's complement — a transform-translation bug that
+#       wrongly pruned a matching file would leave survivors of users
+#       3/7 and shift every aggregate. (Iceberg DELETE FROM + bucket
+#       spec; reference merge prunes on an identity date key only,
+#       pyspark_functions.py:119-135.)
+# ---------------------------------------------------------------------------
+@register(
+    "q142_bucket_pruned_delete",
+    covers="table-layer M5 M9-shape P3 A1 hidden-partitioning",
+    oracle=f"""
+SELECT CAST(sum(CASE WHEN user_id NOT IN (3, 7) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_rows_after,
+       CAST(sum(CASE WHEN user_id IN (3, 7) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_deleted,
+       {sql_sum("CASE WHEN user_id NOT IN (3, 7) THEN value ELSE 0 END")}
+         AS value_after,
+       TRUE AS prune_engaged,
+       TRUE AS scan_in_victim_buckets,
+       TRUE AS rewrite_bounded
+FROM events
+""",
+)
+def q142_bucket_pruned_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables.snapshot_table import SnapshotTable
+    from ..tables.transforms import parse_spec
+
+    victims = [3, 7]
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    table = SnapshotTable(spark, scratch_dir(prefix="bktdel_"))
+    table.create_or_replace(ev, partitions=4, partition_by=["bucket(8, user_id)"])
+
+    snap = table._read_snapshot(table.current_version())
+    files_total = len(snap["files"])
+    fld = parse_spec("bucket(8, user_id)")
+    victim_dirs = {f"user_id_bucket8={fld.eval_literal(v, 'bigint')}" for v in victims}
+    bucket_files = {
+        rel for rel in snap["files"]
+        if any(seg in victim_dirs for seg in rel.split("/"))
+    }
+    pf = [("user_id", "in", victims)]
+    candidates = table.pruned_files(pf)
+
+    keys = spark.createDataFrame([(v,) for v in victims], "user_id long")
+    n_deleted = table.delete_keys(keys, on=["user_id"], prune_filters=pf)
+    rewritten = int(
+        table._read_snapshot(table.current_version())["summary"]["rewritten_files"]
+    )
+    return table.read().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows_after"),
+        F.lit(int(n_deleted)).cast("bigint").alias("n_deleted"),
+        exact_sum(F.col("value")).alias("value_after"),
+        F.lit(0 < len(candidates) < files_total).alias("prune_engaged"),
+        F.lit(set(candidates) <= bucket_files).alias("scan_in_victim_buckets"),
+        F.lit(rewritten <= len(candidates)).alias("rewrite_bounded"),
+    )
