@@ -1840,6 +1840,7 @@ class SnapshotTable:
         strategy: str = "binpack",
         zorder_by: list[str] | None = None,
         zorder_bits: int = 16,
+        sort_by: list[str] | None = None,
         target_files: int | None = None,
     ) -> int:
         """Data-file rewrite (reference ``OPTIMIZE … REWRITE DATA USING
@@ -1892,6 +1893,27 @@ class SnapshotTable:
             )
             files = self._write_files(arranged)
             summary["zorder_by"] = list(zorder_by)
+        elif strategy == "sort":
+            # Iceberg rewrite_data_files(strategy => 'sort'): a GLOBAL
+            # order on sort_by — range-partition then sort within, so
+            # each output file owns a disjoint key range and manifest
+            # min/max pruning on the leading column is surgical. The
+            # single-dimension clustering complement to zorder (which
+            # trades per-column tightness for multi-column bounding
+            # boxes); same cost class — one range shuffle of the table.
+            if not sort_by:
+                raise ValueError("strategy='sort' requires sort_by columns")
+            if part_by:
+                raise ValueError(
+                    "sort compaction of a partitioned table is not "
+                    "supported — binpack preserves the partition layout; "
+                    "use sort on unpartitioned tables"
+                )
+            arranged = df.repartitionByRange(
+                n, *[F.col(c) for c in sort_by]
+            ).sortWithinPartitions(*sort_by)
+            files = self._write_files(arranged)
+            summary["sort_by"] = list(sort_by)
         elif strategy == "binpack":
             files = self._write_files(df, target_partitions=n, partition_by=part_by)
         else:

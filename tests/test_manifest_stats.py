@@ -136,3 +136,29 @@ def test_decimal_stats_roundtrip(spark, tmp_path):
         assert isinstance(mn, decimal.Decimal) and mn <= mx
     kept = t.pruned_files([("m", ">=", decimal.Decimal("15.00"))])
     assert 0 < len(kept) <= len(t._read_snapshot(t.current_version())["files"])
+
+
+def test_sort_compaction_clusters_for_pruning(spark, tmp_path):
+    """compact(strategy='sort') gives files disjoint key ranges, so a
+    range predicate prunes to O(1) files where the scattered layout
+    kept nearly all of them."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create_or_replace(_df(spark, 0, 400), partitions=8)  # k scattered
+    filt = [("k", "between", (100, 140))]
+    before = len(t.pruned_files(filt))
+    t.compact(strategy="sort", sort_by=["k"], target_files=8)
+    snap = t._read_snapshot(t.current_version())
+    assert len(snap["files"]) == 8
+    after = len(t.pruned_files(filt))
+    assert after < before and after <= 2
+    got = t.read_where(filt).count()
+    assert got == 41
+    # guards
+    with pytest.raises(ValueError, match="requires sort_by"):
+        t.compact(strategy="sort")
+    t2 = SnapshotTable(spark, str(tmp_path / "p"))
+    t2.create_or_replace(
+        _df(spark, 0, 50).withColumn("m", F.col("k") % 3), partition_by=["m"]
+    )
+    with pytest.raises(ValueError, match="not supported"):
+        t2.compact(strategy="sort", sort_by=["k"])
