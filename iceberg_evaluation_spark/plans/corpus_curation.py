@@ -2468,7 +2468,7 @@ def q141_partitions_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "q142_bucket_pruned_delete",
-    covers="table-layer M5 M9-shape P3 A1 hidden-partitioning",
+    covers="table-layer M5-shape M9-shape P3 A1 hidden-partitioning",
     oracle=f"""
 SELECT CAST(sum(CASE WHEN user_id NOT IN (3, 7) THEN 1 ELSE 0 END) AS BIGINT)
          AS n_rows_after,

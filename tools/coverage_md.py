@@ -126,6 +126,9 @@ DESCRIPTIONS = [
     ("similarity-state", "Durable IVF ANN index (persisted centroids + cell-partitioned inverted lists, append-without-retrain, staleness-gated retrain)"),
     ("classifier-inference", "Hashed linear classifier inference (fastText-shape quality gate, broadcast B-row model)"),
     ("schema-evolution", "Schema evolution end-to-end (add/backfill/rename-recipe/drop + time travel)"),
+    ("hidden-partitioning", "Hidden-partition transforms (days/hours/months/years/bucket/truncate): source-column predicates prune through the layout, composed with manifest min/max stats"),
+    ("metadata-scan", "$partitions metadata table (per-partition file/record/byte rollup from manifest-embedded stats, zero footer IO)"),
+    ("M9-shape", "Key-delete with transform-pruned candidate scan (takedown cost bounded by victim buckets)"),
     ("training-curriculum", "Curriculum export (global score order as range shards, one wide shuffle)"),
 ]
 
