@@ -1398,6 +1398,38 @@ class SnapshotTable:
         )
 
     # ------------------------------------------------------------------ merge
+    def _key_prune_filters(
+        self, src_keys: DataFrame, on: list[str]
+    ) -> list[tuple[str, str, Any]] | None:
+        """Metadata prune filters derived from a MERGE/DELETE source's
+        key values — the scan-planning step that makes row-level ops
+        cost O(candidate files), not O(table), on clustered/partitioned/
+        bucketed layouts (Iceberg's merge touched-file planning).
+
+        Conservative by construction: candidates must be a SUPERSET of
+        files that can hold a matching key. Small key sets become an
+        ``in`` filter (translates through bucket dirs AND min/max
+        stats); large ones a ``between`` on the leading key (stats +
+        order-preserving transforms only). Returns None — no pruning —
+        when any source key is NULL: column stats ignore nulls, so a
+        file holding NULL-key rows could be wrongly pruned while
+        eqNullSafe matching would have touched it."""
+        k0 = on[0]
+        if src_keys.filter(F.col(k0).isNull()).limit(1).collect():
+            return None
+        vals = [
+            r[0]
+            for r in src_keys.select(k0).distinct().limit(1001).collect()
+        ]
+        if not vals:
+            return None
+        if len(vals) <= 1000:
+            return [(k0, "in", vals)]
+        mm = src_keys.agg(
+            F.min(k0).alias("mn"), F.max(k0).alias("mx")
+        ).collect()[0]
+        return [(k0, "between", (mm["mn"], mm["mx"]))]
+
     def merge(
         self,
         source: DataFrame,
@@ -1455,6 +1487,21 @@ class SnapshotTable:
                 )
 
         src_keys = src.select(*on).distinct()
+        # metadata pre-prune: restrict the touched-file DISCOVERY scan to
+        # files whose manifest stats / partition dirs / bucket dirs can
+        # hold a source key at all — on a clustered or bucketed layout
+        # the discovery cost drops from O(table) to O(candidate files).
+        # Conservative (superset), and skipped entirely when a source
+        # key is NULL (stats ignore nulls; see _key_prune_filters).
+        candidate_rel = prev["files"]
+        if len(prev["files"]) >= 8:
+            kf = self._key_prune_filters(src_keys, on)
+            if kf is not None:
+                candidate_rel = self.pruned_files(kf, version=base_version)
+                if len(candidate_rel) < len(prev["files"]):
+                    target_all = self._read_snapshot_df(
+                        prev, only_files=candidate_rel, with_file_col="__file"
+                    )
         # file-level pruning: only files containing key matches are rewritten.
         # The match condition MUST mirror _apply_merge's eqNullSafe semantics:
         # a plain column-name semi-join is null-rejecting, so a target row
@@ -1523,6 +1570,7 @@ class SnapshotTable:
                     "carried_files": len(prev["files"]),
                     "added_files": len(new_files),
                     "added_delete_files": len(del_files),
+                    "discovery_candidates": len(candidate_rel),
                     **(summary_extra or {}),
                 },
                 prev["schema"],
@@ -1542,6 +1590,7 @@ class SnapshotTable:
                 "rewritten_files": len(touched_rel),
                 "carried_files": len(untouched_rel),
                 "added_files": len(new_files),
+                "discovery_candidates": len(candidate_rel),
                 **(summary_extra or {}),
             },
             prev["schema"],
@@ -1595,12 +1644,22 @@ class SnapshotTable:
             raise ValueError(f"unknown delete mode {mode!r}")
         base_version = self.current_version()
         snap = self._read_snapshot(base_version)
-        candidates = (
-            self.pruned_files(prune_filters, version=base_version)
-            if prune_filters
-            else snap["files"]
-        )
         src = keys_df.select(*on).distinct().localCheckpoint(eager=False)
+        if prune_filters:
+            candidates = self.pruned_files(prune_filters, version=base_version)
+        elif len(snap["files"]) >= 8:
+            # no caller-supplied filters: auto-derive them from the key
+            # set (manifest stats / partition dirs / bucket transforms),
+            # same conservative planning as merge() — a takedown batch
+            # scans candidate files, not the table
+            kf = self._key_prune_filters(src, on)
+            candidates = (
+                self.pruned_files(kf, version=base_version)
+                if kf is not None
+                else snap["files"]
+            )
+        else:
+            candidates = snap["files"]
         scan = self._read_snapshot_df(
             snap, only_files=candidates, with_file_col="__file"
         )
