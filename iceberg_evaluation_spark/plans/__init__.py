@@ -28,21 +28,21 @@ from . import corpus_quality  # noqa: E402,F401
 _R11_PINNED = [
     # flagship stays first (driver entry() smoke-checks it anyway)
     "q01_pricing_summary",
-    # the round's code paths: q135 now runs the whole takedown
-    # merge-on-read with a durable ledger + resume re-run (new
-    # ledger_resume_ok column); q137's sync_from_cdf gained the
-    # marker-guarded per-window delete and the delete_mode route;
-    # q134's topk_rescored gained the fallback_col receipt; q38 is the
-    # float64 durable-open anchor over the same edited module
+    # the round's code paths: q135 runs the takedown merge-on-read
+    # with a durable ledger + resume re-run; q137's sync_from_cdf
+    # gained the marker-guarded per-window delete, delete_mode route,
+    # and window batching; q44 rides the merge() discovery pre-prune
+    # and the TIMESTAMP_MICROS table writes added in the second wave
     "q135_takedown_propagation",
     "q137_cdf_ann_sync",
-    "q134_pq_ann_rescore",
-    "q38_ivf_cosine_topk",
+    "q44_scd2_table_pipeline",
 ]
-# 5 pins + 2 new (q138/q139, never checked → auto-sorted in) = 7 of
-# 50; the remaining 43 slots pull the WHOLE 41-query r8 cohort forward
-# (their verdicts age out of the ≤-3-rounds SLA after this round) plus
-# the oldest r9 entries — the freshness SLA's steady state holds.
+# 4 pins + 5 new (q138-q142, never checked → auto-sorted in) = 9 of
+# 50; the remaining 41 slots pull the WHOLE 41-query r8 cohort forward
+# (their verdicts age out of the ≤-3-rounds SLA after this round) —
+# exactly full, so the r11 second wave dropped the q134/q38 pins
+# (r10-verdicted, module untouched since) for the new table-layer
+# queries and the merge-path anchor q44.
 _REPO_ROOT = _os.path.dirname(
     _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
 )
