@@ -31,18 +31,19 @@ _R11_PINNED = [
     # the round's code paths: q135 runs the takedown merge-on-read
     # with a durable ledger + resume re-run; q137's sync_from_cdf
     # gained the marker-guarded per-window delete, delete_mode route,
-    # and window batching; q44 rides the merge() discovery pre-prune
-    # and the TIMESTAMP_MICROS table writes added in the second wave
+    # and window batching. The second wave's table-layer changes
+    # (TIMESTAMP_MICROS writes, manifest stats, merge discovery
+    # pre-prune) get their driver verdicts through the six NEW queries
+    # q138-q143, which auto-sort into the head as never-checked.
     "q135_takedown_propagation",
     "q137_cdf_ann_sync",
-    "q44_scd2_table_pipeline",
 ]
-# 4 pins + 5 new (q138-q142, never checked → auto-sorted in) = 9 of
+# 3 pins + 6 new (q138-q143, never checked → auto-sorted in) = 9 of
 # 50; the remaining 41 slots pull the WHOLE 41-query r8 cohort forward
 # (their verdicts age out of the ≤-3-rounds SLA after this round) —
-# exactly full, so the r11 second wave dropped the q134/q38 pins
-# (r10-verdicted, module untouched since) for the new table-layer
-# queries and the merge-path anchor q44.
+# exactly full. The r11 second wave dropped the q134/q38/q44 pins
+# (r10-verdicted; the merge path q44 rides is driver-checked through
+# q143's discovery-prune receipts instead).
 _REPO_ROOT = _os.path.dirname(
     _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
 )

@@ -2517,3 +2517,80 @@ def q142_bucket_pruned_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(set(candidates) <= bucket_files).alias("scan_in_victim_buckets"),
         F.lit(rewritten <= len(candidates)).alias("rewrite_bounded"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q143: MERGE touched-file discovery pruned by source-key metadata —
+#       the row-level-op scan-planning receipt (Iceberg merge planning;
+#       the reference's daily MERGE loop, notebook cells 26-45, scans
+#       the full table per merge). Orders are CTAS'd range-clustered on
+#       o_orderkey (12 files with disjoint key ranges via sort
+#       compaction); a 1%-of-keys delta then MERGEs in: the discovery
+#       scan reads only the files whose manifest stats admit a delta
+#       key (discovery_candidates < files_total, receipt-pinned from
+#       the commit summary), and rewritten_files stays within the
+#       candidates. The merged contents — updated totals for delta
+#       keys, untouched rows bit-identical — hash against a DuckDB
+#       CASE-replay of the same upsert. At 100 TB this is the
+#       difference between a daily merge that reads 100 TB to find its
+#       touched files and one that reads the delta's key-range sliver.
+# ---------------------------------------------------------------------------
+@register(
+    "q143_merge_discovery_prune",
+    covers="table-layer M5-shape J2 A1 P5",
+    oracle=f"""
+WITH th AS (
+  SELECT min(o_orderkey)
+         + CAST(floor((max(o_orderkey) - min(o_orderkey)) / 20.0) AS BIGINT)
+           AS v
+  FROM orders
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       {sql_sum("CASE WHEN o_orderkey <= (SELECT v FROM th) THEN 0.0 ELSE o_totalprice END")}
+         AS untouched_price_sum,
+       CAST(sum(CASE WHEN o_orderkey <= (SELECT v FROM th) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_updated,
+       TRUE AS discovery_pruned,
+       TRUE AS rewrite_within_candidates
+FROM orders
+""",
+)
+def q143_merge_discovery_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables.snapshot_table import MergeClause, SnapshotTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    table = SnapshotTable(spark, scratch_dir(prefix="mergedisc_"))
+    table.create_or_replace(orders)
+    table.compact(strategy="sort", sort_by=["o_orderkey"], target_files=12)
+    files_total = len(table._read_snapshot(table.current_version())["files"])
+
+    # the realistic delta shape: a contiguous slice of the keyspace
+    # (~5% — "recent" keys), so range clustering has something to prune
+    mm = orders.agg(
+        F.min("o_orderkey").alias("mn"), F.max("o_orderkey").alias("mx")
+    ).collect()[0]
+    th = int(mm["mn"]) + (int(mm["mx"]) - int(mm["mn"])) // 20
+    delta = orders.filter(F.col("o_orderkey") <= th).withColumn(
+        "o_totalprice", F.lit(0.0)
+    )
+    table.merge(
+        delta,
+        on=["o_orderkey"],
+        clause=MergeClause(
+            matched_update={"o_totalprice": "s.o_totalprice"},
+            insert_when_not_matched=True,
+        ),
+    )
+    summ = table._read_snapshot(table.current_version())["summary"]
+    cand, rew = int(summ["discovery_candidates"]), int(summ["rewritten_files"])
+    return table.read().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        exact_sum(F.col("o_totalprice")).alias("untouched_price_sum"),
+        F.sum((F.col("o_totalprice") == 0.0).cast("bigint"))
+        .cast("bigint")
+        .alias("n_updated"),
+        F.lit(cand < files_total).alias("discovery_pruned"),
+        F.lit(rew <= cand).alias("rewrite_within_candidates"),
+    )
