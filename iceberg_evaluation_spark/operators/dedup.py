@@ -265,16 +265,25 @@ def simhash64(text_col: str | Column, shingle_n: int = 2) -> Column:
             lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
         ),
     )
-    out = F.lit(0).cast("bigint")
-    for i in range(63):
-        out = out + F.when(
-            F.element_at(votes, i + 1) > 0, F.lit(2**i).cast("bigint")
-        ).otherwise(F.lit(0).cast("bigint"))
-    # bit 63 is the sign bit in two's-complement bigint
-    out = out + F.when(
-        F.element_at(votes, 64) > 0, F.lit(-(2**63)).cast("bigint")
-    ).otherwise(F.lit(0).cast("bigint"))
-    return out
+    # bit assembly as ONE fold over (votes, masks): sum the mask of every
+    # positive vote (bit 63's mask is -(2^63), so the two's-complement
+    # sign bit lands exactly as the old per-bit chain produced it). The
+    # earlier 64-term `element_at(votes, i)` chain embedded a full COPY
+    # of the votes aggregate per term — a ~105 KB expression string that
+    # dominated q37's plan (437 KB explain output, 64x-duplicated tree
+    # walked by every analyzer/optimizer rule); this form references
+    # `votes` once.
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            masks,
+            lambda v, m: F.when(v > 0, m.cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
 
 
 def simhash_frame(
