@@ -69,6 +69,10 @@ _NUM_HASHES = 64
 _BANDS = 16
 _ROWS = _NUM_HASHES // _BANDS
 
+# cross-instance bloom-filter cache keyed by the fingerprint table's
+# manifest (dev, inode, bits, hashes) — see DedupState._bloom_identity_key
+_BLOOM_WORDS_BY_MANIFEST: dict = {}
+
 
 def _band_frame(sh: DataFrame) -> DataFrame:
     """(_id, band, bucket) from a (_id, _sh) shingle frame — the same
@@ -221,16 +225,21 @@ def _capped_append_rows(
     the buckets the delta touches (semi-join pruned read of the index),
     and new rows fill each bucket lowest-id-first up to the remaining
     headroom — the same deterministic keep-lowest rule as the build."""
+    # broadcast hints: ``touched`` and ``occ`` are delta-derived key
+    # sets (bounded by the append's own touched buckets), never
+    # index-sized — the hint pins the build side so the standing index
+    # is only ever streamed, not shuffled (guide §3.1: size estimates
+    # for freshly-derived frames default to "huge" and pick sort-merge)
     touched = new_rows.select(*keys).distinct()
     occ = (
-        existing.join(touched, keys, "left_semi")
+        existing.join(F.broadcast(touched), keys, "left_semi")
         .groupBy(*keys)
         .agg(F.count("*").alias("_occ"))
     )
     w = Window.partitionBy(*keys).orderBy("id")
     return (
         new_rows.withColumn("_rn", F.row_number().over(w))
-        .join(occ, keys, "left")
+        .join(F.broadcast(occ), keys, "left")
         .filter(F.col("_rn") + F.coalesce(F.col("_occ"), F.lit(0)) <= max_bucket)
         .drop("_rn", "_occ")
     )
@@ -339,11 +348,42 @@ class DedupState:
     # same bug class as the partner scan, one level up).
     _bloom_cache: tuple[int, tuple[int, int], list[int]] | None = None
 
+    def _bloom_identity_key(
+        self, version: int, num_bits: int, num_hashes: int
+    ) -> tuple | None:
+        """Content-identity cache key for the fingerprint table at
+        ``version``: the manifest file's (dev, inode, size, mtime_ns).
+        Manifests are immutable (every commit links a NEW v{n}.json),
+        so an inode pins exact table contents — and a hardlinked
+        pristine COPY (plans/_artifacts.pristine_copy) shares the
+        template's inode, letting reopened/copied states reuse the
+        filter instead of re-folding the same corpus per open (the
+        dominant fixed cost of every classify against a fresh-opened
+        state). size+mtime guard the one hole in inode identity:
+        snapshot expiry can delete an old manifest and the filesystem
+        may hand its inode to a NEW manifest — same (dev, ino),
+        different contents."""
+        import os as _os
+
+        try:
+            st = _os.stat(self.fingerprints._snapshot_path(version))
+        except OSError:
+            return None
+        return (
+            st.st_dev, st.st_ino, st.st_size, st.st_mtime_ns,
+            num_bits, num_hashes,
+        )
+
     def bloom_words(self, num_bits: int, num_hashes: int) -> list[int]:
         from .bloom_dedup import build_bloom_words
 
         v = self.fingerprints.current_version()
         key = (num_bits, num_hashes)
+        ckey = self._bloom_identity_key(v, num_bits, num_hashes)
+        if ckey is not None and ckey in _BLOOM_WORDS_BY_MANIFEST:
+            words = _BLOOM_WORDS_BY_MANIFEST[ckey]
+            self._bloom_cache = (v, key, words)
+            return words
         if self._bloom_cache is not None:
             v0, k0, words = self._bloom_cache
             if k0 == key:
@@ -362,6 +402,8 @@ class DedupState:
                         )
                         words = [a | b for a, b in zip(words, new)]
                         self._bloom_cache = (v, key, words)
+                        if ckey is not None:
+                            _BLOOM_WORDS_BY_MANIFEST[ckey] = words
                         return words
         self._bloom_cache = (
             v,
@@ -370,6 +412,8 @@ class DedupState:
                 self.fingerprints.read(), "fp", num_bits, num_hashes
             ),
         )
+        if ckey is not None:
+            _BLOOM_WORDS_BY_MANIFEST[ckey] = self._bloom_cache[2]
         return self._bloom_cache[2]
 
 
@@ -592,10 +636,14 @@ def incremental_neardup_dedup(
             lookup_df.select(F.col(id_col).alias("corpus_id")),
             "incremental_neardup_dedup",
         )
-    # pruned corpus read: shingle ONLY candidate partners
+    # pruned corpus read: shingle ONLY candidate partners. The candidate
+    # id set is bounded (bucket-capped band index → candidate volume is
+    # delta-sized), so it broadcasts; without the hint the fresh
+    # checkpointed frame's default size estimate picks a sort-merge
+    # semi-join and shuffles the fetched partner slice for nothing.
     partners = lookup_df.select(
         F.col(id_col).alias("corpus_id"), F.col(text_col).alias("text")
-    ).join(cand.select("corpus_id").distinct(), "corpus_id", "left_semi")
+    ).join(F.broadcast(cand.select("corpus_id").distinct()), "corpus_id", "left_semi")
     sh_part = _shingle_frame(partners, "corpus_id", "text", shingle_n)
     verified = (
         cand.join(sh_delta.select(F.col("_id").alias("id"), F.col("_sh").alias("_sa")), "id")
@@ -615,8 +663,10 @@ def incremental_neardup_dedup(
         .localCheckpoint(eager=False)  # consumed by both the semi and anti join
     )
 
-    near = not_exact.join(verified, "id", "left_semi")
-    new = not_exact.join(verified, "id", "left_anti")
+    # verified / not_exact ids are delta-bounded: broadcast semi/anti
+    # joins keep the delta stream-side with zero exchanges
+    near = not_exact.join(F.broadcast(verified), "id", "left_semi")
+    new = not_exact.join(F.broadcast(verified), "id", "left_anti")
 
     # ---- stage 3: fold survivors into the artifacts --------------------
     if append_new:
@@ -626,7 +676,8 @@ def incremental_neardup_dedup(
         if not new_c.isEmpty():
             state.fingerprints.append(new_c.select("id", "fp"))
             sh_new = sh_delta.join(
-                new_c.select(F.col("id").alias("_id")), "_id", "left_semi"
+                F.broadcast(new_c.select(F.col("id").alias("_id"))),
+                "_id", "left_semi",
             )
             new_bands = _band_frame(sh_new).select(
                 F.col("_id").alias("id"), "band", "bucket"
@@ -651,7 +702,7 @@ def incremental_neardup_dedup(
             state.append_drops += new_bands.count() - kept.count()
         new = new_c
 
-    exact = d.join(not_exact.select("id"), "id", "left_anti")
+    exact = d.join(F.broadcast(not_exact.select("id")), "id", "left_anti")
     return (
         exact.select("id", F.lit("exact_dup").alias("status"))
         .unionByName(near.select("id", F.lit("near_dup").alias("status")))
@@ -845,7 +896,7 @@ def incremental_semantic_dedup(
         )
     partners = lookup_df.select(
         F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("pvec")
-    ).join(cand.select("corpus_id").distinct(), "corpus_id", "left_semi")
+    ).join(F.broadcast(cand.select("corpus_id").distinct()), "corpus_id", "left_semi")
     verified = (
         cand.join(d.select("id", "vec"), "id")
         .join(partners, "corpus_id")
@@ -863,13 +914,14 @@ def incremental_semantic_dedup(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    dup = d.join(verified, "id", "left_semi")
-    new = d.join(verified, "id", "left_anti")
+    dup = d.join(F.broadcast(verified), "id", "left_semi")
+    new = d.join(F.broadcast(verified), "id", "left_anti")
     if append_new:
         new = new.localCheckpoint(eager=False)
         if not new.isEmpty():
             new_chunks = delta_chunks.join(
-                new.select(F.col("id").alias("_id")), "_id", "left_semi"
+                F.broadcast(new.select(F.col("id").alias("_id"))),
+                "_id", "left_semi",
             ).select(
                 F.col("_id").alias("id"), "chunk", "cval"
             ).localCheckpoint(eager=False)

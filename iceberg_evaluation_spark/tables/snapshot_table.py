@@ -1399,7 +1399,8 @@ class SnapshotTable:
 
     # ------------------------------------------------------------------ merge
     def _key_prune_filters(
-        self, src_keys: DataFrame, on: list[str]
+        self, src_keys: DataFrame, on: list[str],
+        stats: Any | None = None,
     ) -> list[tuple[str, str, Any]] | None:
         """Metadata prune filters derived from a MERGE/DELETE source's
         key values — the scan-planning step that makes row-level ops
@@ -1413,8 +1414,23 @@ class SnapshotTable:
         order-preserving transforms only). Returns None — no pruning —
         when any source key is NULL: column stats ignore nulls, so a
         file holding NULL-key rows could be wrongly pruned while
-        eqNullSafe matching would have touched it."""
+        eqNullSafe matching would have touched it.
+
+        ``stats`` (optional) is a precomputed Row carrying ``__k0_nulls``,
+        ``__nd_k0``, ``__mn``, ``__mx`` over the SAME key frame —
+        merge() computes it in its fused source aggregation so the
+        null/cardinality/min-max probes here cost no extra Spark jobs;
+        only the ≤1000-value ``in``-list still reads the keys."""
         k0 = on[0]
+        if stats is not None:
+            if stats["__n"] == 0:
+                return None
+            if (stats["__k0_nulls"] or 0) > 0:
+                return None
+            if stats["__nd_k0"] > 1000:
+                return [(k0, "between", (stats["__mn"], stats["__mx"]))]
+            vals = [r[0] for r in src_keys.select(k0).distinct().collect()]
+            return [(k0, "in", vals)]
         if src_keys.filter(F.col(k0).isNull()).limit(1).collect():
             return None
         vals = [
@@ -1470,9 +1486,35 @@ class SnapshotTable:
         target_all = self._read_snapshot_df(prev, with_file_col="__file")
         src = source
 
-        if validate_source_unique:
-            # aliased aggregate, NOT .count(): a merge key literally named
-            # "count" would make the filter reference ambiguous
+        # ONE fused source-side aggregation replaces three sequential
+        # driver-blocking jobs (dup-key probe, null-key probe, distinct
+        # key-count): at bench scale each Spark action costs ~0.3-0.4 s
+        # of scheduling/planning regardless of data size, and a merge
+        # pipeline pays that per commit. count_distinct(struct(keys))
+        # counts null-keyed groups exactly like the old groupBy probe
+        # (struct is never null), so the duplicate test n > nd is
+        # equivalent; the example row for the error message is fetched
+        # only on the failure path.
+        need_prune = len(prev["files"]) >= 8
+        k0 = on[0]
+        src_stats = None
+        if validate_source_unique or need_prune:
+            aggs = [
+                F.count(F.lit(1)).alias("__n"),
+                F.count_distinct(
+                    F.struct(*[F.col(k) for k in on])
+                ).alias("__nd"),
+                F.sum(
+                    F.when(F.col(k0).isNull(), 1).otherwise(0)
+                ).alias("__k0_nulls"),
+                F.count_distinct(F.col(k0)).alias("__nd_k0"),
+                F.min(k0).alias("__mn"),
+                F.max(k0).alias("__mx"),
+            ]
+            src_stats = src.agg(*aggs).collect()[0]
+
+        if validate_source_unique and src_stats["__n"] > src_stats["__nd"]:
+            # failure path only: recover one offending key for the message
             dup = (
                 src.groupBy(*on)
                 .agg(F.count(F.lit(1)).alias("__n"))
@@ -1480,11 +1522,10 @@ class SnapshotTable:
                 .limit(1)
                 .collect()
             )
-            if dup:
-                raise ValueError(
-                    f"MERGE source has duplicate keys on {on}: {dup[0]} — "
-                    "cardinality violation (each target row may match at most one source row)"
-                )
+            raise ValueError(
+                f"MERGE source has duplicate keys on {on}: {dup[0]} — "
+                "cardinality violation (each target row may match at most one source row)"
+            )
 
         src_keys = src.select(*on).distinct()
         # metadata pre-prune: restrict the touched-file DISCOVERY scan to
@@ -1494,8 +1535,8 @@ class SnapshotTable:
         # Conservative (superset), and skipped entirely when a source
         # key is NULL (stats ignore nulls; see _key_prune_filters).
         candidate_rel = prev["files"]
-        if len(prev["files"]) >= 8:
-            kf = self._key_prune_filters(src_keys, on)
+        if need_prune:
+            kf = self._key_prune_filters(src_keys, on, stats=src_stats)
             if kf is not None:
                 candidate_rel = self.pruned_files(kf, version=base_version)
                 if len(candidate_rel) < len(prev["files"]):
@@ -1651,8 +1692,21 @@ class SnapshotTable:
             # no caller-supplied filters: auto-derive them from the key
             # set (manifest stats / partition dirs / bucket transforms),
             # same conservative planning as merge() — a takedown batch
-            # scans candidate files, not the table
-            kf = self._key_prune_filters(src, on)
+            # scans candidate files, not the table. One fused agg
+            # replaces the null-probe + distinct-limit jobs (merge()'s
+            # fused-stats move, applied to the delete path).
+            k0 = on[0]
+            key_stats = src.agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.lit(0).alias("__nd"),
+                F.sum(
+                    F.when(F.col(k0).isNull(), 1).otherwise(0)
+                ).alias("__k0_nulls"),
+                F.count_distinct(F.col(k0)).alias("__nd_k0"),
+                F.min(k0).alias("__mn"),
+                F.max(k0).alias("__mx"),
+            ).collect()[0]
+            kf = self._key_prune_filters(src, on, stats=key_stats)
             candidates = (
                 self.pruned_files(kf, version=base_version)
                 if kf is not None
