@@ -22,6 +22,21 @@ def main() -> None:
     # verdict #4): a creeping per-query time on a loaded machine is
     # noise, not regression — record the load so the artifact can say so
     load_before = os.getloadavg()
+
+    def _steal_jiffies() -> int | None:
+        # hypervisor CPU-steal counter (jiffy total across all vCPUs):
+        # measured r11, steal bursts of 12-20%/5s on this host inflate
+        # barrier-style stages 3-6x (every stage waits for its slowest
+        # task, so a stalled vCPU taxes ~200 stages per query). loadavg
+        # cannot see host steal; the before/after delta makes ambient
+        # adjudication mechanical.
+        try:
+            with open("/proc/stat") as f:
+                return int(f.readline().split()[8])
+        except (OSError, IndexError, ValueError):
+            return None
+
+    steal_before = _steal_jiffies()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # --threads N (or SPARK_GRAFT_THREADS): concurrent-query harness shape
     # (the reference benches one thread per query). Sequential remains the
@@ -108,6 +123,11 @@ def main() -> None:
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in os.getloadavg()],
     }
+    steal_after = _steal_jiffies()
+    if steal_before is not None and steal_after is not None:
+        # jiffies of vCPU time stolen by the host during the run —
+        # compare against elapsed wall x HZ x nCPU for a stolen-share
+        invocation["steal_jiffies"] = steal_after - steal_before
     detail = {
         "metric": "corpus_total_wall",
         "value": total,

@@ -645,8 +645,12 @@ def incremental_neardup_dedup(
         F.col(id_col).alias("corpus_id"), F.col(text_col).alias("text")
     ).join(F.broadcast(cand.select("corpus_id").distinct()), "corpus_id", "left_semi")
     sh_part = _shingle_frame(partners, "corpus_id", "text", shingle_n)
+    # the pair set (ids only, delta-bounded) broadcasts onto both wide
+    # shingle frames, so neither array payload is shuffled for the
+    # verification join — the shuffle-keys-not-payloads rule (guide §8)
     verified = (
-        cand.join(sh_delta.select(F.col("_id").alias("id"), F.col("_sh").alias("_sa")), "id")
+        F.broadcast(cand)
+        .join(sh_delta.select(F.col("_id").alias("id"), F.col("_sh").alias("_sa")), "id")
         .join(
             sh_part.select(F.col("_id").alias("corpus_id"), F.col("_sh").alias("_sb")),
             "corpus_id",

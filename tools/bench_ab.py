@@ -117,8 +117,21 @@ def main() -> None:
     args = p.parse_args()
 
     load_before = os.getloadavg()
+
+    def _steal_jiffies() -> int:
+        # hypervisor CPU-steal counter: steal bursts (measured r11:
+        # 12-20%/5s windows on this host) inflate barrier-style stages
+        # several-fold; a per-side-run delta lets an anomalous sample be
+        # discarded mechanically instead of argued about.
+        try:
+            with open("/proc/stat") as f:
+                return int(f.readline().split()[8])
+        except (OSError, IndexError, ValueError):
+            return 0
+
     tmp = tempfile.mkdtemp(prefix="bench_ab_")
     sides = {}
+    steal = {"a": [], "b": []}
     try:
         sides["a"] = _checkout(args.ref_a, tmp)
         sides["b"] = _checkout(args.ref_b, tmp)
@@ -126,7 +139,9 @@ def main() -> None:
         key = "bare_s" if args.bare else "runs_s"
         for rnd in range(args.rounds):
             for side in ("a", "b"):
+                st0 = _steal_jiffies()
                 res = _run_side(sides[side], args.query, args.sf, args.iters)
+                steal[side].append(_steal_jiffies() - st0)
                 if res.get("error"):
                     raise RuntimeError(
                         f"side {side} round {rnd}: {res['error']}"
@@ -164,6 +179,10 @@ def main() -> None:
         "verdict": verdict,
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+        # per-(round, side) host-steal deltas, jiffies — a sample whose
+        # session saw outsized steal is suspect regardless of medians
+        "steal_jiffies_a": steal["a"],
+        "steal_jiffies_b": steal["b"],
         "sf": args.sf,
     }))
 
