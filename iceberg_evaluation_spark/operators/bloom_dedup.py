@@ -215,7 +215,22 @@ def bloom_prefiltered_anti_join(
     keep = [c for c in incoming.columns]
     definitely_new = tagged.filter(~F.col("__might")).select(*keep)
     candidates = tagged.filter(F.col("__might")).select(*keep)
+    # Exact verification, semi-join-first (guide §3.2 shape inverted):
+    # the bloom-positive slice is delta-bounded, so its fp set
+    # broadcasts; semi-joining ``existing`` against it turns the
+    # reference pass into a MAP-ONLY scan (no corpus-side
+    # distinct/shuffle — the old ``existing.distinct()`` anti join
+    # shuffled the whole reference table per probe batch), and the
+    # surviving fps (≤ candidate count) broadcast back for the anti
+    # join. Result identical: the anti join only asks which candidate
+    # fps EXIST in ``existing``.
+    cand_fps = candidates.select(fp_col).distinct()
+    present = (
+        existing.select(fp_col)
+        .join(F.broadcast(cand_fps), on=fp_col, how="left_semi")
+        .distinct()
+    )
     verified_new = candidates.join(
-        existing.select(fp_col).distinct(), on=fp_col, how="left_anti"
+        F.broadcast(present), on=fp_col, how="left_anti"
     ).select(*keep)
     return definitely_new.unionByName(verified_new)
