@@ -901,8 +901,11 @@ def incremental_semantic_dedup(
     partners = lookup_df.select(
         F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("pvec")
     ).join(F.broadcast(cand.select("corpus_id").distinct()), "corpus_id", "left_semi")
+    # pair-set broadcast, as in the text modality's verify join: the
+    # delta and partner VECTOR payloads are never shuffled
     verified = (
-        cand.join(d.select("id", "vec"), "id")
+        F.broadcast(cand)
+        .join(d.select("id", "vec"), "id")
         .join(partners, "corpus_id")
         .filter(
             F.round(
