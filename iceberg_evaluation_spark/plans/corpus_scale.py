@@ -1122,22 +1122,47 @@ def q127_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 #       Scale shape: daily cost is |delta| + probed cells, never the
 #       corpus; the retrain full pass is amortized behind stale().
 # ---------------------------------------------------------------------------
+_Q129_BUILD: dict = {}
+
+
 def _q129_state(spark: SparkSession, sf_dir: str):
+    from types import SimpleNamespace
+
     from ..operators.ann_state import build_ann_state, open_ann_state
+    from ._artifacts import pristine_copy
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     head = emb.filter(F.col("vec_id") % 5 != 0)
     delta = emb.filter(F.col("vec_id") % 5 == 0)
-    cent = scratch_dir(prefix="q129_cent_")
-    assign = scratch_dir(prefix="q129_assign_")
-    st = build_ann_state(
-        spark, head, cent, assign,
-        n_cells=16, retrain_fraction=0.1,
-    )
-    n_appended = st.append(delta)
+    mkey = session_cache_key(spark, sf_dir, "q129")
+
+    # The index build (k-means train + full-corpus assignment + delta
+    # fold) is deterministic from the parquet inputs and the query never
+    # mutates the artifacts after it, so it is pristine-copy material
+    # (r10 verdict #5 harness-cost control, same shape as q137): build
+    # once per session, reopen a hardlinked copy per invocation. The
+    # build-time geometry scalars the restart check compares against are
+    # memoized alongside the roots (they are what build_ann_state's
+    # in-memory object reported before any reopen).
+    def _build() -> list[str]:
+        cent = scratch_dir(prefix="q129_cent_")
+        assign = scratch_dir(prefix="q129_assign_")
+        st = build_ann_state(
+            spark, head, cent, assign,
+            n_cells=16, retrain_fraction=0.1,
+        )
+        n_appended = st.append(delta)
+        _Q129_BUILD[mkey] = SimpleNamespace(
+            n_cells=st.n_cells, dim=st.dim, n_at_train=st.n_at_train,
+            n_appended=st.n_appended, appended_rows=n_appended,
+        )
+        return [cent, assign]
+
+    cent, assign = pristine_copy(spark, sf_dir, "q129", _build)
+    built = _Q129_BUILD[mkey]
     # the restart: a fresh object, geometry read back from disk
     reopened = open_ann_state(spark, cent, assign)
-    return st, reopened, n_appended
+    return built, reopened, built.appended_rows
 
 
 _Q129_CACHE: dict = {}

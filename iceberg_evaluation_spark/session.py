@@ -52,7 +52,25 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Scan-split and AQE-coalesce target sizes (guide §2.2/§6/§9).
+        # Local defaults match Spark's own (128 MB splits, 64 MB advisory)
+        # so the driver's bench stays comparable across rounds; at cluster
+        # scale both should rise — 512 MB–1 GB splits for big sequential
+        # scans and a 256 MB advisory size so AQE coalesces post-shuffle
+        # partitions into the 100 MB–1 GB band instead of Spark's
+        # small-cluster default — set via env without a code change.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get(
+                "SPARK_GRAFT_MAX_PARTITION_BYTES", str(128 * 1024 * 1024)
+            ),
+        )
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get(
+                "SPARK_GRAFT_ADVISORY_PARTITION_BYTES", str(64 * 1024 * 1024)
+            ),
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():
