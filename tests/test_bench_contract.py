@@ -15,7 +15,18 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_bench_final_line_is_short_and_detail_file_is_complete():
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001")
+    # ITERS=1: this test checks the OUTPUT CONTRACT (one short JSON
+    # line, complete per-query detail file), not timing methodology —
+    # every assertion is iteration-count-independent. At 141 queries the
+    # default median-of-3 run (3 timed + 3 bare-variant passes per
+    # query) sits right at the 1800 s subprocess timeout on a quiet
+    # 32-core box and over it under any contention; one pass keeps the
+    # contract check well inside the budget at every corpus size.
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_ITERS="1",
+    )
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True,
