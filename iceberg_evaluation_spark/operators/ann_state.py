@@ -87,6 +87,11 @@ S_COL = "_ann_scale"    # int8 codec: per-vector symmetric scale
 PQ_COL = "_ann_pq"      # pq codec: per-subspace code ids (array<tinyint>)
 PQ_DIR = "pq"           # codebook SnapshotTable under the assignments root
 
+# cross-instance centroid-matrix cache keyed by the centroid table's
+# manifest content-identity (dev, inode, size, mtime_ns) — see
+# AnnState._centroid_matrix. n_cells×dim doubles per entry: bounded.
+_CENTROIDS_BY_MANIFEST: dict = {}
+
 
 def _parse_codec(codec: str) -> tuple[str, int, int]:
     """→ (family, m, n_codes). ``pq{m}x{codes}`` is product quantization
@@ -358,13 +363,39 @@ class AnnState:
 
     # ---------------------------------------------------------- helpers
     def _centroid_matrix(self):
-        """Driver-side centroid fetch: n_cells rows, bounded."""
+        """Driver-side centroid fetch: n_cells rows, bounded.
+
+        Memoized per manifest content-identity (the bloom-cache pattern,
+        incremental_dedup._bloom_identity_key): one q138-style lifecycle
+        pass collects the SAME tiny table 6+ times — append, probe,
+        split, sync each re-fetch it — and every collect is a full
+        driver-blocking Spark action whose scheduling cost dwarfs the
+        n_cells rows it moves. Manifests are immutable (every commit
+        links a NEW v{n}.json) and hardlinked pristine copies share the
+        template's inode, so the key pins exact table contents across
+        instances and copied roots; size+mtime close the inode-reuse
+        hole. Returns a COPY — split_cell mutates the array in place."""
         import numpy as np
 
+        ckey = None
+        try:
+            st = os.stat(
+                self.centroids._snapshot_path(
+                    self.centroids.current_version()
+                )
+            )
+            ckey = (st.st_dev, st.st_ino, st.st_size, st.st_mtime_ns)
+        except OSError:
+            pass
+        if ckey is not None and ckey in _CENTROIDS_BY_MANIFEST:
+            return _CENTROIDS_BY_MANIFEST[ckey].copy()
         rows = self.centroids.read().orderBy("cell").collect()
-        return np.stack(
+        M = np.stack(
             [np.asarray(r["centroid"], dtype="float64") for r in rows]
         )
+        if ckey is not None:
+            _CENTROIDS_BY_MANIFEST[ckey] = M
+        return M.copy()
 
     def _assign(self, df: DataFrame, bc) -> DataFrame:
         v = df.select(
@@ -749,12 +780,34 @@ class AnnState:
             ins = ch.filter(
                 F.col("_change_type").isin("insert", "update_postimage")
             ).select(self.id_col, self.vec_col)
-            has_ins = not ins.isEmpty()
+            # ONE fused probe replaces two sequential isEmpty() actions
+            # (each a full driver round trip per window; the agg also
+            # materializes the ch checkpoint the delete/fold legs reuse)
+            _c = ch.agg(
+                F.sum(
+                    F.when(
+                        F.col("_change_type").isin(
+                            "delete", "update_preimage"
+                        ),
+                        1,
+                    ).otherwise(0)
+                ).alias("d"),
+                F.sum(
+                    F.when(
+                        F.col("_change_type").isin(
+                            "insert", "update_postimage"
+                        ),
+                        1,
+                    ).otherwise(0)
+                ).alias("i"),
+            ).collect()[0]
+            has_dels = bool(_c["d"] or 0)
+            has_ins = bool(_c["i"] or 0)
             marker = {
                 "sink_query_id": query_id,
                 "sink_epoch_id": int(hi),
             }
-            if not dels.isEmpty():  # insert-only windows skip the scan
+            if has_dels:  # insert-only windows skip the scan
                 n = self.delete(
                     dels,
                     summary_extra=None if has_ins else marker,

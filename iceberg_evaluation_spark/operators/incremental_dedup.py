@@ -237,10 +237,17 @@ def _capped_append_rows(
         .agg(F.count("*").alias("_occ"))
     )
     w = Window.partitionBy(*keys).orderBy("id")
+    # rows come back FLAGGED (``_keep``), not filtered: the caller
+    # appends the kept slice and derives the drop count from the SAME
+    # materialized frame in one aggregation — with a filtered return the
+    # drop accounting cost two sequential count() actions per fold
     return (
         new_rows.withColumn("_rn", F.row_number().over(w))
         .join(F.broadcast(occ), keys, "left")
-        .filter(F.col("_rn") + F.coalesce(F.col("_occ"), F.lit(0)) <= max_bucket)
+        .withColumn(
+            "_keep",
+            F.col("_rn") + F.coalesce(F.col("_occ"), F.lit(0)) <= max_bucket,
+        )
         .drop("_rn", "_occ")
     )
 
@@ -688,7 +695,7 @@ def incremental_neardup_dedup(
             ).localCheckpoint(eager=False)
             # occupancy only needs the buckets the append touches — the
             # same pruned read as the probe
-            kept = _capped_append_rows(
+            flagged = _capped_append_rows(
                 _read_index_for(
                     state.bands, new_bands, ["band", "bucket"],
                     state.index_partitions,
@@ -697,13 +704,16 @@ def incremental_neardup_dedup(
                 ["band", "bucket"], state.max_bucket,
             ).localCheckpoint(eager=False)
             _append_index(
-                state.bands, kept, ["band", "bucket"],
+                state.bands, flagged.filter("_keep").drop("_keep"),
+                ["band", "bucket"],
                 state.index_partitions, geometry=state._geometry(),
             )
-            # delta-sized counts (the frames are already materialized by
-            # the checkpoint feeding the write) — keeps append-time recall
-            # loss observable instead of silent
-            state.append_drops += new_bands.count() - kept.count()
+            # one delta-sized agg over the frame the write materialized —
+            # keeps append-time recall loss observable instead of silent
+            _drops = flagged.agg(
+                F.sum(F.when(~F.col("_keep"), 1).otherwise(0))
+            ).collect()[0][0]
+            state.append_drops += int(_drops or 0)
         new = new_c
 
     exact = d.join(F.broadcast(not_exact.select("id")), "id", "left_anti")
@@ -932,7 +942,7 @@ def incremental_semantic_dedup(
             ).select(
                 F.col("_id").alias("id"), "chunk", "cval"
             ).localCheckpoint(eager=False)
-            kept = _capped_append_rows(
+            flagged = _capped_append_rows(
                 _read_index_for(
                     state.bands, new_chunks, ["chunk", "cval"],
                     state.index_partitions,
@@ -941,10 +951,14 @@ def incremental_semantic_dedup(
                 state.max_bucket,
             ).localCheckpoint(eager=False)
             _append_index(
-                state.bands, kept, ["chunk", "cval"],
+                state.bands, flagged.filter("_keep").drop("_keep"),
+                ["chunk", "cval"],
                 state.index_partitions, geometry=state._geometry(),
             )
-            state.append_drops += new_chunks.count() - kept.count()
+            _drops = flagged.agg(
+                F.sum(F.when(~F.col("_keep"), 1).otherwise(0))
+            ).collect()[0][0]
+            state.append_drops += int(_drops or 0)
     return dup.select("id", F.lit("dup").alias("status")).unionByName(
         new.select("id", F.lit("new").alias("status"))
     )

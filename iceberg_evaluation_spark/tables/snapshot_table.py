@@ -1527,6 +1527,17 @@ class SnapshotTable:
                 "cardinality violation (each target row may match at most one source row)"
             )
 
+        # The source plan is otherwise re-evaluated by every later pass
+        # (in-list fetch, touched-file discovery, the merge apply) — for
+        # a delta derived from a table scan that is 2-3 redundant scans
+        # per commit. When the fused stats just PROVED the source small,
+        # pin it once behind a lineage-truncating checkpoint; large
+        # sources keep the re-scan (bounded executor storage beats a
+        # multi-GB materialization at 100 TB). Results are unchanged —
+        # the passes always required a deterministic source.
+        if src_stats is not None and int(src_stats["__n"]) <= 1_000_000:
+            src = src.localCheckpoint(eager=False)
+
         src_keys = src.select(*on).distinct()
         # metadata pre-prune: restrict the touched-file DISCOVERY scan to
         # files whose manifest stats / partition dirs / bucket dirs can
@@ -1714,47 +1725,35 @@ class SnapshotTable:
             )
         else:
             candidates = snap["files"]
-        scan = self._read_snapshot_df(
-            snap, only_files=candidates, with_file_col="__file"
-        )
         # null-safe match, mirroring merge()'s key semantics
-        t_pr = scan.alias("t")
         k_pr = src.alias("k")
         cond = None
         for k in on:
             c = F.col(f"t.{k}").eqNullSafe(F.col(f"k.{k}"))
             cond = c if cond is None else (cond & c)
-        touched_rows = (
-            t_pr.join(k_pr, cond, "left_semi")
-            .select("__file")
-            .distinct()
-            .collect()
-        )
-        if not touched_rows:
-            return 0
-        from urllib.parse import unquote
-
-        def _to_rel(uri: str) -> str:
-            marker = "/data/"
-            idx = uri.rfind(marker)
-            rel = "data/" + uri[idx + len(marker):] if idx >= 0 else uri
-            return unquote(rel)
-
-        touched_set = {_to_rel(r["__file"]) for r in touched_rows}
-        touched_rel = [rel for rel in snap["files"] if rel in touched_set]
-        moved = self._read_snapshot_df(snap, only_files=touched_rel)
-        m = moved.alias("t")
         if mode == "merge-on-read":
-            hit = m.join(k_pr, cond, "left_semi").localCheckpoint(
-                eager=False
+            # single-pass purge: MOR rewrites nothing, and both the
+            # exact count and the equality-delete file need ONLY the
+            # key columns of matching rows — so the touched-file
+            # discovery pass (a second driver-blocking collect whose
+            # answer the COW path uses to pick rewrite victims) is
+            # pure overhead here, and the old full-width victim-row
+            # checkpoint is key-width now. One key-pruned scan of the
+            # candidate files yields count + delete file together.
+            hit = (
+                self._read_snapshot_df(snap, only_files=candidates)
+                .select(*on)
+                .alias("t")
+                .join(k_pr, cond, "left_semi")
+                .localCheckpoint(eager=False)
             )
             n_deleted = int(hit.count())
-            # write only the keys that actually match (touched-files
-            # scan already pruned the read): the read-side anti join
-            # stays |victims|-sized, and absent keys add no state
-            del_files = self._write_files(
-                hit.select(*on).distinct().coalesce(4)
-            )
+            if n_deleted == 0:
+                return 0  # no match: commit nothing (same as COW)
+            # write only the keys that actually match: the read-side
+            # anti join stays |victims|-sized, and absent keys add no
+            # state
+            del_files = self._write_files(hit.distinct().coalesce(4))
             carried = list(snap.get("delete_files") or [])
             new_dels = [
                 {"file": rel, "seq": None, "keys": list(on)}
@@ -1778,7 +1777,32 @@ class SnapshotTable:
                 partition_by=snap.get("partition_by"),
             )
             return n_deleted
-        kept_rows = m.join(k_pr, cond, "left_anti").localCheckpoint(
+        # copy-on-write: discover the touched files (the rewrite victims),
+        # then rewrite only those
+        scan = self._read_snapshot_df(
+            snap, only_files=candidates, with_file_col="__file"
+        )
+        touched_rows = (
+            scan.alias("t")
+            .join(k_pr, cond, "left_semi")
+            .select("__file")
+            .distinct()
+            .collect()
+        )
+        if not touched_rows:
+            return 0
+        from urllib.parse import unquote
+
+        def _to_rel(uri: str) -> str:
+            marker = "/data/"
+            idx = uri.rfind(marker)
+            rel = "data/" + uri[idx + len(marker):] if idx >= 0 else uri
+            return unquote(rel)
+
+        touched_set = {_to_rel(r["__file"]) for r in touched_rows}
+        touched_rel = [rel for rel in snap["files"] if rel in touched_set]
+        moved = self._read_snapshot_df(snap, only_files=touched_rel)
+        kept_rows = moved.alias("t").join(k_pr, cond, "left_anti").localCheckpoint(
             eager=False
         )
         n_deleted = int(moved.count()) - int(kept_rows.count())
