@@ -931,16 +931,33 @@ class AnnState:
         embedding distributions are skewed; k-means rebalances only as
         well as vanilla k-means does, so one fat cell can make every
         probe that touches it a partition-sized read. Driver-side
-        manifest/footer scale, never a data read. A cell grown far past
+        manifest/footer scale, never a data read — and no Spark round
+        trip either: the old path built a createDataFrame out of the
+        manifest entries only to collect() it straight back, a full
+        driver-blocking action per maintenance signal read. The byte
+        counts come from the same manifest ``#bytes`` stats (on-disk
+        getsize fallback for stat-less files). A cell grown far past
         total/n_cells × a small factor is the ``split_cell`` trigger."""
         import re
 
+        a = self.assignments
+        snap = a._read_snapshot(a.current_version())
+        fstats = snap.get("file_stats") or {}
         sizes: dict[int, int] = {}
-        for r in self.assignments.files_metadata().collect():
-            m = re.search(rf"{CELL_COL}=(\d+)/", r["file"])
-            if m:
-                c = int(m.group(1))
-                sizes[c] = sizes.get(c, 0) + int(r["file_size_bytes"])
+        for rel in snap["files"]:
+            m = re.search(rf"{CELL_COL}=(\d+)/", rel)
+            if not m:
+                continue
+            c = int(m.group(1))
+            entry = fstats.get(rel) or {}
+            if "#bytes" in entry:
+                nbytes = int(entry["#bytes"])
+            else:
+                try:
+                    nbytes = os.path.getsize(os.path.join(a.root, rel))
+                except OSError:
+                    continue
+            sizes[c] = sizes.get(c, 0) + nbytes
         return sizes
 
     def split_cell(self, cell: int, n_sub: int = 4) -> list[int]:

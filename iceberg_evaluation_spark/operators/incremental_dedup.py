@@ -486,7 +486,7 @@ def build_dedup_state(
             summary_extra=extra,
         )
     n_banded = banded.count()
-    n_kept = band_table.read().count()
+    n_kept = band_table.count_rows()
     _write_state_meta(band_table.root, meta)
     return DedupState(
         fingerprints=fp_table, bands=band_table,

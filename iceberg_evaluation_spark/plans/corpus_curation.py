@@ -1447,7 +1447,7 @@ def q121_partition_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
             "urgent_price_cents"
         ),
     ).localCheckpoint()
-    pre_rows = t.read().count()
+    pre_rows = t.count_rows()
     pre_cents = t.read().agg(F.sum("price_cents")).collect()[0][0]
 
     t.compact(target_files=4)                                        # migrate
@@ -1456,7 +1456,7 @@ def q121_partition_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
         not any("o_year=" in rel for rel in snap["files"])
     )
     survived = (
-        t.read().count() == pre_rows
+        t.count_rows() == pre_rows
         and t.read().agg(F.sum("price_cents")).collect()[0][0] == pre_cents
     )
 
@@ -1526,7 +1526,7 @@ def q122_snapshot_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]
     expected = nation.count() * 2
     tag_ok = pinned["n"] == expected and pinned["mx"] < 200
-    current_rows = t.read().count()
+    current_rows = t.count_rows()
     try:
         t.read(version=3).count()
         v3_unreadable = False
@@ -1602,7 +1602,7 @@ def q123_wap_branch_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = SnapshotTable(spark, scratch_dir(prefix="q123_"))
     t.create_or_replace(nation)                                      # v1
-    base_rows = t.read().count()
+    base_rows = t.count_rows()
 
     br = t.create_branch("wap")
     br.append(shifted(100))                                          # v2 (branch)
@@ -1617,11 +1617,11 @@ def q123_wap_branch_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
             insert_when_not_matched=False,
         ),
     )
-    staged_rows = br.read().count()
-    main_rows_before = t.read().count()
+    staged_rows = br.count_rows()
+    main_rows_before = t.count_rows()
 
     t.fast_forward("wap")                                            # publish
-    published_rows = t.read().count()
+    published_rows = t.count_rows()
     published_sum = t.read().agg(F.sum("n_regionkey")).collect()[0][0]
     # published history time-travels: v2 is the staged pre-merge image
     tt_sum = t.read(version=2).agg(F.sum("n_regionkey")).collect()[0][0]
@@ -1652,7 +1652,7 @@ def q123_wap_branch_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("staged_premerge_sum"),
         F.lit(refused).alias("diverged_publish_refused"),
-        F.lit(t.read().count()).cast("bigint").alias("final_rows"),
+        F.lit(t.count_rows()).cast("bigint").alias("final_rows"),
     )
 
 
@@ -1828,7 +1828,7 @@ def q125_wap_maintenance_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame
 
     t = SnapshotTable(spark, scratch_dir(prefix="q125_"))
     t.create_or_replace(nation)                                      # v1
-    base_rows = t.read().count()
+    base_rows = t.count_rows()
     t.create_tag("rel-1")                                            # pins v1
     br1 = t.create_branch("audit1")
     br1.append(staged)                                               # branch v2
@@ -1842,7 +1842,7 @@ def q125_wap_maintenance_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame
     gc0 = t.remove_orphan_files(older_than_ms=future)  # all refs live → 0
 
     # branch reads stable under the maintenance above
-    branch_rows = br1.read().count()
+    branch_rows = br1.count_rows()
     branch_sum = br1.read().agg(F.sum("n_regionkey")).collect()[0][0]
 
     # publish conflict: main advanced past the fork (compaction commit)
@@ -1860,7 +1860,7 @@ def q125_wap_maintenance_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame
     br2 = t.create_branch("audit2")
     br2.append(staged)
     t.fast_forward("audit2")
-    republished_rows = t.read().count()
+    republished_rows = t.count_rows()
     republished_sum = t.read().agg(F.sum("n_regionkey")).collect()[0][0]
     tag_rows = t.read_tag("rel-1").count()
     tag_sum = t.read_tag("rel-1").agg(F.sum("n_regionkey")).collect()[0][0]

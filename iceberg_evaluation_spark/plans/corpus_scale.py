@@ -1035,11 +1035,17 @@ def q115_gated_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(agg)
         .withColumn(
             "fingerprints_final",
-            F.lit(session.state.fingerprints.read().count()).cast("bigint"),
+            F.lit(session.state.fingerprints.count_rows()).cast("bigint"),
         )
         .withColumn(
             "corpus_rows_final",
-            F.lit(session.corpus_table.read().count()).cast("bigint"),
+            F.lit(
+                (
+                    session.corpus_table.table
+                    if hasattr(session.corpus_table, "table")
+                    else session.corpus_table
+                ).count_rows()
+            ).cast("bigint"),
         )
         .withColumn(
             "model_validations",

@@ -1194,7 +1194,7 @@ def q104_incremental_crossrun_dedup(spark: SparkSession, sf_dir: str) -> DataFra
         )
     ).localCheckpoint()
 
-    band_rows = state.bands.read().count()
+    band_rows = state.bands.count_rows()
     return (
         docs.agg(F.count(F.lit(1)).cast("bigint").alias("corpus_docs"))
         .crossJoin(delta.agg(F.count(F.lit(1)).cast("bigint").alias("delta_docs")))

@@ -1312,6 +1312,26 @@ class SnapshotTable:
             rows, "version INT, timestamp_ms LONG, operation STRING, n_files INT, summary STRING"
         )
 
+    def count_rows(self, version: int | None = None) -> int:
+        """Exact row count from manifest-embedded file stats — Iceberg's
+        count(*)-from-manifests shape: a driver-side dict sum, zero Spark
+        jobs, zero data IO. Valid only when the snapshot is delete-free
+        (live merge-on-read equality-deletes make raw per-file counts
+        overcount) and every live file carries a ``#rows`` stat (a file
+        whose footer was unreadable at commit time has none); both
+        guards fall back to the full scan count, so the returned number
+        always equals ``read(version).count()``."""
+        v = self.current_version() if version is None else int(version)
+        snap = self._read_snapshot(v)
+        if not snap.get("delete_files"):
+            stats = snap.get("file_stats") or {}
+            ns = [
+                (stats.get(rel) or {}).get("#rows") for rel in snap["files"]
+            ]
+            if all(n is not None for n in ns):
+                return int(sum(ns))
+        return self.read(version=v).count()
+
     def files_metadata(self, version: int | None = None) -> DataFrame:
         """Per-data-file metrics of a snapshot (reference/Iceberg
         ``SELECT * FROM t.$files``): relative path, parquet-footer row

@@ -162,3 +162,49 @@ def test_sort_compaction_clusters_for_pruning(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="not supported"):
         t2.compact(strategy="sort", sort_by=["k"])
+
+
+def test_count_rows_matches_scan_count_everywhere(spark, tmp_path):
+    """count_rows serves exact counts from manifest #rows stats (zero
+    Spark jobs on the stats path) and MUST equal read().count() across
+    every table shape: plain, partitioned, appended, merge-on-read
+    deleted (fallback — raw per-file sums would overcount), compacted,
+    and stats-missing (fallback)."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create_or_replace(_df(spark, 0, 100), partitions=4)
+    assert t.count_rows() == t.read().count() == 100
+
+    t.append(_df(spark, 100, 130))
+    assert t.count_rows() == t.read().count() == 130
+    assert t.count_rows(version=1) == 100  # versioned
+
+    # merge-on-read delete: live equality-deletes force the scan path
+    victims = _df(spark, 0, 10).select("k")
+    n = t.delete_keys(victims, on=["k"], mode="merge-on-read")
+    assert n == 10
+    snap = t._read_snapshot(t.current_version())
+    assert snap["delete_files"], "precondition: live MOR deletes"
+    assert t.count_rows() == t.read().count() == 120
+
+    # compaction materializes the deletes: stats path again
+    t.compact(target_files=2)
+    snap = t._read_snapshot(t.current_version())
+    assert not snap.get("delete_files")
+    assert t.count_rows() == t.read().count() == 120
+
+    # partitioned layout
+    p = SnapshotTable(spark, str(tmp_path / "p"))
+    p.create_or_replace(
+        _df(spark, 0, 60).withColumn("m", F.col("k") % 3), partition_by=["m"]
+    )
+    assert p.count_rows() == p.read().count() == 60
+
+    # a file with no stats entry forces the scan fallback
+    snap = p._read_snapshot(p.current_version())
+    rel = snap["files"][0]
+    del snap["file_stats"][rel]
+    import json as _json
+
+    with open(p._snapshot_path(p.current_version()), "w") as f:
+        _json.dump(snap, f)
+    assert p.count_rows() == p.read().count() == 60
