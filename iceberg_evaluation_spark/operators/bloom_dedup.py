@@ -62,17 +62,28 @@ def bloom_position_exprs(fp_col: str, num_bits: int, num_hashes: int) -> list[Co
     """
     if num_bits <= 0 or num_bits % 64:
         raise ValueError("num_bits must be a positive multiple of 64")
-    return [
-        (
-            F.conv(
-                F.substring(F.md5(F.concat_ws(":", F.col(fp_col), F.lit(str(i)))), 1, 15),
-                16,
-                10,
-            ).cast("bigint")
-            % num_bits
-        )
-        for i in range(num_hashes)
-    ]
+    from ..functions.exprcache import cached_expr
+
+    # constant tree per (fp_col, bits, k): probe batches rebuild it per
+    # delta (twice — tag AND filter fold) at real driver cost otherwise
+    return cached_expr(
+        ("bloom_pos", fp_col, num_bits, num_hashes),
+        lambda: [
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(":", F.col(fp_col), F.lit(str(i)))),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % num_bits
+            )
+            for i in range(num_hashes)
+        ],
+    )
 
 
 def build_bloom_words(

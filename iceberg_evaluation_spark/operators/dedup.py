@@ -97,17 +97,27 @@ def shingles(text_col: str | Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of the normalized text (array<string>).
 
     Empty/short docs yield their full token run as a single shingle so no
-    document silently disappears from the dedup universe.
+    document silently disappears from the dedup universe. For a
+    string-named column the built tree is a constant — memoized per JVM
+    (functions.exprcache), since per-delta operators rebuild it every
+    batch and the lambda tree costs real driver time to construct.
     """
     from ..functions.text import normalize_ws
 
-    toks = F.split(normalize_ws(text_col), " ")
-    k = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(k - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
-    return F.array_distinct(grams)
+    def _build() -> Column:
+        toks = F.split(normalize_ws(text_col), " ")
+        k = F.size(toks)
+        grams = F.transform(
+            F.sequence(F.lit(0), F.greatest(k - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+        return F.array_distinct(grams)
+
+    if isinstance(text_col, str):
+        from ..functions.exprcache import cached_expr
+
+        return cached_expr(("shingles", text_col, n), _build)
+    return _build()
 
 
 # ---------------------------------------------------------------------------
@@ -162,22 +172,41 @@ def _lsh_candidates_from_shingles(
     sh: DataFrame, *, num_hashes: int, bands: int, max_bucket: int
 ) -> DataFrame:
     rows = num_hashes // bands
-    sig = sh.select(
-        "_id", minhash_signature(F.col("_sh"), num_hashes).alias("_sig")
+    from ..functions.exprcache import cached_expr
+
+    # geometry-constant trees, built once per JVM (see exprcache): the
+    # signature lambda tree + the 64-term band structs cost ~1 s of py4j
+    # construction, and bench iterations/per-delta callers repay it
+    sig_col = cached_expr(
+        ("lsh_sig", num_hashes),
+        lambda: minhash_signature(F.col("_sh"), num_hashes).alias("_sig"),
     )
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                *[F.element_at(F.col("_sig"), b * rows + j + 1) for j in range(rows)],
-                F.lit(b),
-            ).alias("bucket"),
+
+    def _bb() -> Column:
+        band_structs = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[
+                        F.element_at(F.col("_sig"), b * rows + j + 1)
+                        for j in range(rows)
+                    ],
+                    F.lit(b),
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+        return F.explode(F.array(*band_structs)).alias("bb")
+
+    banded = (
+        sh.select("_id", sig_col)
+        .select("_id", cached_expr(("lsh_bb", num_hashes, bands), _bb))
+        .select(
+            "_id",
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
         )
-        for b in range(bands)
-    ]
-    banded = sig.select(
-        "_id", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    )
 
     # cap bucket size: deterministic keep-lowest-ids inside each bucket
     from pyspark.sql import Window as W

@@ -50,6 +50,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.exprcache import cached_expr
 from ..tables.snapshot_table import SnapshotTable
 from .bloom_dedup import bloom_prefiltered_anti_join
 from .dedup import _shingle_frame, minhash_signature
@@ -77,21 +78,43 @@ _BLOOM_WORDS_BY_MANIFEST: dict = {}
 def _band_frame(sh: DataFrame) -> DataFrame:
     """(_id, band, bucket) from a (_id, _sh) shingle frame — the same
     signature/banding arithmetic as dedup._lsh_candidates_from_shingles
-    (identical text MUST land in identical buckets across runs)."""
-    sig = sh.select("_id", minhash_signature(F.col("_sh"), _NUM_HASHES).alias("_sig"))
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                *[F.element_at(F.col("_sig"), b * _ROWS + j + 1) for j in range(_ROWS)],
-                F.lit(b),
-            ).alias("bucket"),
+    (identical text MUST land in identical buckets across runs).
+
+    Both projection trees are geometry constants (64 element_at + 16
+    xxhash64 + the MinHash lambda tree ≈ hundreds of py4j calls,
+    ~1.2 s of pure driver time per construction) and the classify path
+    rebuilds them per delta — cached_expr builds each once per JVM."""
+    sig_col = cached_expr(
+        ("neardup_sig", _NUM_HASHES),
+        lambda: minhash_signature(F.col("_sh"), _NUM_HASHES).alias("_sig"),
+    )
+
+    def _bb():
+        band_structs = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[
+                        F.element_at(F.col("_sig"), b * _ROWS + j + 1)
+                        for j in range(_ROWS)
+                    ],
+                    F.lit(b),
+                ).alias("bucket"),
+            )
+            for b in range(_BANDS)
+        ]
+        return F.explode(F.array(*band_structs)).alias("bb")
+
+    bb_col = cached_expr(("neardup_bb", _NUM_HASHES, _BANDS), _bb)
+    return (
+        sh.select("_id", sig_col)
+        .select("_id", bb_col)
+        .select(
+            "_id",
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
         )
-        for b in range(_BANDS)
-    ]
-    return sig.select(
-        "_id", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    )
 
 
 def _require_lookup_covers(cand: DataFrame, lookup_ids: DataFrame, op: str) -> None:
