@@ -63,8 +63,20 @@ def _shingle_frame(
     SAME exchange, so Spark's ReusedExchange computes shingles once
     instead of once per branch."""
     p = parallelism or df.sparkSession.sparkContext.defaultParallelism
+    spread = _spread(df, p)
+    if spread is not df:
+        # PIN the fan-out: a bare repartition is no barrier to the
+        # optimizer — the shingle projection is pushed below it /
+        # adjacent repartitions collapse, so tokenize+shingle ends up
+        # evaluated at the SCAN's parallelism (1-2 tasks, seconds of
+        # serial CPU on a 32-core box) on the map side of the _id
+        # exchange. The lazy checkpoint is an RDD boundary no rule can
+        # cross; it only fires when _spread repartitioned, i.e. on
+        # under-partitioned (hence small) inputs — at-scale scans skip
+        # both the repartition and the checkpoint.
+        spread = spread.localCheckpoint(eager=False)
     return (
-        _spread(df, p)
+        spread
         .select(F.col(id_col).alias("_id"), shingles(text_col, n).alias("_sh"))
         .repartition(p, "_id")
     )
@@ -438,6 +450,19 @@ def ngram_jaccard_pairs(
     # the two size joins (and their extra reads of the shingle exchange)
     # disappear from the plan.
     inv = sh.select("_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("_g"))
+    # Materialize the inverted index ONCE (lineage-truncating, lazy).
+    # Every consumer below references `inv` 2-5 times and each reference
+    # composes further (inv_rare = inv ⋉ dfreq(inv), hot_sets =
+    # inv ⋉ dfreq(inv), …); because column pruning pushes a DIFFERENT
+    # projection into each copy, the subtrees stop being identical and
+    # ReusedExchange never fires — measured at sf0.1 (q33): the physical
+    # plan held 16 copies of the scan→tokenize→shingle→explode pipeline
+    # (16 Scan parquet / 16 Generate, 0 ReusedExchange), the hot CPU
+    # work serialized into 1-2-task broadcast-build stages, 3.4 s each.
+    # One checkpoint = one corpus pass; at scale the exploded index is
+    # the operator's own working set (it is shuffled multiple times
+    # regardless), so storing it once beats 16 corpus re-reads.
+    inv = inv.localCheckpoint(eager=False)
 
     if max_shingle_df is None:
         # |∩| falls straight out of the inverted index: shingles are
@@ -474,7 +499,15 @@ def ngram_jaccard_pairs(
     # tiny per-doc arrays and intersected per candidate pair — exact |∩|
     # without ever self-joining a hot posting list or shuffling the full
     # shingle arrays. |∩| = rare_pair_count + |hot_a ∩ hot_b|.
-    dfreq = inv.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+    # dfreq feeds three consumers (≤cap filter, two >cap semi-join
+    # probes) — checkpoint it too so the per-shingle count aggregate
+    # runs once over the checkpointed index, not once per consumer
+    # (distinct-shingle cardinality × 16 B — far below the index itself)
+    dfreq = (
+        inv.groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .localCheckpoint(eager=False)
+    )
     if require_exact:
         # the precondition check must not cost a second corpus pass: a
         # 1-row assert_true guard is broadcast-cross-joined onto the

@@ -394,7 +394,7 @@ def _q37_bare(spark: SparkSession, sf_dir: str) -> DataFrame:
     bare=_q37_bare,
 )
 def q37_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import simhash64
+    from ..operators.dedup import _spread, simhash64
 
     docs, corpus = _planted_docs(spark, sf_dir)
     # tiny pair set: checkpoint so the branches below don't re-execute the
@@ -416,7 +416,14 @@ def q37_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(pairs.select("id_b"))
         .distinct()
     )
-    sk2 = corpus.join(ids, "doc_id", "left_semi").select(
+    # _spread BEFORE the HOF-aggregate sketch: the corpus arrives as the
+    # scan's 1-2 splits, and because sk2's consumers are broadcast joins
+    # the whole recompute otherwise runs inside a 2-task broadcast-build
+    # stage — 4.8 s serial on a 32-core box for ~0.3 s of spread work
+    # (guide §2.5 input parallelism; same rule as the pair pipeline's
+    # own _spread). Spread the scan, not the semi-join: probing a join
+    # plan's partitioning forces AQE stage materialization.
+    sk2 = _spread(corpus).join(ids, "doc_id", "left_semi").select(
         "doc_id", simhash64("text", 2).alias("_sk2")
     )
     flagged = (
