@@ -444,6 +444,14 @@ def srp_neardup_pairs(
     checks); near-identical pairs match a band with probability
     ``1-(1-(1-θ/π)^band_bits)^bands``. Output: (id_a, id_b, cosine_sim).
     """
+    # fan out the full-corpus scan before the projection pipeline:
+    # posexplode + the ×n_bits sign join + two aggregates are narrow on
+    # the input partitioning, so a 1-2-split scan would serialize the
+    # whole signature computation onto 1-2 cores (measured 2.4 s of a
+    # 4 s query at sf0.1). The delta path (srp_chunks called directly
+    # from incremental_dedup) stays unspread — delta batches are small
+    # and per-batch repartitions measured as pure overhead there.
+    df = _spread(df)
     base = df.select(
         F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
     )

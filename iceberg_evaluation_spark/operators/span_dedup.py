@@ -74,6 +74,16 @@ def duplicated_span_metrics(
         ),
     ).otherwise(F.array().cast("array<string>"))
     docs = staged.select(id_col, "n_tokens", m.alias("n_windows"), windows.alias("_ws"))
+    # Materialize ONCE (lazy lineage-truncating checkpoint): `docs` feeds
+    # two consumers (the posexplode dup-detection path and the final
+    # metrics join), so the tokenize + per-window md5 pipeline otherwise
+    # appears as two independent plan subtrees — and because a bare
+    # repartition is no optimizer barrier, each copy ran at the SCAN's
+    # parallelism (measured at sf0.1: two 3.5 s single-task stages on a
+    # 32-core box). The window inventory is the operator's own working
+    # set (it is exploded and shuffled next), so storing it once costs
+    # less than recomputing it per consumer at any scale.
+    docs = docs.localCheckpoint(eager=False)
 
     wins = docs.select(
         F.col(id_col), F.posexplode("_ws").alias("pos", "h")
