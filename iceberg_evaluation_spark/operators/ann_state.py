@@ -251,6 +251,53 @@ def _geometry_fp(
     return f"ivf:{n_cells}:{dim}:{id_col}:{vec_col}:{codec}"
 
 
+def _window_class_from_manifest(source, lo: int, hi: int):
+    """(has_dels, has_ins) for the single-version CDF window v_lo→v_hi
+    when the source manifest alone proves the class — zero Spark jobs —
+    or None when only a row-level probe can tell.
+
+    Sound cases (each certified by the commit path's own semantics):
+
+    - ``append``: adds rows, removes none — the window's CDF is exactly
+      the added files' rows, so has_ins = (sum of added files' manifest
+      ``#rows``) > 0. Any added file missing stats defers to the probe.
+    - ``delete``: removes exactly ``summary.deleted_rows``, inserts
+      nothing (COW rewrites carry kept rows content-unchanged; MOR adds
+      only a delete file), so the endpoint key-diff has no insert-class
+      rows.
+
+    Everything else (merge — may mix all three classes; schema/spec
+    ops; compaction — content-neutral but its class is the probe's
+    no-op path anyway) returns None.
+    """
+    try:
+        snap = source._read_snapshot(hi)
+    except (OSError, ValueError, KeyError):
+        return None
+    op = snap.get("operation")
+    if op == "append":
+        try:
+            prev_files = set(source._read_snapshot(lo)["files"])
+        except (OSError, ValueError, KeyError):
+            return None
+        stats = snap.get("file_stats") or {}
+        rows = 0
+        for rel in snap.get("files", []):
+            if rel in prev_files:
+                continue
+            n = (stats.get(rel) or {}).get("#rows")
+            if n is None:
+                return None  # stats-less file: let the probe decide
+            rows += int(n)
+        return (False, rows > 0)
+    if op == "delete":
+        n = (snap.get("summary") or {}).get("deleted_rows")
+        if n is None:
+            return None
+        return (int(n) > 0, False)
+    return None
+
+
 def _derive_counters(assignments: SnapshotTable) -> tuple[int, int]:
     """(n_at_train, n_appended) from the snapshot log: scan newest →
     oldest, summing append stamps until the newest build/retrain stamp
@@ -780,29 +827,41 @@ class AnnState:
             ins = ch.filter(
                 F.col("_change_type").isin("insert", "update_postimage")
             ).select(self.id_col, self.vec_col)
-            # ONE fused probe replaces two sequential isEmpty() actions
-            # (each a full driver round trip per window; the agg also
+            # window classification: a single-version window whose
+            # snapshot summary already names the operation class needs
+            # NO Spark job to route — an append window inserts exactly
+            # the rows of its added files (manifest #rows), a delete
+            # window removes exactly summary.deleted_rows and inserts
+            # nothing. Everything else (merge, schema ops, multi-version
+            # batch spans) falls back to ONE fused probe agg (itself the
+            # fusion of two earlier isEmpty() round trips; it also
             # materializes the ch checkpoint the delete/fold legs reuse)
-            _c = ch.agg(
-                F.sum(
-                    F.when(
-                        F.col("_change_type").isin(
-                            "delete", "update_preimage"
-                        ),
-                        1,
-                    ).otherwise(0)
-                ).alias("d"),
-                F.sum(
-                    F.when(
-                        F.col("_change_type").isin(
-                            "insert", "update_postimage"
-                        ),
-                        1,
-                    ).otherwise(0)
-                ).alias("i"),
-            ).collect()[0]
-            has_dels = bool(_c["d"] or 0)
-            has_ins = bool(_c["i"] or 0)
+            has_dels = has_ins = None
+            if hi == lo + 1:
+                verdict = _window_class_from_manifest(source, lo, hi)
+                if verdict is not None:
+                    has_dels, has_ins = verdict
+            if has_dels is None:
+                _c = ch.agg(
+                    F.sum(
+                        F.when(
+                            F.col("_change_type").isin(
+                                "delete", "update_preimage"
+                            ),
+                            1,
+                        ).otherwise(0)
+                    ).alias("d"),
+                    F.sum(
+                        F.when(
+                            F.col("_change_type").isin(
+                                "insert", "update_postimage"
+                            ),
+                            1,
+                        ).otherwise(0)
+                    ).alias("i"),
+                ).collect()[0]
+                has_dels = bool(_c["d"] or 0)
+                has_ins = bool(_c["i"] or 0)
             marker = {
                 "sink_query_id": query_id,
                 "sink_epoch_id": int(hi),

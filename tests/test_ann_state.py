@@ -1338,3 +1338,59 @@ def test_mor_delete_is_codec_independent(spark, tmp_path):
     assert ids == {
         r["vec_id"] for r in kept.select("vec_id").collect()
     }
+
+
+def test_window_class_from_manifest_routes_only_when_sound(spark, tmp_path):
+    """The zero-job window router: append and delete windows classify
+    straight from the snapshot summary/manifest stats; merge windows
+    (which may mix all change classes) defer to the row-level probe.
+    A sync through manifest-routed windows must land the same receipts
+    and index contents as the probe path (the lockstep test's shape)."""
+    from iceberg_evaluation_spark.operators.ann_state import (
+        _window_class_from_manifest,
+    )
+    from iceberg_evaluation_spark.tables.snapshot_table import (
+        MergeClause,
+        SnapshotTable,
+    )
+
+    corpus = SnapshotTable(spark, str(tmp_path / "corpus"))
+    corpus.create_or_replace(_vectors(spark, 60))                    # v1
+    corpus.append(_vectors(spark, 20, seed_shift=1000))              # v2
+    corpus.delete_keys(
+        _vectors(spark, 60).filter(F.col("vec_id") % 6 == 0)
+        .select("vec_id"),
+        on=["vec_id"],
+    )                                                                # v3
+    corpus.merge(                                                    # v4
+        _vectors(spark, 20, seed_shift=1000)
+        .filter(F.col("vec_id") % 2 == 0)
+        .select("vec_id", F.lit(True).alias("_d")),
+        on=["vec_id"],
+        clause=MergeClause(
+            matched_delete_condition="s._d", insert_when_not_matched=False
+        ),
+    )
+    # manifest verdicts: append → insert-only, delete → delete-only,
+    # merge → undecidable without a probe
+    assert _window_class_from_manifest(corpus, 1, 2) == (False, True)
+    assert _window_class_from_manifest(corpus, 2, 3) == (True, False)
+    assert _window_class_from_manifest(corpus, 3, 4) is None
+
+    # end-to-end: a sync spanning all three window classes lands the
+    # exact receipts and leaves index ids == corpus ids
+    cent, assign = _roots(tmp_path)
+    st = build_ann_state(
+        spark, corpus.read(1), cent, assign, n_cells=4,
+        retrain_fraction=10.0,
+    )
+    r = st.sync_from_cdf(corpus, ["vec_id"], query_id="s", from_version=1)
+    assert r == {"windows": 3, "folded": 20, "purged": 20}
+    idx_ids = {
+        row["vec_id"]
+        for row in st.assignments.read().select("vec_id").collect()
+    }
+    src_ids = {
+        row["vec_id"] for row in corpus.read().select("vec_id").collect()
+    }
+    assert idx_ids == src_ids
