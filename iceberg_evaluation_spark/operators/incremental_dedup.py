@@ -117,13 +117,23 @@ def _band_frame(sh: DataFrame) -> DataFrame:
     )
 
 
-def _require_lookup_covers(cand: DataFrame, lookup_ids: DataFrame, op: str) -> None:
-    """ADVICE r4: ``corpus_lookup`` MUST cover every id ever folded into
-    the artifacts — a band candidate whose partner text/vector is absent
-    from the lookup would otherwise be silently dropped by the partner
-    semi-join and the delta row misclassified as 'new'. One cheap
-    anti-join (candidate corpus_ids are already distinct and small)
-    turns that silent recall hole into a loud error."""
+def _coverage_frame(cand: DataFrame, lookup_ids: DataFrame) -> DataFrame:
+    """1-row (``__missing`` bigint) scalar-agg frame counting candidate
+    partner ids absent from the lookup — composable into another
+    action's collect (a global agg of an empty input still yields its
+    one row, so AQE's empty-relation propagation cannot elide it)."""
+    return (
+        cand.select("corpus_id")
+        .distinct()
+        .join(lookup_ids, "corpus_id", "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("__missing"))
+    )
+
+
+def _raise_lookup_missing(
+    cand: DataFrame, lookup_ids: DataFrame, op: str
+) -> None:
+    """Failure path only: fetch a few offending ids for the message."""
     missing = (
         cand.select("corpus_id")
         .distinct()
@@ -131,14 +141,24 @@ def _require_lookup_covers(cand: DataFrame, lookup_ids: DataFrame, op: str) -> N
         .limit(5)
         .collect()
     )
-    if missing:
-        ids = [r["corpus_id"] for r in missing]
-        raise ValueError(
-            f"{op}: corpus_lookup is missing candidate partner ids {ids} "
-            "(it must cover the ORIGINAL corpus plus every delta already "
-            "folded into the artifacts); pass check_lookup=False only if "
-            "missing partners are acceptable as silent 'new' classifications"
-        )
+    ids = [r["corpus_id"] for r in missing]
+    raise ValueError(
+        f"{op}: corpus_lookup is missing candidate partner ids {ids} "
+        "(it must cover the ORIGINAL corpus plus every delta already "
+        "folded into the artifacts); pass check_lookup=False only if "
+        "missing partners are acceptable as silent 'new' classifications"
+    )
+
+
+def _require_lookup_covers(cand: DataFrame, lookup_ids: DataFrame, op: str) -> None:
+    """ADVICE r4: ``corpus_lookup`` MUST cover every id ever folded into
+    the artifacts — a band candidate whose partner text/vector is absent
+    from the lookup would otherwise be silently dropped by the partner
+    semi-join and the delta row misclassified as 'new'. One cheap
+    anti-join (candidate corpus_ids are already distinct and small)
+    turns that silent recall hole into a loud error."""
+    if int(_coverage_frame(cand, lookup_ids).collect()[0]["__missing"]):
+        _raise_lookup_missing(cand, lookup_ids, op)
 
 
 # Derived hash-partition column for PARTITIONED band indexes: the index
@@ -657,15 +677,15 @@ def incremental_neardup_dedup(
         )
     else:
         lookup_df = corpus_lookup
-    if check_lookup:
-        # with a bucketed fetch this is equivalent to checking the full
-        # table: a candidate id's own bucket is in the fetched set by
-        # construction, so the id is fetched iff the table holds it
-        _require_lookup_covers(
-            cand,
-            lookup_df.select(F.col(id_col).alias("corpus_id")),
-            "incremental_neardup_dedup",
-        )
+    # with a bucketed fetch the coverage check is equivalent to checking
+    # the full table: a candidate id's own bucket is in the fetched set
+    # by construction, so the id is fetched iff the table holds it. When
+    # append_new also needs the new-row count, the two scalar probes
+    # fuse into ONE action below; the standalone check runs only on the
+    # classify-only path.
+    lookup_ids = lookup_df.select(F.col(id_col).alias("corpus_id"))
+    if check_lookup and not append_new:
+        _require_lookup_covers(cand, lookup_ids, "incremental_neardup_dedup")
     # pruned corpus read: shingle ONLY candidate partners. The candidate
     # id set is bounded (bucket-capped band index → candidate volume is
     # delta-sized), so it broadcasts; without the hint the fresh
@@ -705,9 +725,21 @@ def incremental_neardup_dedup(
     # ---- stage 3: fold survivors into the artifacts --------------------
     if append_new:
         new_c = new.localCheckpoint(eager=False)
-        # an all-dup delta must not commit empty snapshot versions — a
-        # daily pipeline would otherwise grow two no-op versions per day
-        if not new_c.isEmpty():
+        # ONE fused scalar collect answers both pre-fold questions —
+        # lookup coverage (the guard above) and "did this delta produce
+        # any new rows" (an all-dup delta must not commit empty snapshot
+        # versions — a daily pipeline would otherwise grow two no-op
+        # versions per day). Cross-join of 1-row global aggs: each side
+        # always yields its row, so AQE cannot elide the guard.
+        probe = new_c.agg(F.count(F.lit(1)).cast("long").alias("__n_new"))
+        if check_lookup:
+            probe = probe.crossJoin(_coverage_frame(cand, lookup_ids))
+        row = probe.collect()[0]
+        if check_lookup and int(row["__missing"]):
+            _raise_lookup_missing(
+                cand, lookup_ids, "incremental_neardup_dedup"
+            )
+        if int(row["__n_new"]):
             state.fingerprints.append(new_c.select("id", "fp"))
             sh_new = sh_delta.join(
                 F.broadcast(new_c.select(F.col("id").alias("_id"))),
@@ -925,12 +957,11 @@ def incremental_semantic_dedup(
         )
     else:
         lookup_df = corpus_lookup
-    if check_lookup:
-        _require_lookup_covers(
-            cand,
-            lookup_df.select(F.col(id_col).alias("corpus_id")),
-            "incremental_semantic_dedup",
-        )
+    # coverage guard fuses with the new-row count when appending (one
+    # scalar collect for both) — same shape as the text modality
+    lookup_ids = lookup_df.select(F.col(id_col).alias("corpus_id"))
+    if check_lookup and not append_new:
+        _require_lookup_covers(cand, lookup_ids, "incremental_semantic_dedup")
     partners = lookup_df.select(
         F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("pvec")
     ).join(F.broadcast(cand.select("corpus_id").distinct()), "corpus_id", "left_semi")
@@ -958,7 +989,15 @@ def incremental_semantic_dedup(
     new = d.join(F.broadcast(verified), "id", "left_anti")
     if append_new:
         new = new.localCheckpoint(eager=False)
-        if not new.isEmpty():
+        probe = new.agg(F.count(F.lit(1)).cast("long").alias("__n_new"))
+        if check_lookup:
+            probe = probe.crossJoin(_coverage_frame(cand, lookup_ids))
+        row = probe.collect()[0]
+        if check_lookup and int(row["__missing"]):
+            _raise_lookup_missing(
+                cand, lookup_ids, "incremental_semantic_dedup"
+            )
+        if int(row["__n_new"]):
             new_chunks = delta_chunks.join(
                 F.broadcast(new.select(F.col("id").alias("_id"))),
                 "_id", "left_semi",

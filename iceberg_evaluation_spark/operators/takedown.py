@@ -236,30 +236,47 @@ def takedown_audit(
     count as already-purged.
 
     Returns ``{artifact: leaked_row_count}`` over the same artifact
-    names the ledger records; all-zero = clean."""
+    names the ledger records; all-zero = clean.
+
+    All per-artifact counts are UNIONed into one scalar-agg frame and
+    collected with a single action: an audit over N artifacts was N+1
+    sequential driver round trips (~0.3-0.4 s of scheduling each at any
+    data size), and the independent count subtrees now also execute as
+    parallel stages of the one job instead of serially."""
     first = ids.columns[0]
     ids = ids.select(first).distinct().localCheckpoint(eager=False)
 
-    def _count(df: DataFrame, col: str) -> int:
+    def _count_frame(df: DataFrame, col: str, name: str) -> DataFrame:
         k = ids.select(F.col(first).alias("__k"))
-        return int(
-            df.select(F.col(col)).join(
-                k, F.col(col).eqNullSafe(F.col("__k")), "left_semi"
-            ).count()
+        return (
+            df.select(F.col(col))
+            .join(k, F.col(col).eqNullSafe(F.col("__k")), "left_semi")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .select(F.lit(name).alias("a"), "n")
         )
 
-    out: dict[str, int] = {}
+    frames: list[DataFrame] = []
     if dedup_state is not None:
-        out["dedup"] = _count(
-            dedup_state.fingerprints.read(), "id"
-        ) + _count(dedup_state.bands.read(), "id")
+        frames.append(_count_frame(dedup_state.fingerprints.read(), "id", "dedup"))
+        frames.append(_count_frame(dedup_state.bands.read(), "id", "dedup"))
     if semantic_state is not None:
-        out["semantic"] = _count(semantic_state.bands.read(), "id")
+        frames.append(_count_frame(semantic_state.bands.read(), "id", "semantic"))
     if ann_state is not None:
-        out["ann"] = _count(
-            ann_state.assignments.read().select(ann_state.id_col),
-            ann_state.id_col,
+        frames.append(
+            _count_frame(
+                ann_state.assignments.read().select(ann_state.id_col),
+                ann_state.id_col,
+                "ann",
+            )
         )
     for i, lk in enumerate(lookups):
-        out[f"lookup_{i}"] = _count(lk.fetch(ids), lk.id_col)
+        frames.append(_count_frame(lk.fetch(ids), lk.id_col, f"lookup_{i}"))
+    out: dict[str, int] = {}
+    if not frames:
+        return out
+    u = frames[0]
+    for f in frames[1:]:
+        u = u.unionByName(f)
+    for r in u.collect():
+        out[r["a"]] = out.get(r["a"], 0) + int(r["n"])
     return out
