@@ -225,11 +225,52 @@ def table_changes(
     )
 
 
+def _window_census_from_manifest(
+    source: SnapshotTable, lo: int, hi: int
+) -> dict | None:
+    """``{_change_type: n}`` for the single-version window v_lo→v_hi
+    when the source manifest alone proves it — zero Spark jobs — or
+    None when only the row-level census can tell. Sound cases: an
+    ``append`` window's changes are exactly its added files' rows
+    (manifest ``#rows``; defer if any added file lacks stats), a
+    ``delete`` window removes exactly ``summary.deleted_rows`` and
+    inserts nothing. Zero-count classes are OMITTED, exactly like the
+    groupBy census (an empty append must take the n==0 early return,
+    not the append fast path, or it would commit an empty version)."""
+    try:
+        snap = source._read_snapshot(hi)
+    except (OSError, ValueError, KeyError):
+        return None
+    op = snap.get("operation")
+    if op == "append":
+        try:
+            prev_files = set(source._read_snapshot(lo)["files"])
+        except (OSError, ValueError, KeyError):
+            return None
+        stats = snap.get("file_stats") or {}
+        rows = 0
+        for rel in snap.get("files", []):
+            if rel in prev_files:
+                continue
+            n = (stats.get(rel) or {}).get("#rows")
+            if n is None:
+                return None
+            rows += int(n)
+        return {"insert": rows} if rows else {}
+    if op == "delete":
+        n = (snap.get("summary") or {}).get("deleted_rows")
+        if n is None:
+            return None
+        return {"delete": int(n)} if int(n) else {}
+    return None
+
+
 def apply_changes(
     target: SnapshotTable,
     changes: DataFrame,
     keys: list[str],
     summary_extra: dict | None = None,
+    census: dict | None = None,
 ) -> int:
     """Apply a CDF window to a DOWNSTREAM REPLICA (the consumer half of
     the changelog: Delta's ``MERGE``-from-CDF recipe / Iceberg CDC
@@ -275,14 +316,17 @@ def apply_changes(
     # the change feed (typically table_changes' full-outer diff) is
     # consumed by the type census AND the merge/append below —
     # checkpoint it so the diff executes once, keeping the documented
-    # cost-is-|changes| claim true
+    # cost-is-|changes| claim true. A caller who already knows the
+    # census (e.g. sync_replica's manifest-proven single-version
+    # windows) passes it in and skips the per-window census job.
     ch = changes.localCheckpoint(eager=False)
-    census = {
-        r["_change_type"]: r["n"]
-        for r in ch.groupBy("_change_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+    if census is None:
+        census = {
+            r["_change_type"]: r["n"]
+            for r in ch.groupBy("_change_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
     n = sum(
         census.get(t, 0) for t in ("insert", "update_postimage", "delete")
     )
@@ -438,6 +482,14 @@ def sync_replica(
             "cdc_source_root": source.root,
             "cdc_applied_version": to,
         },
+        # single-version window whose class the source manifest proves:
+        # skip the per-window census job (append/delete windows are the
+        # overwhelming steady-state; merge windows keep the row census)
+        census=(
+            _window_census_from_manifest(source, at, to)
+            if to == at + 1
+            else None
+        ),
     )
     cur["applied_version"] = to
     write_json_meta(os.path.join(replica.root, REPLICA_META), cur)

@@ -224,6 +224,7 @@ class GatedIngestSession:
             lookup = self.corpus_table.read().select(
                 F.col(idc).alias("id"), F.col(txc).alias("text")
             )
+        fp_v_before = self.state.fingerprints.current_version()
         deduped = incremental_neardup_dedup(
             self.state,
             kept,
@@ -247,7 +248,12 @@ class GatedIngestSession:
             ).select(
                 F.col("id").alias(idc), F.col("text").alias(txc)
             ).localCheckpoint(eager=False)
-            if not accepted.isEmpty():
+            # "any new rows?" is already durably answered: the dedup fold
+            # above appends to the fingerprint artifact iff the delta
+            # produced new rows, so a manifest version bump replaces the
+            # per-batch isEmpty() round trip (accepted == the folded set
+            # by construction — both are the 'new'-status ids)
+            if self.state.fingerprints.current_version() > fp_v_before:
                 self.corpus_table.append(accepted)
 
         return rejected.unionByName(

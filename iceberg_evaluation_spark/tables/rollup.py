@@ -146,7 +146,10 @@ class MaterializedRollup:
             eager=False
         )
         n_delta = delta.count()
-        part = self._partial(delta)
+        # |touched groups|-sized; pin it once — with the cardinality
+        # probe skipped below, the merge no longer proves the source
+        # small and would otherwise re-run this shuffle agg per pass
+        part = self._partial(delta).localCheckpoint(eager=False)
         update = (
             {"n_rows": "t.n_rows + s.n_rows"}
             | {f"sum_{c}": f"t.sum_{c} + s.sum_{c}" for c in self.sum_cols}
@@ -159,6 +162,10 @@ class MaterializedRollup:
             part,
             on=self.group_cols,
             clause=MergeClause(matched_update=update),
+            # source is a groupBy(group_cols) output: key-unique by
+            # construction, so the merge's cardinality-probe aggregation
+            # (one driver-blocking job per refresh) proves nothing here
+            validate_source_unique=False,
         )
         self._write_meta(cur)
         return n_delta
@@ -217,7 +224,12 @@ class MaterializedRollup:
             F.sum(F.col(c) * F.col("__sign")).alias(f"sum_{c}")
             for c in self.sum_cols
         ]
-        part = signed.groupBy(*self.group_cols).agg(*aggs)
+        # |touched groups|-sized; pinned for the same reason as
+        # refresh()'s partial — see the validate_source_unique note
+        part = (
+            signed.groupBy(*self.group_cols).agg(*aggs)
+            .localCheckpoint(eager=False)
+        )
         update = {"n_rows": "t.n_rows + s.n_rows"} | {
             f"sum_{c}": f"t.sum_{c} + s.sum_{c}" for c in self.sum_cols
         }
@@ -242,7 +254,11 @@ class MaterializedRollup:
                     ]
                 )
             )
-            part = part.join(sketches, self.group_cols, "left")
+            # re-pin after the join: the sketch rebuild's group-scoped
+            # scan must run once, not once per merge pass
+            part = part.join(sketches, self.group_cols, "left").localCheckpoint(
+                eager=False
+            )
             update |= {
                 f"hll_{c}": f"s.hll_{c}" for c in self.approx_distinct_cols
             }
@@ -254,6 +270,9 @@ class MaterializedRollup:
                 matched_delete_condition="t.n_rows + s.n_rows = 0",
                 matched_update=update,
             ),
+            # groupBy output (the sketch join is 1:1 on the same keys):
+            # key-unique by construction — skip the cardinality probe
+            validate_source_unique=False,
         )
         self._write_meta(cur)
         return n_changes
