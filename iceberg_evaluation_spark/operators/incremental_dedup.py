@@ -175,23 +175,38 @@ def _pband_expr(keys: list[str], m: int):
     return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(m))
 
 
+def _touched_partitions(probe: DataFrame, keys: list[str], m: int) -> list:
+    """The probe's distinct hash partitions — bounded by ``m``, never
+    data-sized. Reusable across reads whose probe keys are a SUBSET of
+    this probe's (superset pruning stays exact: the downstream joins
+    restore precision)."""
+    return sorted(
+        r["p"]
+        for r in probe.select(_pband_expr(keys, m).alias("p"))
+        .distinct()
+        .collect()
+    )
+
+
 def _read_index_for(
     table: SnapshotTable,
     probe: DataFrame,
     keys: list[str],
     m: int | None,
+    partitions_hint: list | None = None,
 ) -> DataFrame:
     """Index rows that could match the probe's key set: the full table
     when unpartitioned, a file-pruned read of the probe's touched hash
     partitions otherwise (the distinct-partition collect is bounded by
-    ``m``, never data-sized)."""
+    ``m``, never data-sized). ``partitions_hint`` — a previously
+    collected partition list from a SUPERSET probe — skips the collect;
+    the extra files it may admit are filtered by the caller's joins."""
     if m is None:
         return table.read()
-    vals = sorted(
-        r["p"]
-        for r in probe.select(_pband_expr(keys, m).alias("p"))
-        .distinct()
-        .collect()
+    vals = (
+        partitions_hint
+        if partitions_hint is not None
+        else _touched_partitions(probe, keys, m)
     )
     if not vals:
         return table.read().limit(0).drop(_INDEX_PCOL)
@@ -651,9 +666,21 @@ def incremental_neardup_dedup(
     )
     delta_bands = _band_frame(sh_delta).localCheckpoint(eager=False)
     # index read file-pruned to the delta's touched hash partitions when
-    # the index was built partitioned (full read otherwise)
+    # the index was built partitioned (full read otherwise). The
+    # partition list is collected ONCE and reused by the append path's
+    # occupancy read below (new-doc band rows are a subset of the
+    # delta's, so the superset prune stays exact) — one bounded collect
+    # per classify instead of two.
+    p_hint = (
+        _touched_partitions(
+            delta_bands, ["band", "bucket"], state.index_partitions
+        )
+        if state.index_partitions is not None
+        else None
+    )
     index = _read_index_for(
-        state.bands, delta_bands, ["band", "bucket"], state.index_partitions
+        state.bands, delta_bands, ["band", "bucket"], state.index_partitions,
+        partitions_hint=p_hint,
     )
     cand = (
         delta_bands.join(
@@ -749,11 +776,11 @@ def incremental_neardup_dedup(
                 F.col("_id").alias("id"), "band", "bucket"
             ).localCheckpoint(eager=False)
             # occupancy only needs the buckets the append touches — the
-            # same pruned read as the probe
+            # same pruned read as the probe, reusing its partition list
             flagged = _capped_append_rows(
                 _read_index_for(
                     state.bands, new_bands, ["band", "bucket"],
-                    state.index_partitions,
+                    state.index_partitions, partitions_hint=p_hint,
                 ),
                 new_bands,
                 ["band", "bucket"], state.max_bucket,
@@ -937,8 +964,18 @@ def incremental_semantic_dedup(
     delta_chunks = srp_chunks(
         d, id_col="id", vec_col="vec", **state.srp_params
     ).localCheckpoint(eager=False)
+    # one bounded partition collect shared with the append path's
+    # occupancy read — same superset-prune argument as the text twin
+    p_hint = (
+        _touched_partitions(
+            delta_chunks, ["chunk", "cval"], state.index_partitions
+        )
+        if state.index_partitions is not None
+        else None
+    )
     index = _read_index_for(
-        state.bands, delta_chunks, ["chunk", "cval"], state.index_partitions
+        state.bands, delta_chunks, ["chunk", "cval"], state.index_partitions,
+        partitions_hint=p_hint,
     )
     cand = (
         delta_chunks.join(
@@ -1007,7 +1044,7 @@ def incremental_semantic_dedup(
             flagged = _capped_append_rows(
                 _read_index_for(
                     state.bands, new_chunks, ["chunk", "cval"],
-                    state.index_partitions,
+                    state.index_partitions, partitions_hint=p_hint,
                 ),
                 new_chunks, ["chunk", "cval"],
                 state.max_bucket,
