@@ -14,19 +14,33 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _smoke_subset() -> list[str]:
+    """Deterministic ~21-query slice spanning every family (every 7th of
+    the sorted registry): enough to exercise the full output contract
+    (one JSON line, complete detail map, verify_split entries) without
+    the 141-query cost that blew the driver's pytest budget in r11."""
+    from iceberg_evaluation_spark.plans import REGISTRY
+
+    return sorted(REGISTRY)[::7]
+
+
 def test_bench_final_line_is_short_and_detail_file_is_complete():
-    # ITERS=1: this test checks the OUTPUT CONTRACT (one short JSON
-    # line, complete per-query detail file), not timing methodology —
-    # every assertion is iteration-count-independent. At 141 queries the
-    # default median-of-3 run (3 timed + 3 bare-variant passes per
-    # query) sits right at the 1800 s subprocess timeout on a quiet
-    # 32-core box and over it under any contention; one pass keeps the
-    # contract check well inside the budget at every corpus size.
+    # ITERS=1 + smoke subset (r11 verdict #1): this test checks the
+    # OUTPUT CONTRACT (one short JSON line, complete per-query detail
+    # file), not timing methodology or corpus coverage — every assertion
+    # is iteration-count- and subset-independent. The full 141-query
+    # subprocess (9:35 solo even at ITERS=1) exceeded the driver's
+    # pytest budget in r11 (VERIFY tests_ok: false); set
+    # SPARK_GRAFT_FULL_BENCH_CONTRACT=1 to run the whole corpus.
+    full = os.environ.get("SPARK_GRAFT_FULL_BENCH_CONTRACT") == "1"
+    expected = None if full else _smoke_subset()
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
         SPARK_GRAFT_ITERS="1",
     )
+    if expected is not None:
+        env["SPARK_GRAFT_QUERY_SUBSET"] = ",".join(expected)
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True,
@@ -59,7 +73,7 @@ def test_bench_final_line_is_short_and_detail_file_is_complete():
         detail_file = m.group(1)
     with open(detail_file) as f:
         detail = json.load(f)
-    assert set(detail["queries"]) == set(REGISTRY)
+    assert set(detail["queries"]) == set(expected or REGISTRY)
     assert all(isinstance(v, (int, float)) for v in detail["queries"].values())
     assert d["n_ok"] == len(detail["queries"])
     assert "failed" not in detail, detail.get("failed")
