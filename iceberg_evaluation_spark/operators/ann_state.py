@@ -68,6 +68,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from ..functions.scalar import scalar_collect, scalar_first
 from ..tables._meta import read_json_meta, write_json_meta
 from ..tables.snapshot_table import SnapshotTable
 from .similarity import _as_double, cells_udf, cosine, train_centroids
@@ -436,7 +437,7 @@ class AnnState:
             pass
         if ckey is not None and ckey in _CENTROIDS_BY_MANIFEST:
             return _CENTROIDS_BY_MANIFEST[ckey].copy()
-        rows = self.centroids.read().orderBy("cell").collect()
+        rows = scalar_collect(self.centroids.read().orderBy("cell"))
         M = np.stack(
             [np.asarray(r["centroid"], dtype="float64") for r in rows]
         )
@@ -842,7 +843,7 @@ class AnnState:
                 if verdict is not None:
                     has_dels, has_ins = verdict
             if has_dels is None:
-                _c = ch.agg(
+                _c = scalar_first(ch.agg(
                     F.sum(
                         F.when(
                             F.col("_change_type").isin(
@@ -859,7 +860,7 @@ class AnnState:
                             1,
                         ).otherwise(0)
                     ).alias("i"),
-                ).collect()[0]
+                ))
                 has_dels = bool(_c["d"] or 0)
                 has_ins = bool(_c["i"] or 0)
             marker = {
@@ -1226,11 +1227,11 @@ class AnnState:
         qv = queries.select(_as_double(F.col(self.vec_col)).alias("_qv"))
         return sorted(
             r["c"]
-            for r in qv.select(
-                F.explode(cells_udf(bc, nprobe)(F.col("_qv"))).alias("c")
+            for r in scalar_collect(
+                qv.select(
+                    F.explode(cells_udf(bc, nprobe)(F.col("_qv"))).alias("c")
+                ).distinct()
             )
-            .distinct()
-            .collect()
         )
 
     def probe_files(self, queries: DataFrame, nprobe: int) -> list[str]:

@@ -42,6 +42,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.scalar import scalar_collect
+
 __all__ = [
     "bloom_position_exprs",
     "build_bloom_words",
@@ -100,10 +102,10 @@ def build_bloom_words(
             "pos"
         )
     )
-    rows = (
+    # output bounded by num_bits/64 words, no join: scalar-safe
+    rows = scalar_collect(
         pos.groupBy(F.expr("pos div 64").alias("w"))
         .agg(F.expr("bit_or(shiftleft(1L, cast(pos % 64 AS INT)))").alias("bits"))
-        .collect()
     )
     words = [0] * (num_bits // 64)
     for r in rows:

@@ -56,6 +56,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.scalar import scalar_collect
 from ..tables._meta import read_json_meta, write_json_meta
 from ..tables.snapshot_table import MergeClause, SnapshotTable
 
@@ -321,11 +322,12 @@ def apply_changes(
     # windows) passes it in and skips the per-window census job.
     ch = changes.localCheckpoint(eager=False)
     if census is None:
+        # ≤4-row output (one per change class), no join: scalar-safe
         census = {
             r["_change_type"]: r["n"]
-            for r in ch.groupBy("_change_type")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
+            for r in scalar_collect(
+                ch.groupBy("_change_type").agg(F.count(F.lit(1)).alias("n"))
+            )
         }
     n = sum(
         census.get(t, 0) for t in ("insert", "update_postimage", "delete")

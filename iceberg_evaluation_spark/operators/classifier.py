@@ -43,15 +43,19 @@ def validate_weights(weights: DataFrame, num_buckets: int) -> None:
     missing bucket silently drops them. One aggregate over the B-row
     model frame — call it once per loaded model version (the ingest
     loop pins the validated version, like the cached bloom words)."""
-    row = weights.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count_distinct(
-            F.when(
-                (F.col("bucket") >= 0) & (F.col("bucket") < num_buckets),
-                F.col("bucket"),
-            )
-        ).alias("d"),
-    ).collect()[0]
+    from ..functions.scalar import scalar_first
+
+    row = scalar_first(
+        weights.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(
+                F.when(
+                    (F.col("bucket") >= 0) & (F.col("bucket") < num_buckets),
+                    F.col("bucket"),
+                )
+            ).alias("d"),
+        )
+    )
     if row["n"] != num_buckets or row["d"] != num_buckets:
         raise ValueError(
             "hashed_classifier_scores: weights must hold exactly one row "

@@ -51,6 +51,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.exprcache import cached_expr
+from ..functions.scalar import scalar_collect, scalar_first
 from ..tables.snapshot_table import SnapshotTable
 from .bloom_dedup import bloom_prefiltered_anti_join
 from .dedup import _shingle_frame, minhash_signature
@@ -121,12 +122,27 @@ def _coverage_frame(cand: DataFrame, lookup_ids: DataFrame) -> DataFrame:
     """1-row (``__missing`` bigint) scalar-agg frame counting candidate
     partner ids absent from the lookup — composable into another
     action's collect (a global agg of an empty input still yields its
-    one row, so AQE's empty-relation propagation cannot elide it)."""
-    return (
-        cand.select("corpus_id")
-        .distinct()
-        .join(lookup_ids, "corpus_id", "left_anti")
-        .agg(F.count(F.lit(1)).cast("long").alias("__missing"))
+    one row, so AQE's empty-relation propagation cannot elide it).
+
+    Inverted join shape (guide §3.2, the bloom exact-verify move): the
+    old ``cand ANTI lookup`` put the lookup slice on the anti join's
+    build side — un-broadcastable (only the right side of a left-anti
+    can broadcast, and the lookup's size is not provable), so the plan
+    leaned on AQE's runtime rescue. ``|missing| = |cand ids| −
+    |lookup ∩ cand ids|`` computes the same number with the DELTA-
+    bounded side broadcast and the lookup streamed map-only: 1-row agg
+    cross 1-row agg, no shuffled join anywhere, so the whole frame is
+    scalar-collect-safe at any scale. (``count_distinct`` on the semi
+    side: lookup ids are unique by contract, but a duplicate would
+    otherwise double-count coverage.)"""
+    cand_ids = cand.select("corpus_id").distinct()
+    n_cand = cand_ids.agg(F.count(F.lit(1)).cast("long").alias("__n_cand"))
+    n_cov = (
+        lookup_ids.join(F.broadcast(cand_ids), "corpus_id", "left_semi")
+        .agg(F.count_distinct("corpus_id").cast("long").alias("__n_cov"))
+    )
+    return n_cand.crossJoin(n_cov).select(
+        (F.col("__n_cand") - F.col("__n_cov")).alias("__missing")
     )
 
 
@@ -157,6 +173,7 @@ def _require_lookup_covers(cand: DataFrame, lookup_ids: DataFrame, op: str) -> N
     semi-join and the delta row misclassified as 'new'. One cheap
     anti-join (candidate corpus_ids are already distinct and small)
     turns that silent recall hole into a loud error."""
+    # composite frame (lookup scan + semi join): stays adaptive
     if int(_coverage_frame(cand, lookup_ids).collect()[0]["__missing"]):
         _raise_lookup_missing(cand, lookup_ids, op)
 
@@ -182,9 +199,9 @@ def _touched_partitions(probe: DataFrame, keys: list[str], m: int) -> list:
     restore precision)."""
     return sorted(
         r["p"]
-        for r in probe.select(_pband_expr(keys, m).alias("p"))
-        .distinct()
-        .collect()
+        for r in scalar_collect(
+            probe.select(_pband_expr(keys, m).alias("p")).distinct()
+        )
     )
 
 
@@ -339,6 +356,14 @@ class DedupState:
     # pipeline whose exactness story needs capping to be a no-op asserts
     # both stay 0.
     append_drops: int = 0
+    # rows the MOST RECENT classify-with-append folded into the
+    # artifacts (None until a fold ran). The gated-ingest loop keys its
+    # corpus append on this instead of inferring "did the fold commit?"
+    # from a fingerprint-table version bump — a rival writer's commit in
+    # that window would otherwise turn an all-dup batch into an empty
+    # corpus append (r11 ADVICE).
+    last_fold_new_rows: int | None = None
+
     def _geometry(self) -> str:
         return _geometry_fp(
             {
@@ -761,11 +786,15 @@ def incremental_neardup_dedup(
         probe = new_c.agg(F.count(F.lit(1)).cast("long").alias("__n_new"))
         if check_lookup:
             probe = probe.crossJoin(_coverage_frame(cand, lookup_ids))
+        # composite probe (scan + joins): adaptive execution's runtime
+        # simplification earns its job-count overhead here — measured
+        # (q126 ablation A/B) scoping this one cost ~0.9 s/query
         row = probe.collect()[0]
         if check_lookup and int(row["__missing"]):
             _raise_lookup_missing(
                 cand, lookup_ids, "incremental_neardup_dedup"
             )
+        state.last_fold_new_rows = int(row["__n_new"])
         if int(row["__n_new"]):
             state.fingerprints.append(new_c.select("id", "fp"))
             sh_new = sh_delta.join(
@@ -792,9 +821,9 @@ def incremental_neardup_dedup(
             )
             # one delta-sized agg over the frame the write materialized —
             # keeps append-time recall loss observable instead of silent
-            _drops = flagged.agg(
-                F.sum(F.when(~F.col("_keep"), 1).otherwise(0))
-            ).collect()[0][0]
+            _drops = scalar_first(
+                flagged.agg(F.sum(F.when(~F.col("_keep"), 1).otherwise(0)))
+            )[0]
             state.append_drops += int(_drops or 0)
         new = new_c
 
@@ -824,6 +853,9 @@ class SemanticState:
     append_drops: int = 0     # band rows dropped by append-time capping
     # hash-partitioned index layout, as in DedupState.index_partitions
     index_partitions: int | None = None
+    # rows the most recent classify-with-append folded (DedupState's
+    # contract, mirrored)
+    last_fold_new_rows: int | None = None
 
     def _geometry(self) -> str:
         return _geometry_fp(
@@ -1029,11 +1061,13 @@ def incremental_semantic_dedup(
         probe = new.agg(F.count(F.lit(1)).cast("long").alias("__n_new"))
         if check_lookup:
             probe = probe.crossJoin(_coverage_frame(cand, lookup_ids))
+        # composite probe: keep adaptive (see the text-modality note)
         row = probe.collect()[0]
         if check_lookup and int(row["__missing"]):
             _raise_lookup_missing(
                 cand, lookup_ids, "incremental_semantic_dedup"
             )
+        state.last_fold_new_rows = int(row["__n_new"])
         if int(row["__n_new"]):
             new_chunks = delta_chunks.join(
                 F.broadcast(new.select(F.col("id").alias("_id"))),
@@ -1054,9 +1088,9 @@ def incremental_semantic_dedup(
                 ["chunk", "cval"],
                 state.index_partitions, geometry=state._geometry(),
             )
-            _drops = flagged.agg(
-                F.sum(F.when(~F.col("_keep"), 1).otherwise(0))
-            ).collect()[0][0]
+            _drops = scalar_first(
+                flagged.agg(F.sum(F.when(~F.col("_keep"), 1).otherwise(0)))
+            )[0]
             state.append_drops += int(_drops or 0)
     return dup.select("id", F.lit("dup").alias("status")).unionByName(
         new.select("id", F.lit("new").alias("status"))

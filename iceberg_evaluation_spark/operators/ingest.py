@@ -224,7 +224,6 @@ class GatedIngestSession:
             lookup = self.corpus_table.read().select(
                 F.col(idc).alias("id"), F.col(txc).alias("text")
             )
-        fp_v_before = self.state.fingerprints.current_version()
         deduped = incremental_neardup_dedup(
             self.state,
             kept,
@@ -248,12 +247,14 @@ class GatedIngestSession:
             ).select(
                 F.col("id").alias(idc), F.col("text").alias(txc)
             ).localCheckpoint(eager=False)
-            # "any new rows?" is already durably answered: the dedup fold
-            # above appends to the fingerprint artifact iff the delta
-            # produced new rows, so a manifest version bump replaces the
-            # per-batch isEmpty() round trip (accepted == the folded set
-            # by construction — both are the 'new'-status ids)
-            if self.state.fingerprints.current_version() > fp_v_before:
+            # "any new rows?" is already answered by the fold itself:
+            # the classify-with-append path exposes its __n_new count on
+            # the state (accepted == the folded set by construction —
+            # both are the 'new'-status ids). Reading it from the state
+            # instead of a fingerprint-table version bump keeps the gate
+            # exact even when a rival session commits to the fingerprint
+            # table in the same window (r11 ADVICE), and costs no jobs.
+            if self.state.last_fold_new_rows:
                 self.corpus_table.append(accepted)
 
         return rejected.unionByName(

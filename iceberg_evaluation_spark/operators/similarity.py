@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.scalar import scalar_collect
+
 __all__ = [
     "srp_chunks",
     "cosine_topk",
@@ -132,14 +134,14 @@ def train_centroids(
     )
     for _ in range(max(0, kmeans_iters)):
         bc_i = sc.broadcast(M)
-        means = (
+        # bounded output (n_cells × dim rows), no join: scalar-safe
+        means = scalar_collect(
             train.withColumn(
                 "cell", F.element_at(cells_udf(bc_i, 1)(F.col("_v")), 1)
             )
             .select("cell", F.posexplode("_vu").alias("pos", "val"))
             .groupBy("cell", "pos")
             .agg(F.avg("val").alias("m"))
-            .collect()
         )
         M2 = M.copy()
         by_cell: dict[int, dict[int, float]] = {}

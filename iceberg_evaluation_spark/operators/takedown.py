@@ -52,6 +52,8 @@ import json
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.scalar import scalar_collect, scalar_first
+
 __all__ = [
     "takedown_ids",
     "takedown_fingerprint",
@@ -88,7 +90,7 @@ def takedown_fingerprint(ids: DataFrame) -> str:
     takedown batches with the same id set resume each other; different
     sets never collide in practice (64-bit sum + exact count)."""
     first = ids.columns[0]
-    row = (
+    row = scalar_first(
         ids.select(F.col(first).cast("string").alias("_id"))
         .distinct()
         .agg(
@@ -100,7 +102,6 @@ def takedown_fingerprint(ids: DataFrame) -> str:
                 F.xxhash64(F.col("_id")).cast("decimal(38,0)")
             ).alias("h"),
         )
-        .collect()[0]
     )
     h = int(row["h"] or 0) % (1 << 64)
     return f"td-{int(row['n'])}-{h:016x}"
@@ -247,7 +248,11 @@ def takedown_audit(
     ids = ids.select(first).distinct().localCheckpoint(eager=False)
 
     def _count_frame(df: DataFrame, col: str, name: str) -> DataFrame:
-        k = ids.select(F.col(first).alias("__k"))
+        # the candidate id set is delta-bounded by contract (the audit's
+        # cost tracks |ids|): pin it on the semi joins' build side so
+        # every artifact pass is map-only and the unioned collect below
+        # is scalar-safe (no size-estimate-dependent join choice left)
+        k = F.broadcast(ids.select(F.col(first).alias("__k")))
         return (
             df.select(F.col(col))
             .join(k, F.col(col).eqNullSafe(F.col("__k")), "left_semi")
@@ -277,6 +282,6 @@ def takedown_audit(
     u = frames[0]
     for f in frames[1:]:
         u = u.unionByName(f)
-    for r in u.collect():
+    for r in scalar_collect(u):
         out[r["a"]] = out.get(r["a"], 0) + int(r["n"])
     return out

@@ -38,6 +38,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.scalar import scalar_collect
 from ._meta import read_json_meta, write_json_meta
 from .snapshot_table import SnapshotTable
 
@@ -278,9 +279,9 @@ class BucketedLookup:
         col = ids_df.columns[0]
         return sorted(
             r["b"]
-            for r in ids_df.select(self._bucket_expr(col).alias("b"))
-            .distinct()
-            .collect()
+            for r in scalar_collect(
+                ids_df.select(self._bucket_expr(col).alias("b")).distinct()
+            )
         )
 
     def fetch(self, ids_df: DataFrame) -> DataFrame:

@@ -29,6 +29,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.scalar import scalar_collect, scalar_count
 from ._meta import write_json_meta
 from .snapshot_table import MergeClause, SnapshotTable
 
@@ -145,7 +146,7 @@ class MaterializedRollup:
         ).localCheckpoint(
             eager=False
         )
-        n_delta = delta.count()
+        n_delta = scalar_count(delta)
         # |touched groups|-sized; pin it once — with the cardinality
         # probe skipped below, the merge no longer proves the source
         # small and would otherwise re-run this shuffle agg per pass
@@ -206,7 +207,7 @@ class MaterializedRollup:
         ch = self._incremental_or_refuse(
             lambda: table_changes(self.base, row_keys, last, cur), last
         ).localCheckpoint(eager=False)
-        n_changes = ch.count()
+        n_changes = scalar_count(ch)
         if n_changes == 0:
             # content-neutral window (compaction, schema/spec evolution):
             # advance the checkpoint without committing a no-op merge
@@ -300,7 +301,7 @@ class MaterializedRollup:
         ]
         if not pb:
             return self.base.read(version)
-        vals = touched.select(*pb).distinct().limit(1001).collect()
+        vals = scalar_collect(touched.select(*pb).distinct().limit(1001))
         if len(vals) > 1000:  # unusually wide window: full scan is safer
             return self.base.read(version)
         if any(r[c] is None for r in vals for c in pb):

@@ -47,6 +47,7 @@ from typing import Any
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.scalar import scalar_collect, scalar_count, scalar_first
 from ._meta import read_json_meta, write_json_meta
 
 __all__ = [
@@ -1330,7 +1331,7 @@ class SnapshotTable:
             ]
             if all(n is not None for n in ns):
                 return int(sum(ns))
-        return self.read(version=v).count()
+        return scalar_count(self.read(version=v))
 
     def files_metadata(self, version: int | None = None) -> DataFrame:
         """Per-data-file metrics of a snapshot (reference/Iceberg
@@ -1449,7 +1450,10 @@ class SnapshotTable:
                 return None
             if stats["__nd_k0"] > 1000:
                 return [(k0, "between", (stats["__mn"], stats["__mx"]))]
-            vals = [r[0] for r in src_keys.select(k0).distinct().collect()]
+            vals = [
+                r[0]
+                for r in scalar_collect(src_keys.select(k0).distinct())
+            ]
             return [(k0, "in", vals)]
         if src_keys.filter(F.col(k0).isNull()).limit(1).collect():
             return None
@@ -1461,9 +1465,9 @@ class SnapshotTable:
             return None
         if len(vals) <= 1000:
             return [(k0, "in", vals)]
-        mm = src_keys.agg(
-            F.min(k0).alias("mn"), F.max(k0).alias("mx")
-        ).collect()[0]
+        mm = scalar_first(
+            src_keys.agg(F.min(k0).alias("mn"), F.max(k0).alias("mx"))
+        )
         return [(k0, "between", (mm["mn"], mm["mx"]))]
 
     def merge(
@@ -1531,7 +1535,7 @@ class SnapshotTable:
                 F.min(k0).alias("__mn"),
                 F.max(k0).alias("__mx"),
             ]
-            src_stats = src.agg(*aggs).collect()[0]
+            src_stats = scalar_first(src.agg(*aggs))
 
         if validate_source_unique and src_stats["__n"] > src_stats["__nd"]:
             # failure path only: recover one offending key for the message
@@ -1581,16 +1585,24 @@ class SnapshotTable:
         # stale row would be carried over while the matching source row was
         # re-inserted as NOT MATCHED, yielding duplicates.
         t_pr = target_all.alias("t")
-        k_pr = src_keys.alias("k")
+        # the fused stats just proved the source small (the same bound
+        # that gated its checkpoint): pin the key set on the semi join's
+        # build side so the discovery scan is map-only over the target
+        # and its collect (bounded by the table's file count) needs no
+        # AQE join rescue — one job instead of the per-exchange swarm
+        small_src = src_stats is not None and int(src_stats["__n"]) <= 1_000_000
+        k_pr = (F.broadcast(src_keys) if small_src else src_keys).alias("k")
         prune_cond = None
         for k in on:
             c = F.col(f"t.{k}").eqNullSafe(F.col(f"k.{k}"))
             prune_cond = c if prune_cond is None else (prune_cond & c)
-        touched_rows = (
+        discovery = (
             t_pr.join(k_pr, prune_cond, "left_semi")
             .select("__file")
             .distinct()
-            .collect()
+        )
+        touched_rows = (
+            scalar_collect(discovery) if small_src else discovery.collect()
         )
         # URIs look like file:///<root>/data/commit-x/part-*.parquet —
         # recover the root-relative path for an exact O(1) membership
@@ -1717,6 +1729,7 @@ class SnapshotTable:
         base_version = self.current_version()
         snap = self._read_snapshot(base_version)
         src = keys_df.select(*on).distinct().localCheckpoint(eager=False)
+        key_stats = None
         if prune_filters:
             candidates = self.pruned_files(prune_filters, version=base_version)
         elif len(snap["files"]) >= 8:
@@ -1727,16 +1740,18 @@ class SnapshotTable:
             # replaces the null-probe + distinct-limit jobs (merge()'s
             # fused-stats move, applied to the delete path).
             k0 = on[0]
-            key_stats = src.agg(
-                F.count(F.lit(1)).alias("__n"),
-                F.lit(0).alias("__nd"),
-                F.sum(
-                    F.when(F.col(k0).isNull(), 1).otherwise(0)
-                ).alias("__k0_nulls"),
-                F.count_distinct(F.col(k0)).alias("__nd_k0"),
-                F.min(k0).alias("__mn"),
-                F.max(k0).alias("__mx"),
-            ).collect()[0]
+            key_stats = scalar_first(
+                src.agg(
+                    F.count(F.lit(1)).alias("__n"),
+                    F.lit(0).alias("__nd"),
+                    F.sum(
+                        F.when(F.col(k0).isNull(), 1).otherwise(0)
+                    ).alias("__k0_nulls"),
+                    F.count_distinct(F.col(k0)).alias("__nd_k0"),
+                    F.min(k0).alias("__mn"),
+                    F.max(k0).alias("__mx"),
+                )
+            )
             kf = self._key_prune_filters(src, on, stats=key_stats)
             candidates = (
                 self.pruned_files(kf, version=base_version)
@@ -1745,8 +1760,13 @@ class SnapshotTable:
             )
         else:
             candidates = snap["files"]
-        # null-safe match, mirroring merge()'s key semantics
-        k_pr = src.alias("k")
+        # null-safe match, mirroring merge()'s key semantics. When the
+        # fused key stats proved the key set bounded, pin it on the
+        # match join's build side (merge()'s discovery move): the match
+        # scan stays map-only and the scalar collects below need no
+        # AQE join rescue.
+        small_keys = key_stats is not None and int(key_stats["__n"]) <= 1_000_000
+        k_pr = (F.broadcast(src) if small_keys else src).alias("k")
         cond = None
         for k in on:
             c = F.col(f"t.{k}").eqNullSafe(F.col(f"k.{k}"))
@@ -1767,7 +1787,7 @@ class SnapshotTable:
                 .join(k_pr, cond, "left_semi")
                 .localCheckpoint(eager=False)
             )
-            n_deleted = int(hit.count())
+            n_deleted = int(scalar_count(hit))
             if n_deleted == 0:
                 return 0  # no match: commit nothing (same as COW)
             # write only the keys that actually match: the read-side
@@ -1802,12 +1822,16 @@ class SnapshotTable:
         scan = self._read_snapshot_df(
             snap, only_files=candidates, with_file_col="__file"
         )
-        touched_rows = (
+        cow_discovery = (
             scan.alias("t")
             .join(k_pr, cond, "left_semi")
             .select("__file")
             .distinct()
-            .collect()
+        )
+        touched_rows = (
+            scalar_collect(cow_discovery)
+            if small_keys
+            else cow_discovery.collect()
         )
         if not touched_rows:
             return 0
@@ -1825,7 +1849,7 @@ class SnapshotTable:
         kept_rows = moved.alias("t").join(k_pr, cond, "left_anti").localCheckpoint(
             eager=False
         )
-        n_deleted = int(moved.count()) - int(kept_rows.count())
+        n_deleted = int(scalar_count(moved)) - int(scalar_count(kept_rows))
         new_files = self._write_files(
             kept_rows, partition_by=snap.get("partition_by")
         )
@@ -2106,10 +2130,12 @@ class SnapshotTable:
                     f"zorder over {len(cols)} columns cannot fit one bit per "
                     "column in a 64-bit Z-value; reduce the column list"
                 )
-        stats = df.agg(
-            *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
-            *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
-        ).collect()[0]
+        stats = scalar_first(
+            df.agg(
+                *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
+                *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
+            )
+        )
         top = (1 << bits) - 1
         quantized: list[Column] = []
         for c in cols:

@@ -47,24 +47,56 @@ def main() -> int:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": evdir,
+            # Spark 4 compresses event logs by default; plain JSON keeps
+            # this tool dependency-free (no zstd bindings in the sandbox)
+            "spark.eventLog.compress": "false",
         },
     )
     sc = spark.sparkContext
     marks = []
     for i in range(args.runs):
+        # job descriptions are thread-local: streaming/foreachBatch
+        # threads submit under their own labels, so runs are attributed
+        # by WALL-CLOCK WINDOW (epoch ms), not by description
         sc.setJobDescription(f"trace-run-{i}")
+        w0 = time.time() * 1000
         t0 = time.monotonic()
         q.spark(spark, args.sf).write.format("noop").mode("overwrite").save()
-        marks.append((i, time.monotonic() - t0))
+        marks.append((i, time.monotonic() - t0, w0, time.time() * 1000))
         sc.setJobDescription(None)
     app_id = sc.applicationId
     spark.stop()
 
     path = os.path.join(evdir, app_id)
+    if not os.path.exists(path):
+        # Spark 4 event-log v2 layout: a directory of events_* files
+        v2 = os.path.join(evdir, f"eventlog_v2_{app_id}")
+        parts = sorted(
+            os.path.join(v2, n)
+            for n in os.listdir(v2)
+            if n.startswith("events")
+        )
+    else:
+        parts = [path]
     jobs = []  # (job_id, submit_ms, end_ms, desc, callsite)
     starts = {}
-    with open(path) as f:
-        for line in f:
+
+    def _lines():
+        for p in parts:
+            if p.endswith(".zstd"):
+                import io
+
+                import zstandard
+
+                with open(p, "rb") as raw:
+                    reader = zstandard.ZstdDecompressor().stream_reader(raw)
+                    yield from io.TextIOWrapper(reader, encoding="utf-8")
+            else:
+                with open(p) as f:
+                    yield from f
+
+    for line in _lines():
+        if True:
             try:
                 ev = json.loads(line)
             except ValueError:
@@ -84,9 +116,8 @@ def main() -> int:
                     jobs.append((jid, sub, ev["Completion Time"], desc, cs))
     jobs.sort(key=lambda j: j[1])
 
-    for i, wall in marks:
-        label = f"trace-run-{i}"
-        run = [j for j in jobs if j[3] == label]
+    for i, wall, w0, w1 in marks:
+        run = [j for j in jobs if w0 <= j[1] <= w1]
         if not run:
             print(f"run {i}: wall {wall:.2f}s, no jobs captured")
             continue
@@ -111,7 +142,7 @@ def main() -> int:
                 ms_by_cs[key] += e - s
             for cs, n in by_cs.most_common(12):
                 print(f"    {n:4d} jobs {ms_by_cs[cs] / 1e3:7.2f}s  {cs}")
-    print(f"event log: {path}")
+    print(f"event log: {parts[0] if parts else path}")
     return 0
 
 
